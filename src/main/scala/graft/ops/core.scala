@@ -1,0 +1,30 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for all operator builders.
+  *
+  * Capability contract derives from `/root/reference/README.md:2`
+  * ("Apply complex transformations on single events or collections");
+  * everything here is an idiomatic Spark re-expression, not a port.
+  */
+object core {
+
+  /** Load one fixture table from the scale-factor directory. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact money/quantity in integer cents: fixture doubles are
+    * 2-dp-generated (verified — max |x*100 - round(x*100)| < 1e-8),
+    * so this is a lossless, engine-agnostic representation that makes
+    * SUM() bit-identical across Spark and the DuckDB oracle.
+    */
+  def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Deterministic double output: round at the very end, same depth
+    * as the oracle SQL.
+    */
+  def r4(c: Column): Column = round(c, 4)
+  def r6(c: Column): Column = round(c, 6)
+}
