@@ -13,7 +13,20 @@ object core {
 
   /** Load one fixture table from the scale-factor directory. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark 4 rejects outright. Read nanos as raw longs and rebuild a
+    * proper microsecond TimestampType column — lossless: every fixture
+    * value has a zero sub-microsecond component (verified via DuckDB
+    * `epoch_ns(ts) % 1000 = 0` on all rows).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Exact money/quantity in integer cents: fixture doubles are
     * 2-dp-generated (verified — max |x*100 - round(x*100)| < 1e-8),
