@@ -1,0 +1,224 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import core._
+
+/** Advanced aggregation surface (SURVEY §2.4 remainder): grouping
+  * analytics (rollup / cube / grouping sets), statistical aggregates,
+  * ordered collect, exact percentiles, and the approximate sketches
+  * (HLL distinct, approximate quantile — unit-test-only, no oracle).
+  */
+object Aggregates {
+
+  /** NULL grouping keys from rollup/cube replaced by a sentinel so the
+    * cross-engine sort order is stable (SURVEY §7.3 hard part 6).
+    */
+  private val All = "<all>"
+
+  def qAggRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_linestatus", cents($"l_quantity").as("qty_c"))
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), sum($"qty_c").as("sum_qty_c"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce($"l_returnflag", lit(All)).as("flag_s"),
+        coalesce($"l_linestatus", lit(All)).as("status_s"),
+        $"gid", $"n", $"sum_qty_c")
+      .orderBy($"gid", $"flag_s", $"status_s")
+  }
+
+  def qAggCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_linestatus", cents($"l_quantity").as("qty_c"))
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), sum($"qty_c").as("sum_qty_c"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce($"l_returnflag", lit(All)).as("flag_s"),
+        coalesce($"l_linestatus", lit(All)).as("status_s"),
+        $"gid", $"n", $"sum_qty_c")
+      .orderBy($"gid", $"flag_s", $"status_s")
+  }
+
+  /** Explicit GROUPING SETS ((a,b),(a),()) via the SQL front end. */
+  def qAggGroupingsets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    s.sql(s"""
+      SELECT coalesce(l_returnflag, '$All') AS flag_s,
+             coalesce(l_linestatus, '$All') AS status_s,
+             grouping_id(l_returnflag, l_linestatus) AS gid,
+             count(1) AS n,
+             sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c
+      FROM gs_lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY gid, flag_s, status_s""")
+  }
+
+  /** Statistical aggregates from exact integer sums: variance, stddev,
+    * covariance and correlation are derived from bit-exact Σx, Σx²,
+    * Σxy (DecimalType — no overflow, no float summation order), with
+    * one identical final double expression in both engines. This keeps
+    * the values deterministic where naive stddev() over doubles is not
+    * (SURVEY §5.3 float rule).
+    */
+  def qAggStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val agg = t(s, dir, "lineitem")
+      .select($"l_returnflag",
+        cents($"l_quantity").as("x"), cents($"l_extendedprice").as("y"))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"x".cast(dec)).cast("double").as("sx"),
+        sum($"y".cast(dec)).cast("double").as("sy"),
+        sum(($"x" * $"x").cast(dec)).cast("double").as("sxx"),
+        sum(($"y".cast(dec) * $"y".cast(dec))).cast("double").as("syy"),
+        sum(($"x".cast(dec) * $"y".cast(dec))).cast("double").as("sxy"))
+    agg.select($"l_returnflag",
+        r4(sqrt(($"n" * $"sxx" - $"sx" * $"sx") / ($"n" * ($"n" - 1))) / 100.0)
+          .as("stddev_samp_qty"),
+        r4(sqrt(($"n" * $"sxx" - $"sx" * $"sx")) / $"n" / 100.0)
+          .as("stddev_pop_qty"),
+        r4((($"n" * $"sxx" - $"sx" * $"sx") / ($"n" * ($"n" - 1))) / 10000.0)
+          .as("var_samp_qty"),
+        r4((($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * ($"n" - 1))) / 10000.0)
+          .as("covar_samp"),
+        r6(($"n" * $"sxy" - $"sx" * $"sy") /
+           (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+            sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Per-group ordered collect, flattened to CSV so the output is a
+    * scalar column (nested parquet layouts differ across writers).
+    */
+  def qAggCollect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(array_join(sort_array(collect_list($"o_orderpriority")), ",")
+        .as("prios_csv"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_custkey")
+  }
+
+  /** Exact interpolated percentiles per event type. */
+  def qAggPercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type", cents($"value").as("value_c"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        r4(expr("percentile(value_c, 0.5)") / 100.0).as("p50"),
+        r4(expr("percentile(value_c, 0.9)") / 100.0).as("p90"))
+      .orderBy($"event_type")
+  }
+
+  /** HyperLogLog distinct users per event type — approximate, so no
+    * DuckDB oracle; a unit test bounds the error vs exact instead.
+    */
+  def qAggApproxHll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id").as("approx_users"))
+      .orderBy($"event_type")
+  }
+
+  /** Approximate quantiles (GK sketch) — unit-test-only. */
+  def qAggApproxQuantile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type", cents($"value").as("value_c"))
+      .groupBy($"event_type")
+      .agg(percentile_approx($"value_c", lit(0.95), lit(10000)).as("p95_approx"))
+      .orderBy($"event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_rollup" -> (qAggRollup _),
+    "q_agg_cube" -> (qAggCube _),
+    "q_agg_groupingsets" -> (qAggGroupingsets _),
+    "q_agg_stats" -> (qAggStats _),
+    "q_agg_collect" -> (qAggCollect _),
+    "q_agg_percentile" -> (qAggPercentile _),
+    "q_agg_approx_hll" -> (qAggApproxHll _),
+    "q_agg_approx_quantile" -> (qAggApproxQuantile _)
+  )
+
+  private val qtyC = "CAST(round(l_quantity*100) AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_rollup" ->
+      s"""SELECT coalesce(l_returnflag, '$All') AS flag_s,
+        |  coalesce(l_linestatus, '$All') AS status_s,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum($qtyC) AS BIGINT) AS sum_qty_c
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, flag_s, status_s""".stripMargin,
+
+    "q_agg_cube" ->
+      s"""SELECT coalesce(l_returnflag, '$All') AS flag_s,
+        |  coalesce(l_linestatus, '$All') AS status_s,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum($qtyC) AS BIGINT) AS sum_qty_c
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, flag_s, status_s""".stripMargin,
+
+    "q_agg_groupingsets" ->
+      s"""SELECT coalesce(l_returnflag, '$All') AS flag_s,
+        |  coalesce(l_linestatus, '$All') AS status_s,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum($qtyC) AS BIGINT) AS sum_qty_c
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, flag_s, status_s""".stripMargin,
+
+    "q_agg_stats" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(CAST(round(l_quantity*100) AS BIGINT) AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(round(l_quantity*100) AS BIGINT) AS HUGEINT)
+        |           * CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS HUGEINT)
+        |           * CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(CAST(round(l_quantity*100) AS BIGINT) AS HUGEINT)
+        |           * CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round(sqrt((n*sxx - sx*sx) / (n*(n-1))) / 100.0, 4) AS stddev_samp_qty,
+        |  round(sqrt(n*sxx - sx*sx) / n / 100.0, 4) AS stddev_pop_qty,
+        |  round(((n*sxx - sx*sx) / (n*(n-1))) / 10000.0, 4) AS var_samp_qty,
+        |  round(((n*sxy - sx*sy) / (n*(n-1))) / 10000.0, 4) AS covar_samp,
+        |  round((n*sxy - sx*sy) /
+        |        (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr_qty_price
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT o_custkey,
+        |  string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios_csv,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_percentile" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.5) / 100.0, 4) AS p50,
+        |  round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.9) / 100.0, 4) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,218 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import core._
+
+/** Window functions (SURVEY §2.5). Every window order includes a
+  * unique tiebreaker (event_id / orderkey / partkey) so that ranks,
+  * ntiles and frames are identical across engines (SURVEY §5.3).
+  */
+object Windows {
+
+  /** Per-customer order sequence by date. */
+  def qWinRownumber(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+      .withColumn("rn", row_number().over(w))
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** rank / dense_rank with real ties (p_size within brand). */
+  def qWinRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"p_brand").orderBy($"p_size")
+    t(s, dir, "part")
+      .select($"p_brand", $"p_partkey", $"p_size")
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .orderBy($"p_brand", $"p_size", $"p_partkey")
+  }
+
+  /** Quartiles of customers by account balance. */
+  def qWinNtile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"acctbal_c", $"c_custkey")
+    t(s, dir, "customer")
+      .select($"c_custkey", cents($"c_acctbal").as("acctbal_c"))
+      .withColumn("quartile", ntile(4).over(w))
+      .orderBy($"c_custkey")
+  }
+
+  /** Inter-event gap per user via lag; next event id via lead. */
+  def qWinLagLead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("gap_sec", unix_timestamp($"ts") - unix_timestamp($"prev_ts"))
+      .withColumn("next_id", lead($"event_id", 1).over(w))
+      .select($"user_id", $"event_id", $"gap_sec", $"next_id")
+      .orderBy($"event_id")
+  }
+
+  /** Running revenue per customer (rows unbounded preceding). */
+  def qWinRunsum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        cents($"o_totalprice").as("total_c"))
+      .withColumn("run_total_c", sum($"total_c").over(w))
+      .select($"o_custkey", $"o_orderkey", $"total_c", $"run_total_c")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** 3-row moving average of event value per user. */
+  def qWinMoving(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-2, Window.currentRow)
+    t(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts", cents($"value").as("value_c"))
+      .withColumn("mov_sum_c", sum($"value_c").over(w))
+      .withColumn("mov_n", count(lit(1)).over(w))
+      .withColumn("mov_avg", r6($"mov_sum_c" / 100.0 / $"mov_n"))
+      .select($"user_id", $"event_id", $"mov_avg")
+      .orderBy($"event_id")
+  }
+
+  /** Value-range frame: sum of orders within ±1000.00 of the current
+    * order's totalprice, per status (range frames need a numeric
+    * order key in both engines — hence cents).
+    */
+  def qWinRangeframe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderstatus").orderBy($"total_c")
+      .rangeBetween(-100000L, 100000L)
+    t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", cents($"o_totalprice").as("total_c"))
+      .withColumn("sum_near_c", sum($"total_c").over(w))
+      .withColumn("n_near", count(lit(1)).over(w))
+      .orderBy($"o_orderkey")
+  }
+
+  /** first/last over an explicit full-partition frame. */
+  def qWinFirstlast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"p_brand").orderBy($"price_c", $"p_partkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "part")
+      .select($"p_brand", $"p_partkey", cents($"p_retailprice").as("price_c"))
+      .withColumn("cheapest_key", first($"p_partkey").over(w))
+      .withColumn("priciest_key", last($"p_partkey").over(w))
+      .orderBy($"p_partkey")
+  }
+
+  /** Top-3 orders per customer by totalprice (row_number + filter). */
+  def qWinTopkGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"total_c".desc, $"o_orderkey".asc)
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", cents($"o_totalprice").as("total_c"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rownumber" -> (qWinRownumber _),
+    "q_win_rank" -> (qWinRank _),
+    "q_win_ntile" -> (qWinNtile _),
+    "q_win_lag_lead" -> (qWinLagLead _),
+    "q_win_runsum" -> (qWinRunsum _),
+    "q_win_moving" -> (qWinMoving _),
+    "q_win_rangeframe" -> (qWinRangeframe _),
+    "q_win_firstlast" -> (qWinFirstlast _),
+    "q_win_topk_group" -> (qWinTopkGroup _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rownumber" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS rn
+        |FROM orders ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_win_rank" ->
+      """SELECT p_brand, p_partkey, p_size,
+        |  rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS rnk,
+        |  dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS drnk
+        |FROM part ORDER BY p_brand, p_size, p_partkey""".stripMargin,
+
+    "q_win_ntile" ->
+      """SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_c,
+        |  ntile(4) OVER (ORDER BY CAST(round(c_acctbal*100) AS BIGINT),
+        |                 c_custkey) AS quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_win_lag_lead" ->
+      """SELECT user_id, event_id,
+        |  CAST(date_diff('second',
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |    ts) AS BIGINT) AS gap_sec,
+        |  lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS next_id
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_win_runsum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS total_c,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS run_total_c
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_moving" ->
+      """SELECT user_id, event_id,
+        |  round(CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT)
+        |    / 100.0 / count(*) OVER w, 6) AS mov_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_win_rangeframe" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS total_c,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS BIGINT)
+        |    AS sum_near_c,
+        |  count(*) OVER w AS n_near
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY CAST(round(o_totalprice*100) AS BIGINT)
+        |  RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_win_firstlast" ->
+      """SELECT p_brand, p_partkey,
+        |  CAST(round(p_retailprice*100) AS BIGINT) AS price_c,
+        |  first_value(p_partkey) OVER w AS cheapest_key,
+        |  last_value(p_partkey) OVER w AS priciest_key
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand
+        |  ORDER BY CAST(round(p_retailprice*100) AS BIGINT), p_partkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_win_topk_group" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS total_c,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC,
+        |    o_orderkey ASC) AS rn
+        |FROM orders
+        |QUALIFY rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin
+  )
+}

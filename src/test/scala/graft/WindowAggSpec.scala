@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Aggregates, Windows, core}
+
+/** SURVEY §2.4 (advanced) + §2.5: windows and grouping analytics. */
+class WindowAggSpec extends SparkSuite {
+
+  for ((name, fn) <- Windows.queries ++ Aggregates.queries) {
+    test(s"$name runs and returns rows at sf0.001") {
+      assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("q_win_topk_group keeps at most 3 rows per customer") {
+    val df = Windows.qWinTopkGroup(spark, sf)
+    val maxPerCust = df.groupBy("o_custkey").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxPerCust <= 3)
+  }
+
+  test("q_win_rank has real ties (rank skips, dense_rank doesn't)") {
+    val df = Windows.qWinRank(spark, sf)
+    assert(df.filter(col("rnk") =!= col("drnk")).count() > 0,
+      "expected at least one tie-induced rank/dense_rank divergence")
+  }
+
+  test("q_win_ntile quartiles are balanced within 1") {
+    val sizes = Windows.qWinNtile(spark, sf)
+      .groupBy("quartile").count().collect().map(_.getLong(1))
+    assert(sizes.length == 4 && sizes.max - sizes.min <= 1)
+  }
+
+  test("rollup row count = groups + flag subtotals + grand total") {
+    val n = Aggregates.qAggRollup(spark, sf).count()
+    assert(n == 6 + 3 + 1) // 6 flag×status groups, 3 flags, 1 total
+  }
+
+  test("cube adds the status-only slices") {
+    val n = Aggregates.qAggCube(spark, sf).count()
+    assert(n == 6 + 3 + 2 + 1)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    import spark.implicits._
+    val ev = core.t(spark, sf, "events")
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact"))
+    val approx = Aggregates.qAggApproxHll(spark, sf)
+    val joined = exact.join(approx, "event_type")
+      .select($"event_type", $"exact", $"approx_users").collect()
+    joined.foreach { r =>
+      val (e, a) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e <= 0.05, s"${r.getString(0)}: $a vs $e")
+    }
+  }
+
+  test("percentile_approx p95 lands between p90 and max") {
+    import spark.implicits._
+    val ev = core.t(spark, sf, "events")
+      .select($"event_type", graft.ops.core.cents($"value").as("value_c"))
+    val bounds = ev.groupBy($"event_type").agg(
+      expr("percentile(value_c, 0.90)").as("p90"),
+      max($"value_c").cast("double").as("mx"))
+    val ap = Aggregates.qAggApproxQuantile(spark, sf)
+    bounds.join(ap, "event_type").collect().foreach { r =>
+      val (p90, mx) = (r.getDouble(1), r.getDouble(2))
+      val p95 = r.getLong(3).toDouble
+      assert(p95 >= p90 - 1 && p95 <= mx, s"${r.getString(0)}: $p95 not in [$p90,$mx]")
+    }
+  }
+}
