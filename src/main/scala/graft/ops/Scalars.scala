@@ -1,0 +1,456 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import core._
+
+/** Scalar function surface (SURVEY §2.8): string / regex / date /
+  * timestamp / math / conditional / cast / array / higher-order /
+  * generator / map / JSON / struct / pivot / unpivot.
+  *
+  * Dialect notes baked into the oracle SQL: Spark `instr` ↔ DuckDB
+  * `strpos`; Spark `regexp_replace` is global while DuckDB needs the
+  * 'g' flag; Spark casts double→int by truncation while DuckDB
+  * rounds (avoided — explicit floor first); int-typed Spark results
+  * are cast to BIGINT to match DuckDB's wider defaults.
+  */
+object Scalars {
+
+  def qStrBasic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .select($"c_custkey",
+        upper($"c_name").as("name_upper"),
+        lower($"c_mktsegment").as("seg_lower"),
+        substring($"c_name", 1, 8).as("name_prefix"),
+        concat($"c_name", lit("|"), $"c_mktsegment").as("name_seg"),
+        lpad($"c_name", 22, "*").as("name_lpad"),
+        rpad($"c_mktsegment", 12, ".").as("seg_rpad"),
+        trim(concat(lit("  "), $"c_name", lit("  "))).as("name_trim"),
+        regexp_replace($"c_name", lit("Customer"), lit("Cust")).as("name_repl"),
+        length($"c_name").cast("long").as("name_len"),
+        instr($"c_name", "#").cast("long").as("hash_pos"))
+      .orderBy($"c_custkey")
+  }
+
+  def qStrSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        element_at(split($"text", " "), 1).as("first_token"))
+      .orderBy($"doc_id")
+  }
+
+  def qStrRegexp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .select($"c_custkey",
+        regexp_extract($"c_name", "Customer#([0-9]+)", 1).cast("long")
+          .as("cust_num"),
+        regexp_replace($"c_mktsegment", "[AEIOU]", "_").as("seg_masked"),
+        $"c_name".rlike("[0-9]{3}$").as("ends_3digits"))
+      .orderBy($"c_custkey")
+  }
+
+  def qStrLike(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .filter($"p_name".like("%e%") && ($"p_name".like("r%") ||
+        $"p_name".like("_r%")))
+      .select($"p_partkey", $"p_name", $"p_type")
+      .orderBy($"p_partkey")
+  }
+
+  def qDateParts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select(date_trunc("month", $"o_orderdate").as("month_start"),
+        cents($"o_totalprice").as("total_c"))
+      .groupBy($"month_start")
+      .agg(count(lit(1)).as("n_orders"), sum($"total_c").as("sum_total_c"))
+      .select(
+        $"month_start",
+        year($"month_start").cast("long").as("yr"),
+        quarter($"month_start").cast("long").as("qtr"),
+        month($"month_start").cast("long").as("mon"),
+        dayofmonth($"month_start").cast("long").as("dom"),
+        $"n_orders", $"sum_total_c")
+      .orderBy($"month_start")
+  }
+
+  def qDateArith(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderdate",
+        ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("due_ts"),
+        datediff(lit("2000-01-01").cast("date"), $"o_orderdate")
+          .cast("long").as("days_to_y2k"),
+        last_day($"o_orderdate").as("eom"))
+      .orderBy($"o_orderkey")
+  }
+
+  def qTsFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_id",
+        hour($"ts").cast("long").as("hr"),
+        minute($"ts").cast("long").as("mi"),
+        second($"ts").cast("long").as("sec"),
+        unix_timestamp($"ts").as("epoch_s"),
+        date_trunc("hour", $"ts").as("hour_start"))
+      .orderBy($"event_id")
+  }
+
+  def qMathFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_id", cents($"value").as("x"))
+      .select($"event_id", $"x",
+        abs($"x" - 10000L).as("abs_dev"),
+        ceil($"x" / 100.0).cast("long").as("ceil_units"),
+        floor($"x" / 100.0).cast("long").as("floor_units"),
+        ($"x" % 7L).as("mod7"),
+        signum($"x" - 10000L).cast("long").as("sign_dev"),
+        r6(sqrt($"x")).as("sqrt_x"),
+        r6(log($"x")).as("ln_x"),
+        r6(log10($"x")).as("log10_x"),
+        r6(exp($"x" % 5L)).as("exp_mod5"),
+        r6(pow($"x" % 9L, 2.5)).as("pow_mod9"))
+      .orderBy($"event_id")
+  }
+
+  def qCondFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select($"o_orderkey", cents($"o_totalprice").as("total_c"),
+        $"o_orderpriority", $"o_orderstatus")
+      .select($"o_orderkey",
+        when($"total_c" > 20000000L, "big")
+          .when($"total_c" > 10000000L, "mid")
+          .otherwise("small").as("size_tier"),
+        coalesce(nullif($"o_orderstatus", lit("O")), lit("open")).as("status_or_open"),
+        least($"total_c", lit(15000000L)).as("capped_c"),
+        greatest($"total_c" % 1000L, lit(500L)).as("floor500"))
+      .orderBy($"o_orderkey")
+  }
+
+  def qCastFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .select($"c_custkey", cents($"c_acctbal").as("bal_c"), $"c_name")
+      .select($"c_custkey",
+        $"bal_c".cast("string").as("bal_str"),
+        $"bal_c".cast("string").cast("long").as("bal_roundtrip"),
+        floor($"bal_c" / 100.0).cast("long").as("bal_units"),
+        expr("try_cast(c_name AS DOUBLE)").as("junk_cast"),
+        expr("try_cast(substring(c_name, 10, 9) AS BIGINT)").as("num_from_name"),
+        lit("1995-03-15").cast("date").as("fixed_date"),
+        $"bal_c".cast("double").as("bal_dbl"))
+      .orderBy($"c_custkey")
+  }
+
+  def qArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select($"vec_id", $"label",
+        size($"emb").cast("long").as("dim"),
+        r6(element_at($"emb", 1)).as("e1"),
+        r6(element_at($"emb", 64)).as("e64"),
+        r6(expr("aggregate(slice(emb, 1, 3), 0D, (a, x) -> a + x)")).as("sum_first3"),
+        size(expr("filter(emb, x -> x > 0)")).cast("long").as("n_pos"),
+        r6(sqrt(expr("aggregate(emb, 0D, (a, x) -> a + x * x)"))).as("l2_norm"))
+      .orderBy($"vec_id")
+  }
+
+  def qArrayHof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select($"vec_id",
+        r6(expr("aggregate(transform(emb, x -> x * 2D), 0D, (a, x) -> a + x)"))
+          .as("sum_scaled"),
+        size(expr("filter(emb, x -> x < 0)")).cast("long").as("n_neg"),
+        r6(expr("aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+          .as("self_dot"))
+      .orderBy($"vec_id")
+  }
+
+  def qExplode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos0", "word")))
+      .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"word")
+      .orderBy($"doc_id", $"pos")
+  }
+
+  /** Build map(event_type → count) per user, then extract the five
+    * known keys back out as scalar columns (the map itself is never
+    * written — parquet map layouts differ across engines).
+    */
+  def qMapFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("cnt"))
+      .groupBy($"user_id")
+      .agg(map_from_entries(sort_array(collect_list(struct($"event_type", $"cnt"))))
+        .as("m"))
+      .select($"user_id",
+        coalesce(expr("try_element_at(m, 'click')"), lit(0L)).as("n_click"),
+        coalesce(expr("try_element_at(m, 'error')"), lit(0L)).as("n_error"),
+        coalesce(expr("try_element_at(m, 'purchase')"), lit(0L)).as("n_purchase"),
+        coalesce(expr("try_element_at(m, 'signup')"), lit(0L)).as("n_signup"),
+        coalesce(expr("try_element_at(m, 'view')"), lit(0L)).as("n_view"))
+      .orderBy($"user_id")
+  }
+
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .withColumn("avg_k", r6($"sum_k" / $"n"))
+      .orderBy($"event_type")
+  }
+
+  def qStructFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .select($"c_custkey",
+        struct($"c_custkey".as("id"), cents($"c_acctbal").as("bal_c"),
+          struct($"c_mktsegment".as("seg")).as("inner")).as("s"))
+      .select($"c_custkey",
+        $"s.id".as("s_id"),
+        ($"s.bal_c" + 100L).as("bal_plus_1"),
+        $"s.inner.seg".as("seg_nested"))
+      .orderBy($"c_custkey")
+  }
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"user_id")
+      .pivot($"event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, eventTypes)
+      .orderBy($"user_id")
+  }
+
+  def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    qPivot(s, dir)
+      .unpivot(Array($"user_id"),
+        eventTypes.map(col).toArray, "event_type", "cnt")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_str_basic" -> (qStrBasic _),
+    "q_str_split" -> (qStrSplit _),
+    "q_str_regexp" -> (qStrRegexp _),
+    "q_str_like" -> (qStrLike _),
+    "q_date_parts" -> (qDateParts _),
+    "q_date_arith" -> (qDateArith _),
+    "q_ts_funcs" -> (qTsFuncs _),
+    "q_math_funcs" -> (qMathFuncs _),
+    "q_cond_funcs" -> (qCondFuncs _),
+    "q_cast_funcs" -> (qCastFuncs _),
+    "q_array_funcs" -> (qArrayFuncs _),
+    "q_array_hof" -> (qArrayHof _),
+    "q_explode" -> (qExplode _),
+    "q_map_funcs" -> (qMapFuncs _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_struct_funcs" -> (qStructFuncs _),
+    "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_str_basic" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS name_upper,
+        |  lower(c_mktsegment) AS seg_lower,
+        |  substring(c_name, 1, 8) AS name_prefix,
+        |  concat(c_name, '|', c_mktsegment) AS name_seg,
+        |  lpad(c_name, 22, '*') AS name_lpad,
+        |  rpad(c_mktsegment, 12, '.') AS seg_rpad,
+        |  trim(concat('  ', c_name, '  ')) AS name_trim,
+        |  replace(c_name, 'Customer', 'Cust') AS name_repl,
+        |  length(c_name) AS name_len,
+        |  strpos(c_name, '#') AS hash_pos
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_str_split" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  string_split(text, ' ')[1] AS first_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_str_regexp" ->
+      """SELECT c_custkey,
+        |  CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS BIGINT) AS cust_num,
+        |  regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS seg_masked,
+        |  regexp_matches(c_name, '[0-9]{3}$') AS ends_3digits
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_str_like" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_name LIKE '%e%' AND (p_name LIKE 'r%' OR p_name LIKE '_r%')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_date_parts" ->
+      """SELECT month_start,
+        |  year(month_start) AS yr,
+        |  quarter(month_start) AS qtr,
+        |  month(month_start) AS mon,
+        |  day(month_start) AS dom,
+        |  n_orders, sum_total_c
+        |FROM (
+        |  SELECT date_trunc('month', o_orderdate) AS month_start,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_total_c
+        |  FROM orders GROUP BY 1)
+        |ORDER BY month_start""".stripMargin,
+
+    "q_date_arith" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  o_orderdate + INTERVAL 30 DAY AS due_ts,
+        |  CAST(date_diff('day', o_orderdate::DATE, DATE '2000-01-01') AS BIGINT)
+        |    AS days_to_y2k,
+        |  last_day(o_orderdate::DATE) AS eom
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_ts_funcs" ->
+      """SELECT event_id,
+        |  hour(ts) AS hr, minute(ts) AS mi, second(ts) AS sec,
+        |  CAST(date_diff('second', TIMESTAMP '1970-01-01', ts) AS BIGINT)
+        |    AS epoch_s,
+        |  date_trunc('hour', ts)::TIMESTAMP AS hour_start
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT event_id, x,
+        |  abs(x - 10000) AS abs_dev,
+        |  CAST(ceil(x / 100.0) AS BIGINT) AS ceil_units,
+        |  CAST(floor(x / 100.0) AS BIGINT) AS floor_units,
+        |  x % 7 AS mod7,
+        |  CAST(sign(x - 10000) AS BIGINT) AS sign_dev,
+        |  round(sqrt(x), 6) AS sqrt_x,
+        |  round(ln(x), 6) AS ln_x,
+        |  round(log10(x), 6) AS log10_x,
+        |  round(exp(x % 5), 6) AS exp_mod5,
+        |  round(pow(x % 9, 2.5), 6) AS pow_mod9
+        |FROM (SELECT event_id, CAST(round(value*100) AS BIGINT) AS x FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_cond_funcs" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN total_c > 20000000 THEN 'big'
+        |       WHEN total_c > 10000000 THEN 'mid'
+        |       ELSE 'small' END AS size_tier,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+        |  least(total_c, 15000000) AS capped_c,
+        |  greatest(total_c % 1000, 500) AS floor500
+        |FROM (SELECT *, CAST(round(o_totalprice*100) AS BIGINT) AS total_c
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_cast_funcs" ->
+      """SELECT c_custkey,
+        |  CAST(bal_c AS VARCHAR) AS bal_str,
+        |  CAST(CAST(bal_c AS VARCHAR) AS BIGINT) AS bal_roundtrip,
+        |  CAST(floor(bal_c / 100.0) AS BIGINT) AS bal_units,
+        |  try_cast(c_name AS DOUBLE) AS junk_cast,
+        |  try_cast(substring(c_name, 10, 9) AS BIGINT) AS num_from_name,
+        |  DATE '1995-03-15' AS fixed_date,
+        |  CAST(bal_c AS DOUBLE) AS bal_dbl
+        |FROM (SELECT c_custkey, c_name,
+        |      CAST(round(c_acctbal*100) AS BIGINT) AS bal_c FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id, label,
+        |  len(emb) AS dim,
+        |  round(emb[1], 6) AS e1,
+        |  round(emb[64], 6) AS e64,
+        |  round(list_reduce(list_prepend(0.0, emb[1:3]), (a, x) -> a + x), 6)
+        |    AS sum_first3,
+        |  len(list_filter(emb, x -> x > 0)) AS n_pos,
+        |  round(sqrt(list_reduce(list_prepend(0.0,
+        |    list_transform(emb, x -> x * x)), (a, x) -> a + x)), 6) AS l2_norm
+        |FROM (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
+
+    "q_array_hof" ->
+      """SELECT vec_id,
+        |  round(list_reduce(list_prepend(0.0,
+        |    list_transform(emb, x -> x * 2)), (a, x) -> a + x), 6) AS sum_scaled,
+        |  len(list_filter(emb, x -> x < 0)) AS n_neg,
+        |  round(list_reduce(list_prepend(0.0,
+        |    list_zip(emb, emb).apply(x -> x[1] * x[2])), (a, x) -> a + x), 6)
+        |    AS self_dot
+        |FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
+
+    "q_explode" ->
+      """SELECT doc_id,
+        |  CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+        |  unnest(string_split(text, ' ')) AS word
+        |FROM documents ORDER BY doc_id, pos""".stripMargin,
+
+    "q_map_funcs" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) / count(*), 6) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_struct_funcs" ->
+      """SELECT c_custkey,
+        |  c_custkey AS s_id,
+        |  CAST(round(c_acctbal*100) AS BIGINT) + 100 AS bal_plus_1,
+        |  c_mktsegment AS seg_nested
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    count(*) FILTER (WHERE event_type = 'click') AS click,
+        |    count(*) FILTER (WHERE event_type = 'error') AS error,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |    count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |    count(*) FILTER (WHERE event_type = 'view') AS view
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, event_type, cnt
+        |FROM p UNPIVOT (cnt FOR event_type IN (click, error, purchase, signup, view))
+        |ORDER BY user_id, event_type""".stripMargin
+  )
+}
