@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import core._
+
+/** Event-time operators (SURVEY §2.9) — the "single events" half of
+  * the reference capability sentence (`/root/reference/README.md:2`).
+  *
+  * Structured Streaming is incrementalized batch (SIGMOD 2018), so
+  * every event-time operator here has one logic definition usable in
+  * two modes: the batch form (checked against the DuckDB oracle at
+  * t2) and the streaming form over `readStream` (checked by
+  * MemoryStream runtime tests for watermark/state behaviors that no
+  * batch SQL can express).
+  */
+object Streaming {
+
+  // ----------------------------------------------------- shared transforms
+
+  /** 1-hour tumbling window counts per event type; window start
+    * flattened to a scalar column. Works on bounded or unbounded input.
+    */
+  def tumbling(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select($"ts", $"event_type", cents($"value").as("value_c"))
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value_c").as("sum_value_c"))
+      .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value_c")
+  }
+
+  /** 1-hour window sliding every 15 minutes (each event in 4 windows). */
+  def sliding(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select($"ts", $"event_type", cents($"value").as("value_c"))
+      .groupBy(window($"ts", "1 hour", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value_c").as("sum_value_c"))
+      .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value_c")
+  }
+
+  /** Per-user session windows with a 30-minute gap. Boundary semantics
+    * pinned by a unit test: Spark merges sessions whose ranges touch,
+    * so a gap of exactly 30 minutes still MERGES; only a strictly
+    * larger gap starts a new session.
+    */
+  def sessions(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select($"ts", $"user_id", cents($"value").as("value_c"))
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"value_c").as("sum_value_c"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_end"), $"n_events", $"sum_value_c")
+  }
+
+  // ----------------------------------------------------- batch (t2) forms
+
+  def qStreamTumbling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tumbling(t(s, dir, "events")).orderBy($"window_start", $"event_type")
+  }
+
+  def qStreamSliding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sliding(t(s, dir, "events")).orderBy($"window_start", $"event_type")
+  }
+
+  def qStreamSession(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sessions(t(s, dir, "events")).orderBy($"user_id", $"session_start")
+  }
+
+  /** Deterministic dedup: one event per (user_id, event_type) keeping
+    * the smallest event_id — NOT dropDuplicates, which keeps an
+    * arbitrary row (SURVEY §5.3). The streaming runtime analog
+    * (dropDuplicates + watermark) is covered by unit tests.
+    */
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"event_id")
+    t(s, dir, "events")
+      .select($"user_id", $"event_type", $"event_id", $"ts",
+        cents($"value").as("value_c"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  // ------------------------------------------------- streaming-only forms
+
+  /** Streaming tumbling aggregation with a watermark: late events
+    * beyond `delay` are dropped; append mode emits a window only after
+    * the watermark passes its end.
+    */
+  def tumblingStream(events: DataFrame, delay: String = "30 minutes"): DataFrame =
+    tumbling(events.withWatermark("ts", delay))
+
+  /** Streaming sessionization with watermark-gated state eviction. */
+  def sessionsStream(events: DataFrame, delay: String = "30 minutes"): DataFrame =
+    sessions(events.withWatermark("ts", delay))
+
+  /** Streaming dedup on (user_id, event_type) with bounded state. */
+  def dedupStream(events: DataFrame, delay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicates("user_id", "event_type")
+
+  /** Enrich an event stream with a static dimension (stream-static
+    * join: no state, dimension broadcast/rescanned per micro-batch).
+    */
+  def enrichWithCustomer(events: DataFrame, customer: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.join(customer, events("user_id") === customer("c_custkey"), "inner")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"c_name",
+        $"c_mktsegment")
+  }
+
+  // ------------------------------------------------------------- registries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> (qStreamTumbling _),
+    "q_stream_sliding" -> (qStreamSliding _),
+    "q_stream_session" -> (qStreamSession _),
+    "q_stream_dedup" -> (qStreamDedup _)
+  )
+
+  private val valC = "CAST(round(value*100) AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, CAST(sum($valC) AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // Sliding windows, epoch-aligned like Spark's window(): every event
+    // belongs to the 4 slots ending at-or-after it. Window start is
+    // rebuilt with timezone-free timestamp arithmetic (to_timestamp
+    // would yield TIMESTAMPTZ and shift under a non-UTC session).
+    "q_stream_sliding" ->
+      s"""SELECT TIMESTAMP '1970-01-01'
+        |    + CAST((CAST(floor(epoch(ts)/900) AS BIGINT) - slot) * 900 AS BIGINT)
+        |      * INTERVAL 1 SECOND AS window_start,
+        |  event_type, count(*) AS n, CAST(sum($valC) AS BIGINT) AS sum_value_c
+        |FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) s(slot)
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // Gaps-and-islands sessionization: Spark's session_window merges
+    // touching ranges, so a gap of exactly 30 minutes merges; only a
+    // strictly greater gap breaks (verified empirically by
+    // StreamingSpec's boundary test).
+    "q_stream_session" ->
+      s"""WITH flagged AS (
+        |  SELECT user_id, ts, $valC AS value_c,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |islands AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, CAST(sum(value_c) AS BIGINT) AS sum_value_c
+        |FROM islands GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_stream_dedup" ->
+      s"""SELECT user_id, event_type, event_id, ts, $valC AS value_c
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+  )
+}
