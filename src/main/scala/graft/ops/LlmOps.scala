@@ -1,0 +1,362 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import core._
+
+/** LLM-training-data pipeline operators (SURVEY §2.10): text
+  * analytics, deduplication, and similarity search over the
+  * `documents` / `embeddings` fixtures.
+  *
+  * Determinism notes: tf-idf and cosine scores are ranked on their
+  * ROUNDED values with a unique id tiebreaker, so float noise below
+  * the rounding threshold cannot flip a rank across engines. Dot
+  * products / norms are sequential left-to-right folds in both
+  * engines (Spark `aggregate` ↔ DuckDB `list_reduce`).
+  */
+object LlmOps {
+
+  /** doc_id, word (split on single space — the corpus contract). */
+  private def words(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("word"))
+  }
+
+  /** Corpus word frequencies. */
+  def qTextWordcount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    words(s, dir).groupBy($"word")
+      .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("n_docs"))
+      .orderBy($"word")
+  }
+
+  /** tf-idf, top-5 terms per document, ranked on the rounded score. */
+  def qTextTfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.agg(countDistinct($"doc_id").as("n"))
+    val tf = words(s, dir).groupBy($"doc_id", $"word")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"word".asc)
+    tf.join(df, "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", r6($"tf" * log($"n".cast("double") / $"df")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"doc_id", $"rn", $"word", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rn")
+  }
+
+  /** Bigram counts per language (positional self-join after explode). */
+  def qTextNgram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = t(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        posexplode(split($"text", " ")).as(Seq("pos", "word")))
+    val a = tok.select($"doc_id", $"lang", $"pos", $"word".as("w1"))
+    val b = tok.select($"doc_id".as("d2"), ($"pos" - 1).as("p2"),
+      $"word".as("w2"))
+    a.join(b, $"doc_id" === $"d2" && $"pos" === $"p2")
+      .select($"lang", concat($"w1", lit(" "), $"w2").as("bigram"))
+      .groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"bigram")
+  }
+
+  /** Per-language corpus statistics. */
+  def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"lang", $"n_chars",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        sum($"n_tokens").as("sum_tokens"))
+      .select($"lang", $"n_docs",
+        r6($"sum_chars" / $"n_docs".cast("double")).as("avg_chars"),
+        r6($"sum_tokens" / $"n_docs".cast("double")).as("avg_tokens"))
+      .orderBy($"lang")
+  }
+
+  /** Exact dedup on (lang, n_chars), keeping the smallest doc_id —
+    * deterministic, unlike dropDuplicates (SURVEY §5.3).
+    */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang", $"n_chars").orderBy($"doc_id")
+    t(s, dir, "documents")
+      .select($"lang", $"n_chars", $"doc_id", $"source")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+      .orderBy($"lang", $"n_chars")
+  }
+
+  // ------------------------------------------------------------- MinHash
+
+  /** Number of MinHash signatures and LSH bands (4 rows × 4 bands). */
+  val MinhashSeeds = 16
+  val MinhashBands = 4
+
+  /** Per-document MinHash signature: for seed i, the minimum
+    * xxhash64(word, i) over the document's distinct token set. One
+    * pass over exploded tokens, 16 `min` aggregates (SURVEY §4.2 —
+    * plain ops; a TypedImperativeAggregate is the v2 option).
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tok = docs
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("word"))
+    val mins = (0 until MinhashSeeds).map(i =>
+      min(xxhash64($"word", lit(i))).as(s"m$i"))
+    tok.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Near-duplicate candidate pairs via LSH banding: docs agreeing on
+    * all 4 signature rows of any band become candidates; estimated
+    * Jaccard = fraction of the 16 signatures that agree. No DuckDB
+    * oracle (xxhash64 differs) — property-tested in LlmOpsSpec.
+    */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = minhashSignatures(t(s, dir, "documents")).cache()
+    val bandCols = (0 until MinhashBands).map { b =>
+      val rows = (0 until MinhashSeeds / MinhashBands)
+        .map(r => col(s"m${b * (MinhashSeeds / MinhashBands) + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
+    }
+    val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.bh".as("bh"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        $"x.band" === $"y.band" && $"x.bh" === $"y.bh" &&
+        $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
+      .distinct()
+    val eq = (0 until MinhashSeeds)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sig.as("a"), $"a_id" === $"a.doc_id")
+      .join(sig.as("b"), $"b_id" === $"b.doc_id")
+      .select($"a_id", $"b_id",
+        r6(eq.cast("double") / MinhashSeeds).as("est_jaccard"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  // ------------------------------------------------------- similarity
+
+  /** vec_id, double-cast embedding, L2 norm (cast once, reuse). */
+  def normed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .select($"vec_id", $"label",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("nrm", sqrt(expr("aggregate(emb, 0D, (a, x) -> a + x * x)")))
+  }
+
+  /** All-pairs cosine, ranked per left vector on the ROUNDED score. */
+  private[ops] def cosineTopk(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val e = normed(s, dir)
+    val a = e.select($"vec_id".as("a_id"), $"emb".as("a_emb"), $"nrm".as("a_nrm"))
+    val b = e.select($"vec_id".as("b_id"), $"label".as("b_label"),
+      $"emb".as("b_emb"), $"nrm".as("b_nrm"))
+    val w = Window.partitionBy($"a_id").orderBy($"cos".desc, $"b_id".asc)
+    a.join(broadcast(b), $"a_id" =!= $"b_id")
+      .withColumn("cos", r6(
+        expr("aggregate(zip_with(a_emb, b_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+          / ($"a_nrm" * $"b_nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"a_id", $"rn", $"b_id", $"b_label", $"cos")
+  }
+
+  /** Brute-force top-5 cosine neighbors per vector (the O(n²·d)
+    * baseline; the LSH-bucketed scale path is q_sim_ann_lsh).
+    */
+  def qSimCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cosineTopk(s, dir, 5).orderBy($"a_id", $"rn")
+  }
+
+  /** 5-NN majority-vote label; ties broken toward the smaller label. */
+  def qSimKnnLabel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val votes = cosineTopk(s, dir, 5)
+      .groupBy($"a_id", $"b_label").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy($"a_id")
+      .orderBy($"votes".desc, $"b_label".asc)
+    val pred = votes.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"a_id", $"b_label".as("pred_label"), $"votes")
+    val actual = t(s, dir, "embeddings").select($"vec_id", $"label")
+    pred.join(actual, $"a_id" === $"vec_id")
+      .select($"a_id", $"pred_label", $"votes", $"label",
+        ($"pred_label" === $"label").as("correct"))
+      .orderBy($"a_id")
+  }
+
+  /** documents ⋈ embeddings on doc_id = vec_id (text + vector as one
+    * multimodal row) with per-language stats over leading components.
+    * Component sums go through fixed-point decimals so the aggregation
+    * order can't perturb the hash (SURVEY §5.3 float rule).
+    */
+  def qMultimodalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select($"doc_id", $"lang")
+    val emb = t(s, dir, "embeddings")
+      .select($"vec_id", $"label",
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE), 8) AS DECIMAL(20, 8)))")
+          .as("emb8"))
+    docs.join(emb, $"doc_id" === $"vec_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum(element_at($"emb8", 1)).as("s1"),
+        sum(element_at($"emb8", 2)).as("s2"),
+        sum(element_at($"emb8", 3)).as("s3"),
+        sum(element_at($"emb8", 4)).as("s4"),
+        countDistinct($"label").as("n_labels"))
+      .select($"lang", $"n", $"n_labels",
+        r6($"s1".cast("double") / $"n").as("c1_avg"),
+        r6($"s2".cast("double") / $"n").as("c2_avg"),
+        r6($"s3".cast("double") / $"n").as("c3_avg"),
+        r6($"s4".cast("double") / $"n").as("c4_avg"))
+      .orderBy($"lang")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_wordcount" -> (qTextWordcount _),
+    "q_text_tfidf" -> (qTextTfidf _),
+    "q_text_ngram" -> (qTextNgram _),
+    "q_text_stats" -> (qTextStats _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_sim_cosine_topk" -> (qSimCosineTopk _),
+    "q_sim_knn_label" -> (qSimKnnLabel _),
+    "q_multimodal_join" -> (qMultimodalJoin _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_wordcount" ->
+      """SELECT word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |      FROM documents)
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+        |  FROM tf JOIN df USING (word) CROSS JOIN n)
+        |SELECT doc_id, rn, word, tf, df, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, word ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
+
+    "q_text_ngram" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+        |    unnest(string_split(text, ' ')) AS word
+        |  FROM documents)
+        |SELECT a.lang AS lang, concat(a.word, ' ', b.word) AS bigram,
+        |  count(*) AS n
+        |FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(CAST(sum(n_chars) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+        |    AS avg_chars,
+        |  round(CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |    / CAST(count(*) AS DOUBLE), 6) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT lang, n_chars, doc_id, source FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang, n_chars
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY lang, n_chars""".stripMargin,
+
+    "q_sim_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, emb,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(emb, x -> x * x)), (a, x) -> a + x)) AS nrm
+        |  FROM e),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    round(list_reduce(list_prepend(0.0,
+        |        list_zip(a.emb, b.emb).apply(p -> p[1] * p[2])),
+        |        (acc, v) -> acc + v) / (a.nrm * b.nrm), 6) AS cos
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+        |SELECT a_id, rn, b_id, b_label, cos FROM (
+        |  SELECT p.*, e2.label AS b_label,
+        |    row_number() OVER (PARTITION BY a_id
+        |      ORDER BY cos DESC, b_id ASC) AS rn
+        |  FROM pairs p JOIN embeddings e2 ON p.b_id = e2.vec_id)
+        |WHERE rn <= 5 ORDER BY a_id, rn""".stripMargin,
+
+    "q_sim_knn_label" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, emb,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(emb, x -> x * x)), (a, x) -> a + x)) AS nrm
+        |  FROM e),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    round(list_reduce(list_prepend(0.0,
+        |        list_zip(a.emb, b.emb).apply(p -> p[1] * p[2])),
+        |        (acc, v) -> acc + v) / (a.nrm * b.nrm), 6) AS cos
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |topk AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT p.*, row_number() OVER (PARTITION BY a_id
+        |      ORDER BY cos DESC, b_id ASC) AS rn
+        |    FROM pairs p)
+        |  WHERE rn <= 5),
+        |votes AS (
+        |  SELECT t.a_id, e2.label AS b_label, count(*) AS votes
+        |  FROM topk t JOIN embeddings e2 ON t.b_id = e2.vec_id
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT a_id, b_label AS pred_label, votes FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY a_id
+        |      ORDER BY votes DESC, b_label ASC) AS rn FROM votes)
+        |  WHERE rn = 1)
+        |SELECT p.a_id, p.pred_label, p.votes, e3.label,
+        |  p.pred_label = e3.label AS correct
+        |FROM pred p JOIN embeddings e3 ON p.a_id = e3.vec_id
+        |ORDER BY p.a_id""".stripMargin,
+
+    "q_multimodal_join" ->
+      """WITH j AS (
+        |  SELECT d.lang, e.label,
+        |    CAST(round((e.embedding::DOUBLE[])[1], 8) AS DECIMAL(20,8)) AS x1,
+        |    CAST(round((e.embedding::DOUBLE[])[2], 8) AS DECIMAL(20,8)) AS x2,
+        |    CAST(round((e.embedding::DOUBLE[])[3], 8) AS DECIMAL(20,8)) AS x3,
+        |    CAST(round((e.embedding::DOUBLE[])[4], 8) AS DECIMAL(20,8)) AS x4
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+        |SELECT lang, count(*) AS n, count(DISTINCT label) AS n_labels,
+        |  round(CAST(sum(x1) AS DOUBLE) / count(*), 6) AS c1_avg,
+        |  round(CAST(sum(x2) AS DOUBLE) / count(*), 6) AS c2_avg,
+        |  round(CAST(sum(x3) AS DOUBLE) / count(*), 6) AS c3_avg,
+        |  round(CAST(sum(x4) AS DOUBLE) / count(*), 6) AS c4_avg
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

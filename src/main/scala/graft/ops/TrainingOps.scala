@@ -1,0 +1,370 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import core._
+
+/** Training-data-pipeline operators beyond SURVEY §2.10's core set:
+  * language ID, quality scoring, document fingerprinting, SimHash
+  * near-dup, n-gram Jaccard near-dup, embedding-cosine near-dup, and
+  * an LSH-bucketed approximate-nearest-neighbor path. These are the
+  * ops a 100 TB corpus pipeline runs between ingest and training.
+  */
+object TrainingOps {
+
+  private def words(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("word"))
+  }
+
+  /** N-gram-frequency language ID: build per-language profiles (top-5
+    * most frequent words) from the corpus itself, then classify each
+    * document by weighted profile hits; argmax with lexicographic
+    * tiebreak. Purely relational → fully oracle-checkable.
+    */
+  def qTextLangid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = words(s, dir)
+    val topW = Window.partitionBy($"lang").orderBy($"cnt".desc, $"word".asc)
+    val profile = w.groupBy($"lang", $"word").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(topW))
+      .filter($"rn" <= 5)
+      .select($"lang".as("cand_lang"), $"word")
+    val scores = w.select($"doc_id", $"word")
+      .join(broadcast(profile), "word")
+      .groupBy($"doc_id", $"cand_lang").agg(count(lit(1)).as("matches"))
+    val predW = Window.partitionBy($"doc_id")
+      .orderBy($"matches".desc, $"cand_lang".asc)
+    val pred = scores.withColumn("rn", row_number().over(predW))
+      .filter($"rn" === 1)
+      .select($"doc_id".as("p_doc"), $"cand_lang", $"matches")
+    t(s, dir, "documents").select($"doc_id", $"lang")
+      .join(pred, $"doc_id" === $"p_doc", "left_outer")
+      .select($"doc_id",
+        coalesce($"cand_lang", lit("unknown")).as("pred_lang"),
+        coalesce($"matches", lit(0L)).as("matches"),
+        $"lang",
+        (coalesce($"cand_lang", lit("unknown")) === $"lang").as("correct"))
+      .orderBy($"doc_id")
+  }
+
+  /** Heuristic quality score: lexical diversity, stopword saturation
+    * (stopwords = the corpus's global top-10 tokens), and a length
+    * prior — all exact integer ratios, so bit-deterministic.
+    */
+  def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = words(s, dir)
+    val stopW = Window.orderBy($"cnt".desc, $"word".asc)
+    val stop = w.groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(stopW))
+      .filter($"rn" <= 10)
+      .select($"word", lit(1L).as("is_stop"))
+    val per = w.join(broadcast(stop), Seq("word"), "left_outer")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct($"word").as("n_distinct"),
+        sum(coalesce($"is_stop", lit(0L))).as("n_stop"))
+    per.select($"doc_id", $"n_tokens", $"n_distinct", $"n_stop",
+        r6($"n_distinct" / $"n_tokens".cast("double")).as("distinct_ratio"),
+        r6($"n_stop" / $"n_tokens".cast("double")).as("stop_ratio"),
+        r6(lit(0.4) * ($"n_distinct" / $"n_tokens".cast("double"))
+          + lit(0.3) * (lit(1.0) - $"n_stop" / $"n_tokens".cast("double"))
+          + lit(0.3) * (least($"n_tokens", lit(100L)) / lit(100.0)))
+          .as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** Polynomial rolling-hash fingerprint over the raw characters
+    * (base 31, mod 1e9+7), folded left-to-right identically in both
+    * engines; plus the size of each fingerprint's duplicate group.
+    */
+  def qTextFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fpW = Window.partitionBy($"fp")
+    t(s, dir, "documents")
+      .select($"doc_id",
+        expr("""aggregate(sequence(1, length(text)), 0L,
+                (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)""")
+          .as("fp"))
+      .withColumn("n_same_fp", count(lit(1)).over(fpW))
+      .orderBy($"doc_id")
+  }
+
+  /** 16-bit SimHash from xxhash64 word hashes: bit j of the signature
+    * is the sign of Σ_tokens (±tf) by hash bit j. Near-dup pairs =
+    * same-language docs within Hamming distance 4. xxhash64 has no
+    * DuckDB twin → no oracle; property-tested in TrainingOpsSpec.
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tok = docs.select($"doc_id", $"lang",
+      explode(split($"text", " ")).as("word"))
+      .withColumn("h", xxhash64($"word"))
+    val bitSums = (0 until 16).map(j =>
+      sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$j"))
+    val sig = (0 until 16).map(j =>
+      when(col(s"s$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _)
+    tok.groupBy($"doc_id", $"lang")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", $"lang", sig.as("simhash"))
+  }
+
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = simhashSignatures(t(s, dir, "documents"))
+    val a = sig.select($"lang", $"doc_id".as("a_id"), $"simhash".as("a_sh"))
+    val b = sig.select($"lang".as("l2"), $"doc_id".as("b_id"),
+      $"simhash".as("b_sh"))
+    a.join(b, $"lang" === $"l2" && $"a_id" < $"b_id")
+      .withColumn("hamming", bit_count($"a_sh".bitwiseXOR($"b_sh")).cast("long"))
+      .filter($"hamming" <= 4)
+      .select($"lang", $"a_id", $"b_id", $"hamming")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Word-bigram Jaccard near-dup within (lang, source) blocks —
+    * blocking bounds the candidate-pair quadratic at scale.
+    */
+  def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val tok = docs.select($"doc_id", $"lang", $"source",
+      posexplode(split($"text", " ")).as(Seq("pos", "word")))
+    val big = tok.as("x").join(tok.as("y"),
+        $"x.doc_id" === $"y.doc_id" && $"y.pos" === $"x.pos" + 1)
+      .select($"x.doc_id".as("doc_id"), $"x.lang".as("lang"),
+        $"x.source".as("source"),
+        concat($"x.word", lit(" "), $"y.word").as("bigram"))
+      .distinct()
+    val sizes = big.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val inter = big.as("a").join(big.as("b"),
+        $"a.bigram" === $"b.bigram" && $"a.lang" === $"b.lang" &&
+        $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select($"doc_id".as("a_id"), $"sz".as("a_sz")), "a_id")
+      .join(sizes.select($"doc_id".as("b_id"), $"sz".as("b_sz")), "b_id")
+      .withColumn("jaccard",
+        r6($"inter" / ($"a_sz" + $"b_sz" - $"inter").cast("double")))
+      .filter($"jaccard" >= 0.2)
+      .select($"a_id", $"b_id", $"inter", $"jaccard")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cos ≥ 0.5, a < b). */
+  def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = LlmOps.normed(s, dir)
+    val a = e.select($"vec_id".as("a_id"), $"emb".as("a_emb"), $"nrm".as("a_nrm"))
+    val b = e.select($"vec_id".as("b_id"), $"emb".as("b_emb"), $"nrm".as("b_nrm"))
+    a.join(broadcast(b), $"a_id" < $"b_id")
+      .withColumn("cos", r6(
+        expr("aggregate(zip_with(a_emb, b_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+          / ($"a_nrm" * $"b_nrm")))
+      .filter($"cos" >= 0.5)
+      .select($"a_id", $"b_id", $"cos")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Sign-LSH bucketed ANN: bucket key = sign pattern of the first 8
+    * components (axis-aligned hyperplanes — deterministic, no RNG);
+    * exact top-3 by cosine *within* the bucket. The scale path: the
+    * O(n²) pair join becomes an equi-join on bucket, shuffle-friendly
+    * and skew-bounded. Recall vs brute force is measured in the spec.
+    */
+  def qSimAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = LlmOps.normed(s, dir)
+      .withColumn("bucket",
+        expr("""aggregate(slice(emb, 1, 8), 0L,
+                (acc, x) -> acc * 2 + CASE WHEN x >= 0 THEN 1 ELSE 0 END)"""))
+    val a = e.select($"bucket", $"vec_id".as("a_id"), $"emb".as("a_emb"),
+      $"nrm".as("a_nrm"))
+    val b = e.select($"bucket".as("bk2"), $"vec_id".as("b_id"),
+      $"emb".as("b_emb"), $"nrm".as("b_nrm"))
+    val w = Window.partitionBy($"a_id").orderBy($"cos".desc, $"b_id".asc)
+    a.join(b, $"bucket" === $"bk2" && $"a_id" =!= $"b_id")
+      .withColumn("cos", r6(
+        expr("aggregate(zip_with(a_emb, b_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+          / ($"a_nrm" * $"b_nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"a_id", $"rn", $"b_id", $"cos", $"bucket")
+      .orderBy($"a_id", $"rn")
+  }
+
+  /** Multimodal binary-column plumbing with an oracle: text bytes as
+    * an opaque BinaryType payload, digests, sizes and a sampled head
+    * slice. The real decode path (images/audio) lives in
+    * `Multimodal.scala` behind a deterministic stub.
+    */
+  def qMultimodalBinary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("media", encode($"text", "UTF-8"))
+      .select($"doc_id",
+        octet_length($"media").cast("long").as("n_bytes"),
+        md5($"media").as("md5_hex"),
+        sha2($"media", 256).as("sha256_hex"),
+        hex(substring($"media", 1, 4)).as("head_hex"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_langid" -> (qTextLangid _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_embed" -> (qDedupEmbed _),
+    "q_sim_ann_lsh" -> (qSimAnnLsh _),
+    "q_multimodal_binary" -> (qMultimodalBinary _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_langid" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |profile AS (
+        |  SELECT lang AS cand_lang, word FROM (
+        |    SELECT lang, word, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY lang
+        |        ORDER BY count(*) DESC, word ASC) AS rn
+        |    FROM tok GROUP BY lang, word)
+        |  WHERE rn <= 5),
+        |scores AS (
+        |  SELECT t.doc_id, p.cand_lang, count(*) AS matches
+        |  FROM tok t JOIN profile p USING (word)
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, cand_lang, matches FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY matches DESC, cand_lang ASC) AS rn FROM scores)
+        |  WHERE rn = 1)
+        |SELECT d.doc_id,
+        |  coalesce(p.cand_lang, 'unknown') AS pred_lang,
+        |  coalesce(p.matches, 0) AS matches,
+        |  d.lang,
+        |  coalesce(p.cand_lang, 'unknown') = d.lang AS correct
+        |FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |stop AS (
+        |  SELECT word FROM (
+        |    SELECT word, count(*) AS cnt, row_number() OVER (
+        |      ORDER BY count(*) DESC, word ASC) AS rn
+        |    FROM tok GROUP BY word)
+        |  WHERE rn <= 10),
+        |per AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |    count(DISTINCT t.word) AS n_distinct,
+        |    CAST(sum(CASE WHEN s.word IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_stop
+        |  FROM tok t LEFT JOIN stop s ON t.word = s.word
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens, n_distinct, n_stop,
+        |  round(n_distinct / CAST(n_tokens AS DOUBLE), 6) AS distinct_ratio,
+        |  round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+        |  round(0.4 * (n_distinct / CAST(n_tokens AS DOUBLE))
+        |      + 0.3 * (1.0 - n_stop / CAST(n_tokens AS DOUBLE))
+        |      + 0.3 * (least(n_tokens, 100) / 100.0), 6) AS quality
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        range(1, length(text) + 1)),
+        |      (acc, i) -> (acc * 31 + ascii(substring(text, CAST(i AS INTEGER), 1)))
+        |                  % 1000000007) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same_fp
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+        |    unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |big AS (
+        |  SELECT DISTINCT a.doc_id, a.lang, a.source,
+        |    concat(a.word, ' ', b.word) AS bigram
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM big GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |  FROM big a JOIN big b
+        |    ON a.bigram = b.bigram AND a.lang = b.lang
+        |   AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, inter,
+        |  round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON inter.a_id = sa.doc_id
+        |JOIN sizes sb ON inter.b_id = sb.doc_id
+        |WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.2
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_embed" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, emb,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(emb, x -> x * x)), (a, x) -> a + x)) AS nrm
+        |  FROM e)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_reduce(list_prepend(0.0,
+        |      list_zip(a.emb, b.emb).apply(p -> p[1] * p[2])),
+        |      (acc, v) -> acc + v) / (a.nrm * b.nrm), 6) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE round(list_reduce(list_prepend(0.0,
+        |      list_zip(a.emb, b.emb).apply(p -> p[1] * p[2])),
+        |      (acc, v) -> acc + v) / (a.nrm * b.nrm), 6) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_sim_ann_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, emb,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(emb, x -> x * x)), (a, x) -> a + x)) AS nrm,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), emb[1:8]),
+        |      (acc, x) -> acc * 2 + CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS bucket
+        |  FROM e),
+        |pairs AS (
+        |  SELECT a.bucket, a.vec_id AS a_id, b.vec_id AS b_id,
+        |    round(list_reduce(list_prepend(0.0,
+        |        list_zip(a.emb, b.emb).apply(p -> p[1] * p[2])),
+        |        (acc, v) -> acc + v) / (a.nrm * b.nrm), 6) AS cos
+        |  FROM n a JOIN n b
+        |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        |SELECT a_id, rn, b_id, cos, bucket FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY a_id
+        |    ORDER BY cos DESC, b_id ASC) AS rn FROM pairs)
+        |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+
+    "q_multimodal_binary" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS md5_hex,
+        |  sha256(text) AS sha256_hex,
+        |  hex(substring(text, 1, 4)) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

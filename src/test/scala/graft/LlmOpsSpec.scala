@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{LlmOps, TrainingOps, core}
+
+/** SURVEY §2.10 + training-data extras: semantic properties that the
+  * hash-oracle can't check (MinHash/SimHash have no DuckDB twin).
+  */
+class LlmOpsSpec extends SparkSuite {
+
+  private val rowsExpected =
+    (LlmOps.queries ++ TrainingOps.queries) -
+      ("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed", "q_dedup_ngram")
+
+  for ((name, fn) <- rowsExpected) {
+    test(s"$name runs and returns rows at sf0.001") {
+      assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  for (name <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed",
+      "q_dedup_ngram")) {
+    test(s"$name runs (pairs may legitimately be empty at sf0.001)") {
+      assert(SparkEntry.queries(name)(spark, sf).count() >= 0)
+    }
+  }
+
+  test("tf-idf of a term present in every doc is 0") {
+    import spark.implicits._
+    // build a tiny corpus where 'the' is in all docs
+    val docs = Seq(
+      (1L, "the quick fox", "en"), (2L, "the lazy dog", "en"),
+      (3L, "the odd bird", "en"))
+      .toDF("doc_id", "text", "lang")
+    val tok = docs.select($"doc_id", explode(split($"text", " ")).as("word"))
+    val tf = tok.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val n = docs.count().toDouble
+    val score = tf.join(df, "word")
+      .withColumn("score", $"tf" * log(lit(n) / $"df"))
+      .filter($"word" === "the").select(sum(abs($"score"))).head().getDouble(0)
+    assert(score == 0.0)
+  }
+
+  test("minhash: near-identical docs collide, disjoint docs don't") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // ~0.78 jaccard
+      (3L, "one two three four five six seven eight"))       // disjoint
+      .toDF("doc_id", "text")
+    val sig = LlmOps.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i)))
+      .toMap
+    val eq12 = sig(1L).zip(sig(2L)).count { case (a, b) => a == b }
+    val eq13 = sig(1L).zip(sig(3L)).count { case (a, b) => a == b }
+    assert(eq12 >= 8, s"near-dups should share most signatures, got $eq12/16")
+    assert(eq13 == 0, s"disjoint docs should share none, got $eq13/16")
+  }
+
+  test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    val once = LlmOps.qDedupExact(spark, sf)
+    val keys = once.select("lang", "n_chars").distinct().count()
+    assert(once.count() == keys, "dedup output must be unique per key")
+  }
+
+  test("cosine is bounded and cos(v, v) == 1") {
+    import spark.implicits._
+    val cos = LlmOps.qSimCosineTopk(spark, sf)
+    val bad = cos.filter($"cos" > 1.000001 || $"cos" < -1.000001).count()
+    assert(bad == 0)
+    // self-similarity via the shared helper on identical join sides
+    val e = LlmOps.normed(spark, sf).limit(5)
+      .withColumn("selfcos",
+        expr("aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (a, v) -> a + v)")
+          / ($"nrm" * $"nrm"))
+    e.select("selfcos").collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    }
+  }
+
+  test("knn labels are within the 0..9 domain and votes sum to 5") {
+    import spark.implicits._
+    val knn = LlmOps.qSimKnnLabel(spark, sf)
+    assert(knn.filter($"pred_label" < 0 || $"pred_label" > 9).count() == 0)
+    assert(knn.filter($"votes" > 5).count() == 0)
+  }
+
+  test("LSH ANN: bucket neighbors are a subset of brute-force pairs' scores") {
+    import spark.implicits._
+    // recall proxy: every LSH neighbor's cosine must be <= the true
+    // rank-1 brute-force cosine for that query vector
+    val bf1 = LlmOps.qSimCosineTopk(spark, sf)
+      .filter($"rn" === 1).select($"a_id", $"cos".as("best"))
+    val lsh = TrainingOps.qSimAnnLsh(spark, sf)
+      .select($"a_id", $"cos")
+    val bad = lsh.join(bf1, "a_id").filter($"cos" > $"best" + 1e-9).count()
+    assert(bad == 0, "LSH cannot beat brute force")
+  }
+
+  test("simhash: identical token multisets get identical signatures") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb cc dd", "en"), (2L, "aa bb cc dd", "en"),
+      (3L, "xx yy zz ww", "en"))
+      .toDF("doc_id", "text", "lang")
+    val sig = TrainingOps.simhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sig(1L) == sig(2L), "identical docs must collide")
+    assert(sig(1L) != sig(3L), "distinct docs should (generically) differ")
+  }
+
+  test("quality score stays in [0, 1]") {
+    import spark.implicits._
+    val q = TrainingOps.qTextQuality(spark, sf)
+    assert(q.filter($"quality" < 0 || $"quality" > 1).count() == 0)
+  }
+}
