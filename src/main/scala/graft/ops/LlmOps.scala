@@ -149,13 +149,18 @@ object LlmOps {
 
   // ------------------------------------------------------- similarity
 
-  /** vec_id, double-cast embedding, L2 norm (cast once, reuse). */
+  /** vec_id, double-cast embedding, L2 norm (cast once, reuse).
+    * Norm and all dot products go through the codegen'd
+    * [[graft.functions.DotProduct]] — same left-to-right summation
+    * order as the HOF form and the DuckDB oracle, ~10× faster.
+    */
   def normed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.functions.DotProduct.dot
     t(s, dir, "embeddings")
       .select($"vec_id", $"label",
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-      .withColumn("nrm", sqrt(expr("aggregate(emb, 0D, (a, x) -> a + x * x)")))
+      .withColumn("nrm", sqrt(dot($"emb", $"emb")))
   }
 
   /** All-pairs cosine, ranked per left vector on the ROUNDED score. */
@@ -168,7 +173,7 @@ object LlmOps {
     val w = Window.partitionBy($"a_id").orderBy($"cos".desc, $"b_id".asc)
     a.join(broadcast(b), $"a_id" =!= $"b_id")
       .withColumn("cos", r6(
-        expr("aggregate(zip_with(a_emb, b_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        graft.functions.DotProduct.dot($"a_emb", $"b_emb")
           / ($"a_nrm" * $"b_nrm")))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= k)

@@ -166,7 +166,7 @@ object TrainingOps {
     val b = e.select($"vec_id".as("b_id"), $"emb".as("b_emb"), $"nrm".as("b_nrm"))
     a.join(broadcast(b), $"a_id" < $"b_id")
       .withColumn("cos", r6(
-        expr("aggregate(zip_with(a_emb, b_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        graft.functions.DotProduct.dot($"a_emb", $"b_emb")
           / ($"a_nrm" * $"b_nrm")))
       .filter($"cos" >= 0.5)
       .select($"a_id", $"b_id", $"cos")
@@ -192,7 +192,7 @@ object TrainingOps {
     val w = Window.partitionBy($"a_id").orderBy($"cos".desc, $"b_id".asc)
     a.join(b, $"bucket" === $"bk2" && $"a_id" =!= $"b_id")
       .withColumn("cos", r6(
-        expr("aggregate(zip_with(a_emb, b_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        graft.functions.DotProduct.dot($"a_emb", $"b_emb")
           / ($"a_nrm" * $"b_nrm")))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
