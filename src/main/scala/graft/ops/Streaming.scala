@@ -81,16 +81,21 @@ object Streaming {
     * arbitrary row (SURVEY §5.3). The streaming runtime analog
     * (dropDuplicates + watermark) is covered by unit tests.
     */
-  def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+  def dedupBatch(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"user_id", $"event_type").orderBy($"event_id")
-    t(s, dir, "events")
+    events
       .select($"user_id", $"event_type", $"event_id", $"ts",
         cents($"value").as("value_c"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1).drop("rn")
-      .orderBy($"user_id", $"event_type")
+  }
+
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dedupBatch(t(s, dir, "events")).orderBy($"user_id", $"event_type")
   }
 
   // ------------------------------------------------- streaming-only forms

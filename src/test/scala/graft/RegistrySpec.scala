@@ -1,0 +1,78 @@
+package graft
+
+/** Guards the driver contract: the SURVEY §2 operator inventory must
+  * stay fully registered, and every oracle key must have a query.
+  */
+class RegistrySpec extends SparkSuite {
+
+  /** The §2 contract inventory (+ training-data extras). */
+  private val surveyKeys = Seq(
+    // §2.1 scans
+    "q_scan_full", "q_scan_pruned", "q_scan_count", "q_scan_pushdown",
+    // §2.2 project/filter
+    "q_project_arith", "q_filter_pred", "q_filter_null3vl", "q_filter_subquery",
+    // §2.3 joins
+    "q_join_inner", "q_join_broadcast", "q_join_merge_large", "q_join_left",
+    "q_join_right", "q_join_full", "q_join_semi", "q_join_anti",
+    "q_join_cross", "q_join_theta", "q_join_range", "q_join_asof",
+    "q_join_multiway",
+    // §2.4 aggregates
+    "q_agg_global", "q_agg_groupby", "q_agg_distinct", "q_agg_multidistinct",
+    "q_agg_having", "q_agg_rollup", "q_agg_cube", "q_agg_groupingsets",
+    "q_agg_stats", "q_agg_collect", "q_agg_approx_hll", "q_agg_approx_quantile",
+    "q_agg_percentile",
+    // §2.5 windows
+    "q_win_rownumber", "q_win_rank", "q_win_ntile", "q_win_lag_lead",
+    "q_win_runsum", "q_win_moving", "q_win_rangeframe", "q_win_firstlast",
+    "q_win_topk_group",
+    // §2.6 sort/limit
+    "q_sort_multi", "q_topk_global", "q_limit_offset",
+    // §2.7 set ops
+    "q_set_union_all", "q_set_union_dist", "q_set_intersect", "q_set_except",
+    "q_set_by_name",
+    // §2.8 scalars
+    "q_str_basic", "q_str_split", "q_str_regexp", "q_str_like",
+    "q_date_parts", "q_date_arith", "q_ts_funcs", "q_math_funcs",
+    "q_cond_funcs", "q_cast_funcs", "q_array_funcs", "q_array_hof",
+    "q_explode", "q_map_funcs", "q_json_extract", "q_struct_funcs",
+    "q_pivot", "q_unpivot",
+    // §2.9 streaming (batch-checkable forms)
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_dedup",
+    // §2.10 LLM ops
+    "q_text_wordcount", "q_text_tfidf", "q_text_ngram", "q_text_stats",
+    "q_dedup_exact", "q_dedup_minhash", "q_sim_cosine_topk",
+    "q_sim_knn_label", "q_multimodal_join",
+    // training-data extras
+    "q_text_langid", "q_text_quality", "q_text_fingerprint",
+    "q_dedup_simhash", "q_dedup_ngram", "q_dedup_embed", "q_sim_ann_lsh",
+    "q_multimodal_binary")
+
+  /** Approximate / engine-specific-hash ops — deliberately no oracle. */
+  private val noOracle = Set("q_agg_approx_hll", "q_agg_approx_quantile",
+    "q_dedup_minhash", "q_dedup_simhash")
+
+  test("every SURVEY §2 key is registered in SparkEntry.queries") {
+    val missing = surveyKeys.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"missing keys: ${missing.mkString(", ")}")
+  }
+
+  test("every oracle key has a query; only declared exceptions lack oracles") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracle without query: ${(o -- q).mkString(", ")}")
+    val lacking = q -- o
+    assert(lacking == noOracle,
+      s"unexpected oracle-less keys: ${(lacking -- noOracle).mkString(", ")}; " +
+        s"expected-missing that have one: ${(noOracle -- lacking).mkString(", ")}")
+  }
+
+  test("no duplicate keys across category registries") {
+    val maps = Seq(ops.Relational.queries, ops.Windows.queries,
+      ops.Aggregates.queries, ops.Scalars.queries, ops.Streaming.queries,
+      ops.LlmOps.queries, ops.TrainingOps.queries)
+    val total = maps.map(_.size).sum
+    assert(total == SparkEntry.queries.size,
+      "a key is defined in more than one registry")
+  }
+}
