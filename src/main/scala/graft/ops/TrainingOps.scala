@@ -200,6 +200,25 @@ object TrainingOps {
       .orderBy($"a_id", $"rn")
   }
 
+  /** Token counting two ways: whitespace split vs a BPE-ish regex
+    * lexer (letter runs / digit runs / single punctuation — the
+    * pre-tokenization shape GPT-style BPE applies before merges).
+    * RE2-safe pattern, identical in Spark (Java regex) and DuckDB.
+    */
+  def qTextTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    t(s, dir, "documents")
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all($"text", lit(pat), lit(0))).cast("long")
+          .as("bpe_tokens"),
+        ($"n_chars" / size(regexp_extract_all($"text", lit(pat), lit(0)))
+          .cast("double")).as("chars_per_token"))
+      .withColumn("chars_per_token", r6($"chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
   /** Multimodal binary-column plumbing with an oracle: text bytes as
     * an opaque BinaryType payload, digests, sizes and a sampled head
     * slice. The real decode path (images/audio) lives in
@@ -221,6 +240,7 @@ object TrainingOps {
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_text_tokens" -> (qTextTokens _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_embed" -> (qDedupEmbed _),
@@ -292,6 +312,15 @@ object TrainingOps {
         |  FROM documents)
         |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same_fp
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |    AS bpe_tokens,
+        |  round(n_chars / CAST(len(regexp_extract_all(text,
+        |    '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE), 6) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram" ->
       """WITH tok AS (

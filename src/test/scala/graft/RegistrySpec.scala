@@ -44,7 +44,7 @@ class RegistrySpec extends SparkSuite {
     "q_dedup_exact", "q_dedup_minhash", "q_sim_cosine_topk",
     "q_sim_knn_label", "q_multimodal_join",
     // training-data extras
-    "q_text_langid", "q_text_quality", "q_text_fingerprint",
+    "q_text_langid", "q_text_quality", "q_text_fingerprint", "q_text_tokens",
     "q_dedup_simhash", "q_dedup_ngram", "q_dedup_embed", "q_sim_ann_lsh",
     "q_multimodal_binary")
 
