@@ -114,8 +114,10 @@ object Scalars {
         ($"x" % 7L).as("mod7"),
         signum($"x" - 10000L).cast("long").as("sign_dev"),
         r6(sqrt($"x")).as("sqrt_x"),
-        r6(log($"x")).as("ln_x"),
-        r6(log10($"x")).as("log10_x"),
+        // x can be 0 (sf0.1 has zero-value events) — ln(0) errors in
+        // DuckDB and NULLs in Spark, so shift by 1
+        r6(log($"x" + 1L)).as("ln_x"),
+        r6(log10($"x" + 1L)).as("log10_x"),
         r6(exp($"x" % 5L)).as("exp_mod5"),
         r6(pow($"x" % 9L, 2.5)).as("pow_mod9"))
       .orderBy($"event_id")
@@ -343,8 +345,8 @@ object Scalars {
         |  x % 7 AS mod7,
         |  CAST(sign(x - 10000) AS BIGINT) AS sign_dev,
         |  round(sqrt(x), 6) AS sqrt_x,
-        |  round(ln(x), 6) AS ln_x,
-        |  round(log10(x), 6) AS log10_x,
+        |  round(ln(x + 1), 6) AS ln_x,
+        |  round(log10(x + 1), 6) AS log10_x,
         |  round(exp(x % 5), 6) AS exp_mod5,
         |  round(pow(x % 9, 2.5), 6) AS pow_mod9
         |FROM (SELECT event_id, CAST(round(value*100) AS BIGINT) AS x FROM events)
