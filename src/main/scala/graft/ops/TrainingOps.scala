@@ -219,6 +219,39 @@ object TrainingOps {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic content-hash bucket in [0, 100): the foundation for
+    * reproducible corpus sampling and train/val splits — the same row
+    * lands in the same bucket on any cluster, any partitioning, any
+    * engine (md5 is everywhere; rand() is banned).
+    */
+  private def hashBucket(idCol: String): org.apache.spark.sql.Column =
+    expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+
+  /** Reproducible 5% Bernoulli-style sample of the corpus. */
+  def qSampleHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("bucket", hashBucket("doc_id"))
+      .filter($"bucket" < 5)
+      .select($"doc_id", $"bucket", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic 90/10 train/val split with per-language shares. */
+  def qSplitTrainVal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tagged = t(s, dir, "documents")
+      .withColumn("split",
+        when(hashBucket("doc_id") < 90, "train").otherwise("val"))
+    val perLang = tagged.groupBy($"lang")
+      .agg(count(lit(1)).as("n_lang"))
+    tagged.groupBy($"lang", $"split").agg(count(lit(1)).as("n"))
+      .join(perLang, "lang")
+      .select($"lang", $"split", $"n",
+        r6($"n" / $"n_lang".cast("double")).as("share"))
+      .orderBy($"lang", $"split")
+  }
+
   /** Multimodal binary-column plumbing with an oracle: text bytes as
     * an opaque BinaryType payload, digests, sizes and a sampled head
     * slice. The real decode path (images/audio) lives in
@@ -245,6 +278,8 @@ object TrainingOps {
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
+    "q_sample_hash" -> (qSampleHash _),
+    "q_split_train_val" -> (qSplitTrainVal _),
     "q_multimodal_binary" -> (qMultimodalBinary _)
   )
 
@@ -387,6 +422,28 @@ object TrainingOps {
         |  SELECT *, row_number() OVER (PARTITION BY a_id
         |    ORDER BY cos DESC, b_id ASC) AS rn FROM pairs)
         |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT doc_id,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |    AS bucket,
+        |  lang, n_chars
+        |FROM documents
+        |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 5
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_split_train_val" ->
+      """WITH tagged AS (
+        |  SELECT lang,
+        |    CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+        |         THEN 'train' ELSE 'val' END AS split
+        |  FROM documents),
+        |per AS (SELECT lang, count(*) AS n_lang FROM tagged GROUP BY lang)
+        |SELECT t.lang, t.split, count(*) AS n,
+        |  round(count(*) / CAST(max(p.n_lang) AS DOUBLE), 6) AS share
+        |FROM tagged t JOIN per p ON t.lang = p.lang
+        |GROUP BY t.lang, t.split
+        |ORDER BY t.lang, t.split""".stripMargin,
 
     "q_multimodal_binary" ->
       """SELECT doc_id,

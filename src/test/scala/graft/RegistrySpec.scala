@@ -46,7 +46,7 @@ class RegistrySpec extends SparkSuite {
     // training-data extras
     "q_text_langid", "q_text_quality", "q_text_fingerprint", "q_text_tokens",
     "q_dedup_simhash", "q_dedup_ngram", "q_dedup_embed", "q_sim_ann_lsh",
-    "q_multimodal_binary")
+    "q_sample_hash", "q_split_train_val", "q_multimodal_binary")
 
   /** Approximate / engine-specific-hash ops — deliberately no oracle. */
   private val noOracle = Set("q_agg_approx_hll", "q_agg_approx_quantile",
