@@ -1,15 +1,38 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-audit tool (dev/judge aid): prints operator counts for
+  * representative queries and regenerates PLANS.md with their
+  * formatted physical plans. Run:
+  *
+  *   sbt "Test/runMain graft.PlanAudit"
+  */
 object PlanAudit {
+
+  private val representative = Seq(
+    "q_agg_groupby", "q_join_multiway", "q_win_topk_group", "q_join_asof",
+    "q_stream_session", "q_text_tfidf", "q_dedup_minhash", "q_sim_cosine_topk",
+    "q_sim_ann_lsh", "q_sample_hash")
+
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4")
-      .config("spark.sql.session.timeZone","UTC")
-      .config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.01"
-    for (name <- Seq("q_join_multiway", "q_text_tfidf", "q_stream_session",
-        "q_dedup_ngram", "q_text_langid", "q_join_asof", "q_dedup_minhash")) {
+
+    val out = new StringBuilder
+    out ++= "# PLANS — formatted physical plans of representative queries\n\n"
+    out ++= "Regenerate with `sbt \"Test/runMain graft.PlanAudit\"` " +
+      "(sf0.01, local[4], AQE-final plans after execution).\n"
+
+    for (name <- representative) {
       val df = SparkEntry.queries(name)(spark, sf)
       df.count()
       val p = df.queryExecution.executedPlan match {
@@ -18,8 +41,14 @@ object PlanAudit {
       }
       val txt = p.toString
       def n(pat: String) = pat.r.findAllIn(txt).length
-      println(f"$name%-18s exchanges=${n("Exchange")}%2d bhj=${n("BroadcastHashJoin")}%2d smj=${n("SortMergeJoin")}%2d bnlj=${n("BroadcastNestedLoopJoin")}%2d cart=${n("CartesianProduct")}%2d wgl=${n("WindowGroupLimit")}%2d")
+      val summary = f"exchanges=${n("Exchange")} bhj=${n("BroadcastHashJoin")} " +
+        f"smj=${n("SortMergeJoin")} bnlj=${n("BroadcastNestedLoopJoin")} " +
+        f"cart=${n("CartesianProduct")} wgl=${n("WindowGroupLimit")}"
+      println(f"$name%-20s $summary")
+      out ++= s"\n## $name\n\n`$summary`\n\n```\n$txt```\n"
     }
+    Files.writeString(Paths.get("PLANS.md"), out.toString)
+    println("wrote PLANS.md")
     spark.stop()
   }
 }
