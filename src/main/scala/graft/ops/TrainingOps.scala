@@ -165,11 +165,13 @@ object TrainingOps {
     val a = e.select($"vec_id".as("a_id"), $"emb".as("a_emb"), $"nrm".as("a_nrm"))
     val b = e.select($"vec_id".as("b_id"), $"emb".as("b_emb"), $"nrm".as("b_nrm"))
     a.join(broadcast(b), $"a_id" < $"b_id")
-      .withColumn("cos", r6(
+      .withColumn("rawcos",
         graft.functions.DotProduct.dot($"a_emb", $"b_emb")
-          / ($"a_nrm" * $"b_nrm")))
-      .filter($"cos" >= 0.5)
-      .select($"a_id", $"b_id", $"cos")
+          / ($"a_nrm" * $"b_nrm"))
+      // filter on the raw cosine (bit-identical across engines —
+      // same fold order), round only survivors
+      .filter($"rawcos" >= 0.5)
+      .select($"a_id", $"b_id", r6($"rawcos").as("cos"))
       .orderBy($"a_id", $"b_id")
   }
 
@@ -189,14 +191,14 @@ object TrainingOps {
       $"nrm".as("a_nrm"))
     val b = e.select($"bucket".as("bk2"), $"vec_id".as("b_id"),
       $"emb".as("b_emb"), $"nrm".as("b_nrm"))
-    val w = Window.partitionBy($"a_id").orderBy($"cos".desc, $"b_id".asc)
+    val w = Window.partitionBy($"a_id").orderBy($"rawcos".desc, $"b_id".asc)
     a.join(b, $"bucket" === $"bk2" && $"a_id" =!= $"b_id")
-      .withColumn("cos", r6(
+      .withColumn("rawcos",
         graft.functions.DotProduct.dot($"a_emb", $"b_emb")
-          / ($"a_nrm" * $"b_nrm")))
+          / ($"a_nrm" * $"b_nrm"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
-      .select($"a_id", $"rn", $"b_id", $"cos", $"bucket")
+      .select($"a_id", $"rn", $"b_id", r6($"rawcos").as("cos"), $"bucket")
       .orderBy($"a_id", $"rn")
   }
 
@@ -391,14 +393,13 @@ object TrainingOps {
         |    sqrt(list_reduce(list_prepend(0.0,
         |      list_transform(emb, x -> x * x)), (a, x) -> a + x)) AS nrm
         |  FROM e)
-        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |  round(list_reduce(list_prepend(0.0,
-        |      list_zip(a.emb, b.emb).apply(p -> p[1] * p[2])),
-        |      (acc, v) -> acc + v) / (a.nrm * b.nrm), 6) AS cos
-        |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |WHERE round(list_reduce(list_prepend(0.0,
-        |      list_zip(a.emb, b.emb).apply(p -> p[1] * p[2])),
-        |      (acc, v) -> acc + v) / (a.nrm * b.nrm), 6) >= 0.5
+        |SELECT a_id, b_id, round(rawcos, 6) AS cos FROM (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    list_reduce(list_prepend(0.0,
+        |        list_zip(a.emb, b.emb).apply(p -> p[1] * p[2])),
+        |        (acc, v) -> acc + v) / (a.nrm * b.nrm) AS rawcos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |WHERE rawcos >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
 
     "q_sim_ann_lsh" ->
@@ -413,14 +414,14 @@ object TrainingOps {
         |  FROM e),
         |pairs AS (
         |  SELECT a.bucket, a.vec_id AS a_id, b.vec_id AS b_id,
-        |    round(list_reduce(list_prepend(0.0,
+        |    list_reduce(list_prepend(0.0,
         |        list_zip(a.emb, b.emb).apply(p -> p[1] * p[2])),
-        |        (acc, v) -> acc + v) / (a.nrm * b.nrm), 6) AS cos
+        |        (acc, v) -> acc + v) / (a.nrm * b.nrm) AS rawcos
         |  FROM n a JOIN n b
         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
-        |SELECT a_id, rn, b_id, cos, bucket FROM (
+        |SELECT a_id, rn, b_id, round(rawcos, 6) AS cos, bucket FROM (
         |  SELECT *, row_number() OVER (PARTITION BY a_id
-        |    ORDER BY cos DESC, b_id ASC) AS rn FROM pairs)
+        |    ORDER BY rawcos DESC, b_id ASC) AS rn FROM pairs)
         |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
 
     "q_sample_hash" ->
