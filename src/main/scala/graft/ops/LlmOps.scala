@@ -10,11 +10,13 @@ import core._
   * analytics, deduplication, and similarity search over the
   * `documents` / `embeddings` fixtures.
   *
-  * Determinism notes: tf-idf and cosine scores are ranked on their
-  * ROUNDED values with a unique id tiebreaker, so float noise below
-  * the rounding threshold cannot flip a rank across engines. Dot
-  * products / norms are sequential left-to-right folds in both
-  * engines (Spark `aggregate` ↔ DuckDB `list_reduce`).
+  * Determinism notes: tf-idf ranks on its ROUNDED score (ln() may
+  * differ by 1 ulp across libm implementations); cosine ranks and
+  * thresholds on the RAW score, which is safe because the dot
+  * products / norms are the identical sequential left-to-right fold
+  * in both engines (codegen'd `graft_dot` ↔ DuckDB `list_reduce` —
+  * bit-equality pinned by DotProductSpec and the three-scale-factor
+  * oracle diff). Rounding applies to output columns only.
   */
 object LlmOps {
 

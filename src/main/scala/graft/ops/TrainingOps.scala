@@ -151,10 +151,13 @@ object TrainingOps {
     inter
       .join(sizes.select($"doc_id".as("a_id"), $"sz".as("a_sz")), "a_id")
       .join(sizes.select($"doc_id".as("b_id"), $"sz".as("b_sz")), "b_id")
-      .withColumn("jaccard",
-        r6($"inter" / ($"a_sz" + $"b_sz" - $"inter").cast("double")))
-      .filter($"jaccard" >= 0.2)
-      .select($"a_id", $"b_id", $"inter", $"jaccard")
+      // module convention: thresholds compare the RAW score (here an
+      // exact small-int ratio — identical division in both engines);
+      // rounding is applied to outputs only
+      .withColumn("rawjac",
+        $"inter" / ($"a_sz" + $"b_sz" - $"inter").cast("double"))
+      .filter($"rawjac" >= 0.2)
+      .select($"a_id", $"b_id", $"inter", r6($"rawjac").as("jaccard"))
       .orderBy($"a_id", $"b_id")
   }
 
@@ -382,7 +385,7 @@ object TrainingOps {
         |FROM inter
         |JOIN sizes sa ON inter.a_id = sa.doc_id
         |JOIN sizes sb ON inter.b_id = sb.doc_id
-        |WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.2
+        |WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
         |ORDER BY a_id, b_id""".stripMargin,
 
     "q_dedup_embed" ->
