@@ -112,6 +112,22 @@ object Windows {
       .orderBy($"p_partkey")
   }
 
+  /** Distribution analytics: cume_dist / percent_rank (exact count
+    * ratios — identical doubles in both engines) and nth_value over
+    * the explicit full-partition frame.
+    */
+  def qWinDistribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"p_brand").orderBy($"price_c", $"p_partkey")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "part")
+      .select($"p_brand", $"p_partkey", cents($"p_retailprice").as("price_c"))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("second_cheapest", nth_value($"p_partkey", 2).over(wf))
+      .orderBy($"p_partkey")
+  }
+
   /** Top-3 orders per customer by totalprice (row_number + filter). */
   def qWinTopkGroup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -133,6 +149,7 @@ object Windows {
     "q_win_moving" -> (qWinMoving _),
     "q_win_rangeframe" -> (qWinRangeframe _),
     "q_win_firstlast" -> (qWinFirstlast _),
+    "q_win_distribution" -> (qWinDistribution _),
     "q_win_topk_group" -> (qWinTopkGroup _)
   )
 
@@ -203,6 +220,20 @@ object Windows {
         |WINDOW w AS (PARTITION BY p_brand
         |  ORDER BY CAST(round(p_retailprice*100) AS BIGINT), p_partkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_win_distribution" ->
+      """SELECT p_brand, p_partkey,
+        |  CAST(round(p_retailprice*100) AS BIGINT) AS price_c,
+        |  cume_dist() OVER w AS cd,
+        |  percent_rank() OVER w AS pr,
+        |  nth_value(p_partkey, 2) OVER (PARTITION BY p_brand
+        |    ORDER BY CAST(round(p_retailprice*100) AS BIGINT), p_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_cheapest
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand
+        |  ORDER BY CAST(round(p_retailprice*100) AS BIGINT), p_partkey)
         |ORDER BY p_partkey""".stripMargin,
 
     "q_win_topk_group" ->

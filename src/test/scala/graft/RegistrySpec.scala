@@ -24,7 +24,7 @@ class RegistrySpec extends SparkSuite {
     // §2.5 windows
     "q_win_rownumber", "q_win_rank", "q_win_ntile", "q_win_lag_lead",
     "q_win_runsum", "q_win_moving", "q_win_rangeframe", "q_win_firstlast",
-    "q_win_topk_group",
+    "q_win_distribution", "q_win_topk_group",
     // §2.6 sort/limit
     "q_sort_multi", "q_topk_global", "q_limit_offset",
     // §2.7 set ops
