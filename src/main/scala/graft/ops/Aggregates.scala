@@ -122,6 +122,23 @@ object Aggregates {
       .orderBy($"event_type")
   }
 
+  /** Boolean aggregates: every / any / count_if per group. */
+  def qAggBool(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select($"l_returnflag",
+        cents($"l_quantity").as("qty_c"),
+        cents($"l_discount").as("disc_pct"),
+        cents($"l_tax").as("tax_pct"))
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("every(qty_c > 0)").as("all_qty_pos"),
+        expr("any(disc_pct = 0)").as("some_no_disc"),
+        expr("count_if(tax_pct = 0)").as("n_tax_free"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   /** HyperLogLog distinct users per event type — approximate, so no
     * DuckDB oracle; a unit test bounds the error vs exact instead.
     */
@@ -150,6 +167,7 @@ object Aggregates {
     "q_agg_stats" -> (qAggStats _),
     "q_agg_collect" -> (qAggCollect _),
     "q_agg_percentile" -> (qAggPercentile _),
+    "q_agg_bool" -> (qAggBool _),
     "q_agg_approx_hll" -> (qAggApproxHll _),
     "q_agg_approx_quantile" -> (qAggApproxQuantile _)
   )
@@ -214,6 +232,14 @@ object Aggregates {
         |  string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios_csv,
         |  count(*) AS n_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_bool" ->
+      """SELECT l_returnflag,
+        |  bool_and(CAST(round(l_quantity*100) AS BIGINT) > 0) AS all_qty_pos,
+        |  bool_or(CAST(round(l_discount*100) AS BIGINT) = 0) AS some_no_disc,
+        |  count_if(CAST(round(l_tax*100) AS BIGINT) = 0) AS n_tax_free,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_percentile" ->
       """SELECT event_type, count(*) AS n,
