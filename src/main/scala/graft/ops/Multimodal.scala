@@ -108,6 +108,25 @@ object Multimodal {
       .drop("head")
   }
 
+  /** STUB resize: a real implementation would rescale pixel data;
+    * the fake emits a deterministic w×h "image" by cycling the source
+    * bytes, preserving the real pipeline shape (binary in → binary of
+    * the target size out, metadata updated, row count preserved).
+    */
+  def resizeStub(d: Decoded, w: Int, h: Int): Decoded = {
+    val n = w * h * d.channels
+    val src = if (d.head.nonEmpty) d.head else Array[Byte](0)
+    val out = Array.tabulate[Byte](math.min(n, 4096))(i => src(i % src.length))
+    d.copy(width = w, height = h, n_bytes = n.toLong, head = out.take(8))
+  }
+
+  /** Batch resize over partitions (same distribution shape as decode). */
+  def resizeAll(decoded: Dataset[Decoded], w: Int, h: Int): Dataset[Decoded] = {
+    val s = decoded.sparkSession
+    import s.implicits._
+    decoded.mapPartitions(_.map(resizeStub(_, w, h)))
+  }
+
   /** Frame-sample analog: take every k-th byte of the payload as a
     * "frame" (a real video pipeline samples frames the same shape:
     * binary in → smaller binary out, row count preserved).

@@ -52,6 +52,17 @@ class MultimodalSpec extends SparkSuite {
     assert(f.filter(col("aspect") <= 0).count() == 0)
   }
 
+  test("resize stub preserves rows and sets target dimensions") {
+    import spark.implicits._
+    val d = Multimodal.decodeAll(Multimodal.mediaTable(spark, sf))
+    val r = Multimodal.resizeAll(d, 32, 32)
+    assert(r.count() == d.count())
+    val dims = r.toDF().select("width", "height", "n_bytes").distinct().collect()
+    assert(dims.length == 1)
+    assert(dims.head.getInt(0) == 32 && dims.head.getInt(1) == 32)
+    assert(dims.head.getLong(2) == 32L * 32 * 3)
+  }
+
   test("byte sampling shrinks payloads by ~k") {
     import spark.implicits._
     val sampled = Multimodal.sampleBytes(Multimodal.mediaTable(spark, sf), 4)
