@@ -188,6 +188,19 @@ object Scalars {
       .orderBy($"doc_id", $"pos")
   }
 
+  /** Outer generator: rows whose array is empty survive with NULL.
+    * Short docs' token arrays are blanked to make the case real.
+    */
+  def qExplodeOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id",
+        when(size(split($"text", " ")) >= 20, split($"text", " "))
+          .otherwise(array().cast("array<string>")).as("toks"))
+      .select($"doc_id", explode_outer($"toks").as("word"))
+      .orderBy($"doc_id", $"word".asc_nulls_first)
+  }
+
   /** Build map(event_type → count) per user, then extract the five
     * known keys back out as scalar columns (the map itself is never
     * written — parquet map layouts differ across engines).
@@ -267,6 +280,7 @@ object Scalars {
     "q_array_funcs" -> (qArrayFuncs _),
     "q_array_hof" -> (qArrayHof _),
     "q_explode" -> (qExplode _),
+    "q_explode_outer" -> (qExplodeOuter _),
     "q_map_funcs" -> (qMapFuncs _),
     "q_json_extract" -> (qJsonExtract _),
     "q_struct_funcs" -> (qStructFuncs _),
@@ -406,6 +420,16 @@ object Scalars {
         |  CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
         |  unnest(string_split(text, ' ')) AS word
         |FROM documents ORDER BY doc_id, pos""".stripMargin,
+
+    "q_explode_outer" ->
+      """SELECT d.doc_id, u.word
+        |FROM (SELECT doc_id,
+        |        CASE WHEN len(string_split(text, ' ')) >= 20
+        |             THEN string_split(text, ' ')
+        |             ELSE [] END AS toks
+        |      FROM documents) d
+        |LEFT JOIN LATERAL (SELECT unnest(d.toks) AS word) u ON true
+        |ORDER BY d.doc_id, u.word ASC NULLS FIRST""".stripMargin,
 
     "q_map_funcs" ->
       """SELECT user_id,
