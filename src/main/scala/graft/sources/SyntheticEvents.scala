@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -77,9 +77,17 @@ class SyntheticEventsTable(rows: Long, parts: Int) extends Table with SupportsRe
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
+      // Column pruning pushed into the source: Catalyst hands the
+      // required schema down and only those fields are generated —
+      // the DSv2 analog of parquet ReadSchema pruning.
+      private var required: StructType = SyntheticEvents.schema
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        if (requiredSchema.nonEmpty) required = requiredSchema
+
       override def build(): Scan = this
-      override def readSchema(): StructType = SyntheticEvents.schema
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
 
       override def planInputPartitions(): Array[InputPartition] = {
@@ -89,7 +97,9 @@ class SyntheticEventsTable(rows: Long, parts: Int) extends Table with SupportsRe
           .toArray
       }
 
-      override def createReaderFactory(): PartitionReaderFactory =
+      override def createReaderFactory(): PartitionReaderFactory = {
+        val fieldIdx = required.fieldNames
+          .map(SyntheticEvents.schema.fieldIndex).toArray
         (partition: InputPartition) => {
           val IdRange(start, end) = partition.asInstanceOf[IdRange]
           new PartitionReader[InternalRow] {
@@ -97,12 +107,14 @@ class SyntheticEventsTable(rows: Long, parts: Int) extends Table with SupportsRe
             override def next(): Boolean = { i += 1; i < end }
             override def get(): InternalRow = {
               val (id, ts, user, tpe, value, props) = SyntheticEvents.row(i)
-              InternalRow(id, ts, user, UTF8String.fromString(tpe), value,
-                UTF8String.fromString(props))
+              val full = Array[Any](id, ts, user, UTF8String.fromString(tpe),
+                value, UTF8String.fromString(props))
+              InternalRow.fromSeq(fieldIdx.map(full).toSeq)
             }
             override def close(): Unit = ()
           }
         }
+      }
     }
 }
 

@@ -31,6 +31,22 @@ class SyntheticEventsSpec extends SparkSuite {
       Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
   }
 
+  test("column pruning is pushed into the source scan") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = synth(1000, 2).select("user_id")
+    df.count()
+    val plan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    val scanLine = plan.linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("user_id") && !scanLine.contains("props"),
+      s"scan did not prune to user_id: $scanLine")
+    // pruned read still returns correct values
+    val total = df.count()
+    assert(total == 1000)
+  }
+
   test("composes with the engine's event-time operators") {
     import spark.implicits._
     val sess = Streaming.sessions(synth(5000, 4))
