@@ -122,6 +122,38 @@ object Aggregates {
       .orderBy($"event_type")
   }
 
+  /** Fixed-width histogram of order totals (10 × $50k buckets,
+    * clamped) — the group-by-computed-key pattern at its simplest.
+    */
+  def qAggHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select(cents($"o_totalprice").as("total_c"))
+      .withColumn("bucket",
+        least(floor($"total_c" / 5000000L), lit(9L)).cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), min($"total_c").as("lo_c"),
+        max($"total_c").as("hi_c"))
+      .orderBy($"bucket")
+  }
+
+  /** ANSI-safe arithmetic: try_divide yields NULL instead of erroring
+    * on division by zero (l_discount is genuinely 0 on many rows).
+    */
+  def qAggTryArith(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber",
+        cents($"l_extendedprice").as("price_c"),
+        cents($"l_discount").as("disc_pct"))
+      .withColumn("price_per_disc",
+        expr("try_divide(price_c, disc_pct)"))
+      .withColumn("is_div0", $"price_per_disc".isNull)
+      .select($"l_orderkey", $"l_linenumber",
+        r6($"price_per_disc").as("price_per_disc"), $"is_div0")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
   /** Boolean aggregates: every / any / count_if per group. */
   def qAggBool(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -168,6 +200,8 @@ object Aggregates {
     "q_agg_collect" -> (qAggCollect _),
     "q_agg_percentile" -> (qAggPercentile _),
     "q_agg_bool" -> (qAggBool _),
+    "q_agg_histogram" -> (qAggHistogram _),
+    "q_agg_try_arith" -> (qAggTryArith _),
     "q_agg_approx_hll" -> (qAggApproxHll _),
     "q_agg_approx_quantile" -> (qAggApproxQuantile _)
   )
@@ -232,6 +266,22 @@ object Aggregates {
         |  string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios_csv,
         |  count(*) AS n_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_histogram" ->
+      """SELECT least(CAST(floor(CAST(round(o_totalprice*100) AS BIGINT)
+        |      / 5000000) AS BIGINT), 9) AS bucket,
+        |  count(*) AS n,
+        |  min(CAST(round(o_totalprice*100) AS BIGINT)) AS lo_c,
+        |  max(CAST(round(o_totalprice*100) AS BIGINT)) AS hi_c
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_agg_try_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(CAST(round(l_extendedprice*100) AS BIGINT)
+        |    / nullif(CAST(round(l_discount*100) AS BIGINT), 0), 6)
+        |    AS price_per_disc,
+        |  CAST(round(l_discount*100) AS BIGINT) = 0 AS is_div0
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_agg_bool" ->
       """SELECT l_returnflag,
