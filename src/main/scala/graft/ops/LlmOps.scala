@@ -119,14 +119,14 @@ object LlmOps {
     tok.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** Near-duplicate candidate pairs via LSH banding: docs agreeing on
-    * all 4 signature rows of any band become candidates; estimated
-    * Jaccard = fraction of the 16 signatures that agree. No DuckDB
-    * oracle (xxhash64 differs) — property-tested in LlmOpsSpec.
+  /** LSH banding over cached signatures: distinct candidate pairs
+    * (a_id < b_id) agreeing on all rows of at least one band. Shared
+    * by `q_dedup_minhash` and `Pipeline.nearDupPrune`.
     */
-  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val sig = minhashSignatures(t(s, dir, "documents")).cache()
+    val sig = minhashSignatures(docs).cache()
     val bandCols = (0 until MinhashBands).map { b =>
       val rows = (0 until MinhashSeeds / MinhashBands)
         .map(r => col(s"m${b * (MinhashSeeds / MinhashBands) + r}"))
@@ -134,11 +134,22 @@ object LlmOps {
     }
     val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
       .select($"doc_id", $"bk.band".as("band"), $"bk.bh".as("bh"))
-    val cand = buckets.as("x").join(buckets.as("y"),
+    buckets.as("x").join(buckets.as("y"),
         $"x.band" === $"y.band" && $"x.bh" === $"y.bh" &&
         $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
       .distinct()
+  }
+
+  /** Near-duplicate candidate pairs via MinHash LSH banding with the
+    * estimated Jaccard (= fraction of the 16 signatures agreeing).
+    * No DuckDB oracle (xxhash64 differs) — property-tested.
+    */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val sig = minhashSignatures(docs).cache()
+    val cand = minhashCandidatePairs(docs)
     val eq = (0 until MinhashSeeds)
       .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
       .reduce(_ + _)

@@ -114,10 +114,10 @@ object Multimodal {
     * the target size out, metadata updated, row count preserved).
     */
   def resizeStub(d: Decoded, w: Int, h: Int): Decoded = {
-    val n = w * h * d.channels
+    val n = w.toLong * h * d.channels // Long: 50000×50000×3 overflows Int
     val src = if (d.head.nonEmpty) d.head else Array[Byte](0)
-    val out = Array.tabulate[Byte](math.min(n, 4096))(i => src(i % src.length))
-    d.copy(width = w, height = h, n_bytes = n.toLong, head = out.take(8))
+    val out = Array.tabulate[Byte](math.min(n, 8L).toInt)(i => src(i % src.length))
+    d.copy(width = w, height = h, n_bytes = n, head = out)
   }
 
   /** Batch resize over partitions (same distribution shape as decode). */

@@ -34,45 +34,36 @@ object Pipeline {
       .drop("toks")
   }
 
-  /** Stage 2: exact dedup on the rolling-hash fingerprint, keeping
-    * the smallest doc_id per fingerprint (deterministic).
+  /** Stage 2: exact dedup keyed on md5(text) — single pass over the
+    * bytes and effectively collision-free (the 1e9-space rolling hash
+    * of `q_text_fingerprint` would silently merge distinct docs at
+    * corpus scale by the birthday bound). Smallest doc_id survives.
     */
   def exactDedup(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val w = Window.partitionBy($"fp").orderBy($"doc_id")
     docs
-      .withColumn("fp",
-        expr("""aggregate(sequence(1, length(text)), 0L,
-                (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)"""))
+      .withColumn("fp", md5(encode($"text", "UTF-8")))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .drop("rn", "fp")
   }
 
   /** Stage 3: near-dup pruning — from each MinHash-LSH candidate
-    * pair, drop the larger doc_id (keep-first policy).
+    * pair, drop the larger doc_id (keep-first policy). Candidate
+    * generation is shared with [[LlmOps.qDedupMinhash]].
     */
   def nearDupPrune(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val sig = LlmOps.minhashSignatures(docs)
-    val bandCols = (0 until LlmOps.MinhashBands).map { b =>
-      val rows = (0 until LlmOps.MinhashSeeds / LlmOps.MinhashBands)
-        .map(r => col(s"m${b * (LlmOps.MinhashSeeds / LlmOps.MinhashBands) + r}"))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
-    }
-    val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
-      .select($"doc_id", $"bk.band".as("band"), $"bk.bh".as("bh"))
-    val losers = buckets.as("x").join(buckets.as("y"),
-        $"x.band" === $"y.band" && $"x.bh" === $"y.bh" &&
-        $"x.doc_id" < $"y.doc_id")
-      .select($"y.doc_id".as("doc_id")).distinct()
+    val losers = LlmOps.minhashCandidatePairs(docs)
+      .select($"b_id".as("doc_id")).distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
-  /** Stage 4: annotate with predicted language agreement + token
-    * stats + the deterministic train/val split bucket.
+  /** Stage 4: annotate each surviving doc with its deterministic
+    * train/val split (token stats were added by the quality gate).
     */
   def annotate(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
@@ -91,9 +82,13 @@ object Pipeline {
       : DataFrame = {
     val docs = t(spark, dir, "documents")
     val cleaned = annotate(nearDupPrune(exactDedup(qualityGate(docs))))
-    outDir.foreach { o =>
-      cleaned.write.partitionBy("lang", "split").mode("overwrite").parquet(o)
+    outDir match {
+      case Some(o) =>
+        cleaned.write.partitionBy("lang", "split").mode("overwrite").parquet(o)
+        // hand back the written data — a caller action must not
+        // recompute the whole chain
+        spark.read.parquet(o)
+      case None => cleaned
     }
-    cleaned
   }
 }

@@ -26,6 +26,9 @@ object Skew {
     */
   def saltedJoin(facts: DataFrame, dims: DataFrame, factKey: String,
       dimKey: String, saltSource: Column, k: Int): DataFrame = {
+    require(k >= 1, s"salt factor must be >= 1, got $k")
+    require(!facts.columns.contains("__salt") && !dims.columns.contains("__salt"),
+      "inputs must not already have a __salt column")
     val salted = facts.withColumn("__salt",
       pmod(xxhash64(saltSource), lit(k.toLong)))
     val replicated = dims.withColumn("__salt",

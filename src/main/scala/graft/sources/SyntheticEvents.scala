@@ -68,6 +68,23 @@ object SyntheticEvents {
     val k = java.lang.Math.floorMod(h >>> 40, 100L)
     (i, tsMicros, user, tpe, value, s"""{"k": $k}""")
   }
+
+  /** One field of row i, by schema index — the pruned-scan path
+    * generates (and allocates) only the requested fields.
+    */
+  def field(i: Long, idx: Int): Any = {
+    val h = splitmix64(i)
+    idx match {
+      case 0 => i
+      case 1 => baseMicros + java.lang.Math.floorMod(h, 30L * 86400) * 1000000L
+      case 2 => java.lang.Math.floorMod(h >>> 8, 1000L)
+      case 3 => UTF8String.fromString(
+        types(java.lang.Math.floorMod(h >>> 16, types.length.toLong).toInt))
+      case 4 => java.lang.Math.floorMod(h >>> 24, 30000L) / 100.0
+      case 5 => UTF8String.fromString(
+        s"""{"k": ${java.lang.Math.floorMod(h >>> 40, 100L)}}""")
+    }
+  }
 }
 
 class SyntheticEventsTable(rows: Long, parts: Int) extends Table with SupportsRead {
@@ -105,12 +122,8 @@ class SyntheticEventsTable(rows: Long, parts: Int) extends Table with SupportsRe
           new PartitionReader[InternalRow] {
             private var i = start - 1
             override def next(): Boolean = { i += 1; i < end }
-            override def get(): InternalRow = {
-              val (id, ts, user, tpe, value, props) = SyntheticEvents.row(i)
-              val full = Array[Any](id, ts, user, UTF8String.fromString(tpe),
-                value, UTF8String.fromString(props))
-              InternalRow.fromSeq(fieldIdx.map(full).toSeq)
-            }
+            override def get(): InternalRow =
+              InternalRow.fromSeq(fieldIdx.toSeq.map(SyntheticEvents.field(i, _)))
             override def close(): Unit = ()
           }
         }
