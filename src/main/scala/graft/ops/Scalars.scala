@@ -188,6 +188,50 @@ object Scalars {
       .orderBy($"doc_id", $"pos")
   }
 
+  /** Binary-text codecs: base64/hex round-trips over UTF-8 bytes. */
+  def qStrEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .select($"c_custkey",
+        base64(encode($"c_mktsegment", "UTF-8")).as("seg_b64"),
+        decode(unbase64(base64(encode($"c_mktsegment", "UTF-8"))), "UTF-8")
+          .as("seg_roundtrip"),
+        hex(encode($"c_name", "UTF-8")).as("name_hex"),
+        decode(unhex(hex(encode($"c_name", "UTF-8"))), "UTF-8")
+          .as("name_roundtrip"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Date-range generator: one row per month an order's window spans
+    * (sequence + explode — the calendar-densification pattern).
+    */
+  def qDateSeq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .filter($"o_orderkey" < 100)
+      .select($"o_orderkey",
+        explode(expr(
+          """sequence(date_trunc('month', o_orderdate),
+             date_trunc('month', o_orderdate + INTERVAL 90 DAYS),
+             INTERVAL 1 MONTH)""")).as("month_start"))
+      .orderBy($"o_orderkey", $"month_start")
+  }
+
+  /** Bitwise surface: and / or / xor / shifts / bit_count. */
+  def qMathBitwise(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_id", $"user_id")
+      .select($"event_id",
+        ($"event_id".bitwiseAND($"user_id")).as("band"),
+        ($"event_id".bitwiseOR($"user_id")).as("bor"),
+        ($"event_id".bitwiseXOR($"user_id")).as("bxor"),
+        shiftleft($"user_id", 3).as("shl3"),
+        shiftright($"event_id", 2).as("shr2"),
+        bit_count($"event_id").cast("long").as("popcount"))
+      .orderBy($"event_id")
+  }
+
   /** Outer generator: rows whose array is empty survive with NULL.
     * Short docs' token arrays are blanked to make the case real.
     */
@@ -281,6 +325,9 @@ object Scalars {
     "q_array_hof" -> (qArrayHof _),
     "q_explode" -> (qExplode _),
     "q_explode_outer" -> (qExplodeOuter _),
+    "q_str_encode" -> (qStrEncode _),
+    "q_date_seq" -> (qDateSeq _),
+    "q_math_bitwise" -> (qMathBitwise _),
     "q_map_funcs" -> (qMapFuncs _),
     "q_json_extract" -> (qJsonExtract _),
     "q_struct_funcs" -> (qStructFuncs _),
@@ -420,6 +467,32 @@ object Scalars {
         |  CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
         |  unnest(string_split(text, ' ')) AS word
         |FROM documents ORDER BY doc_id, pos""".stripMargin,
+
+    "q_str_encode" ->
+      """SELECT c_custkey,
+        |  to_base64(encode(c_mktsegment)) AS seg_b64,
+        |  decode(from_base64(to_base64(encode(c_mktsegment)))) AS seg_roundtrip,
+        |  hex(encode(c_name)) AS name_hex,
+        |  decode(from_hex(hex(encode(c_name)))) AS name_roundtrip
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_date_seq" ->
+      """SELECT o_orderkey,
+        |  unnest(generate_series(date_trunc('month', o_orderdate),
+        |    date_trunc('month', o_orderdate + INTERVAL 90 DAY),
+        |    INTERVAL 1 MONTH))::TIMESTAMP AS month_start
+        |FROM orders WHERE o_orderkey < 100
+        |ORDER BY o_orderkey, month_start""".stripMargin,
+
+    "q_math_bitwise" ->
+      """SELECT event_id,
+        |  event_id & user_id AS band,
+        |  event_id | user_id AS bor,
+        |  xor(event_id, user_id) AS bxor,
+        |  user_id << 3 AS shl3,
+        |  event_id >> 2 AS shr2,
+        |  CAST(bit_count(event_id) AS BIGINT) AS popcount
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_explode_outer" ->
       """SELECT d.doc_id, u.word

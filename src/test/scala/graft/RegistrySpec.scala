@@ -35,7 +35,7 @@ class RegistrySpec extends SparkSuite {
     "q_date_parts", "q_date_arith", "q_ts_funcs", "q_math_funcs",
     "q_cond_funcs", "q_cast_funcs", "q_array_funcs", "q_array_hof",
     "q_explode", "q_explode_outer", "q_map_funcs", "q_json_extract",
-    "q_struct_funcs",
+    "q_struct_funcs", "q_str_encode", "q_date_seq", "q_math_bitwise",
     "q_pivot", "q_unpivot",
     // §2.9 streaming (batch-checkable forms)
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
