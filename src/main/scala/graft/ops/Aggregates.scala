@@ -154,6 +154,25 @@ object Aggregates {
       .orderBy($"l_orderkey", $"l_linenumber")
   }
 
+  /** Arg-max/arg-min per group, made deterministic by folding the
+    * unique orderkey into the comparison value (`max_by`/`arg_max`
+    * pick an arbitrary row on ties otherwise — banned by §5.3).
+    * total_c < 2^27 cents, so total_c·2^31 + orderkey fits a long.
+    */
+  def qAggArgmax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select($"o_orderstatus", $"o_orderkey", cents($"o_totalprice").as("total_c"))
+      .withColumn("ord", $"total_c" * 2147483648L + $"o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(
+        expr("max_by(o_orderkey, ord)").as("priciest_key"),
+        expr("min_by(o_orderkey, ord)").as("cheapest_key"),
+        max($"total_c").as("max_total_c"),
+        min($"total_c").as("min_total_c"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Boolean aggregates: every / any / count_if per group. */
   def qAggBool(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -201,6 +220,7 @@ object Aggregates {
     "q_agg_percentile" -> (qAggPercentile _),
     "q_agg_bool" -> (qAggBool _),
     "q_agg_histogram" -> (qAggHistogram _),
+    "q_agg_argmax" -> (qAggArgmax _),
     "q_agg_try_arith" -> (qAggTryArith _),
     "q_agg_approx_hll" -> (qAggApproxHll _),
     "q_agg_approx_quantile" -> (qAggApproxQuantile _)
@@ -266,6 +286,16 @@ object Aggregates {
         |  string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios_csv,
         |  count(*) AS n_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_argmax" ->
+      """SELECT o_orderstatus,
+        |  arg_max(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)
+        |    * 2147483648 + o_orderkey) AS priciest_key,
+        |  arg_min(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)
+        |    * 2147483648 + o_orderkey) AS cheapest_key,
+        |  max(CAST(round(o_totalprice*100) AS BIGINT)) AS max_total_c,
+        |  min(CAST(round(o_totalprice*100) AS BIGINT)) AS min_total_c
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_agg_histogram" ->
       """SELECT least(CAST(floor(CAST(round(o_totalprice*100) AS BIGINT)

@@ -21,6 +21,7 @@ class RegistrySpec extends SparkSuite {
     "q_agg_having", "q_agg_rollup", "q_agg_cube", "q_agg_groupingsets",
     "q_agg_stats", "q_agg_collect", "q_agg_approx_hll", "q_agg_approx_quantile",
     "q_agg_percentile", "q_agg_bool", "q_agg_histogram", "q_agg_try_arith",
+    "q_agg_argmax",
     // §2.5 windows
     "q_win_rownumber", "q_win_rank", "q_win_ntile", "q_win_lag_lead",
     "q_win_runsum", "q_win_moving", "q_win_rangeframe", "q_win_firstlast",
