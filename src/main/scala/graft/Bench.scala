@@ -29,6 +29,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Repeat the headline as a SHORT standalone line LAST: the r1
+    // driver capture tail-truncated the big per-query line and lost
+    // the total entirely (BENCH_r01.json parsed:null).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
     spark.stop()
   }
 }

@@ -317,7 +317,7 @@ object Aggregates {
       """SELECT l_returnflag,
         |  bool_and(CAST(round(l_quantity*100) AS BIGINT) > 0) AS all_qty_pos,
         |  bool_or(CAST(round(l_discount*100) AS BIGINT) = 0) AS some_no_disc,
-        |  count_if(CAST(round(l_tax*100) AS BIGINT) = 0) AS n_tax_free,
+        |  CAST(count_if(CAST(round(l_tax*100) AS BIGINT) = 0) AS BIGINT) AS n_tax_free,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

@@ -57,7 +57,8 @@ object Pipeline {
   def nearDupPrune(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val losers = LlmOps.minhashCandidatePairs(docs)
+    val losers = LlmOps.minhashCandidatePairs(
+        LlmOps.minhashSignatures(docs).cache())
       .select($"b_id".as("doc_id")).distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
   }

@@ -27,7 +27,10 @@ object TrainingOps {
     */
   def qTextLangid(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = words(s, dir)
+    // cached: the exploded token table feeds both the profile build
+    // and the scoring join — without this the explode runs twice
+    // (6.1 s on the driver's local[32] in r1)
+    val w = words(s, dir).cache()
     val topW = Window.partitionBy($"lang").orderBy($"cnt".desc, $"word".asc)
     val profile = w.groupBy($"lang", $"word").agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(topW))
@@ -115,9 +118,61 @@ object TrainingOps {
       .select($"doc_id", $"lang", sig.as("simhash"))
   }
 
+  /** Simhash band layout: 5 bands over the 16 bits (4+3+3+3+3 as
+    * (offset, width)). With Hamming ≤ 4 flipped bits and 5 bands, the
+    * pigeonhole principle guarantees at least one band with zero
+    * flips — so banded candidate generation has EXACT recall vs the
+    * all-pairs join (pinned by a property test). NB 4 bands of 4
+    * would NOT suffice: 4 flips can hit all 4 bands.
+    */
+  private val SimhashBands = Seq((0, 4), (4, 3), (7, 3), (10, 3), (13, 3))
+
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = simhashSignatures(t(s, dir, "documents"))
+    simhashPairsBanded(simhashSignatures(t(s, dir, "documents")).cache())
+  }
+
+  /** Banded Hamming-≤4 pairs: equi-join on (lang, band, band-bits)
+    * buckets — shuffle-friendly and skew-bounded, replacing r1's
+    * same-language all-pairs join (O(n²) per language at scale).
+    */
+  private[graft] def simhashPairsBanded(sig: DataFrame): DataFrame = {
+    val s = sig.sparkSession
+    import s.implicits._
+    val bandCols = SimhashBands.zipWithIndex.map { case ((off, len), i) =>
+      struct(lit(i).as("band"),
+        shiftright($"simhash", off).bitwiseAND(lit((1 << len) - 1).cast("long"))
+          .as("bv"))
+    }
+    // the full signature rides along in the bucket rows (8 bytes), so
+    // hamming is computed INLINE in the band join and the Hamming
+    // filter runs BEFORE the dedup — the distinct only ever sees
+    // true near-dup pairs (×≤5 band duplicates), not the whole
+    // candidate blow-up, and no join back to the signatures is needed
+    val buckets = sig
+      .select($"lang", $"doc_id", $"simhash",
+        explode(array(bandCols: _*)).as("bk"))
+      .select($"lang", $"doc_id", $"simhash",
+        $"bk.band".as("band"), $"bk.bv".as("bv"))
+    buckets.as("x").join(buckets.as("y"),
+        $"x.lang" === $"y.lang" && $"x.band" === $"y.band" &&
+        $"x.bv" === $"y.bv" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.lang".as("lang"), $"x.doc_id".as("a_id"),
+        $"y.doc_id".as("b_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("long").as("hamming"))
+      .filter($"hamming" <= 4)
+      .distinct()
+      .select($"lang", $"a_id", $"b_id", $"hamming")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** r1's all-pairs formulation, kept as the property-test oracle for
+    * [[simhashPairsBanded]]'s exact-recall claim (not registered).
+    */
+  private[graft] def simhashPairsAllPairs(sig: DataFrame): DataFrame = {
+    val s = sig.sparkSession
+    import s.implicits._
     val a = sig.select($"lang", $"doc_id".as("a_id"), $"simhash".as("a_sh"))
     val b = sig.select($"lang".as("l2"), $"doc_id".as("b_id"),
       $"simhash".as("b_sh"))
@@ -129,21 +184,34 @@ object TrainingOps {
   }
 
   /** Word-bigram Jaccard near-dup within (lang, source) blocks —
-    * blocking bounds the candidate-pair quadratic at scale.
+    * blocking bounds the candidate-pair quadratic at scale, and a
+    * document-frequency cap drops "stop bigrams" (df > max(5,
+    * n_block/4)) before the candidate self-join, so one hot bigram
+    * ("of the") can't turn the equi-join quadratic on a skewed
+    * corpus. The cap is mirrored exactly in the oracle SQL; Jaccard
+    * is computed over the CAPPED bigram sets in both engines. Bigrams
+    * come from a per-row array transform (zero shuffles) and
+    * `array_distinct` replaces the r1 `.distinct()` shuffle.
     */
   def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    val tok = docs.select($"doc_id", $"lang", $"source",
-      posexplode(split($"text", " ")).as(Seq("pos", "word")))
-    val big = tok.as("x").join(tok.as("y"),
-        $"x.doc_id" === $"y.doc_id" && $"y.pos" === $"x.pos" + 1)
-      .select($"x.doc_id".as("doc_id"), $"x.lang".as("lang"),
-        $"x.source".as("source"),
-        concat($"x.word", lit(" "), $"y.word").as("bigram"))
-      .distinct()
-    val sizes = big.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val inter = big.as("a").join(big.as("b"),
+    val big = docs.select($"doc_id", $"lang", $"source",
+      explode(array_distinct(LlmOps.bigramsOf(split($"text", " "))))
+        .as("bigram"))
+    val blockN = docs.groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_block"))
+    val hot = big.groupBy($"lang", $"source", $"bigram")
+      .agg(count(lit(1)).as("df"))
+      .join(broadcast(blockN), Seq("lang", "source"))
+      .filter($"df" > greatest(lit(5L), floor($"n_block" / 4)))
+      .select($"lang", $"source", $"bigram")
+    // cached: kept feeds sizes + both sides of the candidate
+    // self-join — three recomputes of scan→explode→anti otherwise
+    val kept = big.join(broadcast(hot), Seq("lang", "source", "bigram"),
+      "left_anti").cache()
+    val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val inter = kept.as("a").join(kept.as("b"),
         $"a.bigram" === $"b.bigram" && $"a.lang" === $"b.lang" &&
         $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
@@ -199,6 +267,9 @@ object TrainingOps {
       .withColumn("rawcos",
         graft.functions.DotProduct.dot($"a_emb", $"b_emb")
           / ($"a_nrm" * $"b_nrm"))
+      // drop the vectors before the rank window's exchange (see
+      // LlmOps.cosineTopk)
+      .select($"a_id", $"b_id", $"rawcos", $"bucket")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
       .select($"a_id", $"rn", $"b_id", r6($"rawcos").as("cos"), $"bucket")
@@ -373,10 +444,22 @@ object TrainingOps {
         |    concat(a.word, ' ', b.word) AS bigram
         |  FROM tok a JOIN tok b
         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM big GROUP BY doc_id),
+        |blockn AS (
+        |  SELECT lang, source, count(*) AS n_block
+        |  FROM documents GROUP BY 1, 2),
+        |dfc AS (
+        |  SELECT lang, source, bigram, count(*) AS df
+        |  FROM big GROUP BY 1, 2, 3),
+        |kept AS (
+        |  SELECT b.doc_id, b.lang, b.source, b.bigram
+        |  FROM big b
+        |  JOIN dfc USING (lang, source, bigram)
+        |  JOIN blockn USING (lang, source)
+        |  WHERE dfc.df <= greatest(5, n_block // 4)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-        |  FROM big a JOIN big b
+        |  FROM kept a JOIN kept b
         |    ON a.bigram = b.bigram AND a.lang = b.lang
         |   AND a.source = b.source AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
@@ -412,8 +495,8 @@ object TrainingOps {
         |  SELECT vec_id, emb,
         |    sqrt(list_reduce(list_prepend(0.0,
         |      list_transform(emb, x -> x * x)), (a, x) -> a + x)) AS nrm,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT), emb[1:8]),
-        |      (acc, x) -> acc * 2 + CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS bucket
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), emb[1:8]),
+        |      (acc, x) -> acc * 2 + CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
         |  FROM e),
         |pairs AS (
         |  SELECT a.bucket, a.vec_id AS a_id, b.vec_id AS b_id,

@@ -34,7 +34,14 @@ object Windows {
       .orderBy($"p_brand", $"p_size", $"p_partkey")
   }
 
-  /** Quartiles of customers by account balance. */
+  /** Quartiles of customers by account balance.
+    *
+    * NOTE: the unpartitioned window executes in ONE task — correct
+    * but single-threaded, acceptable only because global ntile is
+    * dashboard-shaped. The scale path is [[ntileRangePartitioned]]
+    * (identical output, tested), which this key deliberately does not
+    * use so the oracle stays a plain window formulation.
+    */
   def qWinNtile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.orderBy($"acctbal_c", $"c_custkey")
@@ -42,6 +49,47 @@ object Windows {
       .select($"c_custkey", cents($"c_acctbal").as("acctbal_c"))
       .withColumn("quartile", ntile(4).over(w))
       .orderBy($"c_custkey")
+  }
+
+  /** Distributed ntile with EXACT `ntile(k)` semantics and no
+    * single-task global window: range-partition on the order key,
+    * rank within each partition in parallel, add broadcast
+    * per-partition offsets (metadata-sized driver collect — one row
+    * per partition, like AQE stats), then apply ntile's remainder
+    * rule (first n%k buckets get one extra row) as an expression.
+    * Scales to any row count: the only global step touches
+    * `numParts` longs.
+    */
+  def ntileRangePartitioned(df: DataFrame, k: Int, numParts: Int,
+      ord: org.apache.spark.sql.Column*): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val parted = df.repartitionByRange(numParts, ord: _*)
+      .withColumn("_pid", spark_partition_id())
+    val counts = parted.groupBy($"_pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val offsets = (0 until numParts).map { p =>
+      (p, (0 until p).map(q => counts.getOrElse(q, 0L)).sum)
+    }
+    val offsetsDf = s.createDataFrame(offsets).toDF("_pid", "_off")
+    val base = total / k
+    val rem = total % k
+    val cut = rem * (base + 1)
+    val safeBase = math.max(base, 1L)
+    val w = Window.partitionBy($"_pid").orderBy(ord: _*)
+    parted
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .join(broadcast(offsetsDf), "_pid")
+      .withColumn("_rank", $"_off" + $"_rn")
+      // SQL DIV: Column./ is double division — exact integer floor
+      // division keeps ranks safe beyond 2^53
+      .withColumn("ntile", expr(
+        s"""CAST(CASE WHEN _rank <= $cut
+           |  THEN (_rank - 1) DIV ${base + 1} + 1
+           |  ELSE $rem + (_rank - 1 - $cut) DIV $safeBase + 1
+           |END AS INT)""".stripMargin))
+      .drop("_pid", "_rn", "_off", "_rank")
   }
 
   /** Inter-event gap per user via lag; next event id via lead. */

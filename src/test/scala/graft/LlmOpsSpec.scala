@@ -99,6 +99,49 @@ class LlmOpsSpec extends SparkSuite {
     assert(bad == 0, "LSH cannot beat brute force")
   }
 
+  test("bigram array matches positional semantics, incl. 1-token docs") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "solo"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = df
+      .select($"doc_id", LlmOps.bigramsOf(split($"text", " ")).as("bg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b", "b c"))
+    assert(got(2L).isEmpty, "single-token doc must yield no bigrams")
+    assert(got(3L) == Seq("x y"))
+  }
+
+  test("minhash candidates stay far below all-pairs; output clears tau") {
+    import spark.implicits._
+    val docs = core.t(spark, sf, "documents")
+    val n = docs.count()
+    val allPairs = n * (n - 1) / 2
+    val cand = LlmOps
+      .minhashCandidatePairs(LlmOps.minhashSignatures(docs)).count()
+    // r1's 4x4 banding emitted ~50% of all pairs; 2x8 banding emits
+    // only pairs with >=8 agreeing signatures (est_jaccard >= 0.5 by
+    // construction). The 31-word-vocab fixture genuinely contains
+    // ~16% such near-dup pairs, so the bound is 20%, not 1% — on a
+    // real corpus the truly-similar fraction (and thus this set) is
+    // tiny.
+    assert(cand <= allPairs / 5,
+      s"candidate set must be <<all-pairs: got $cand of $allPairs")
+    val out = LlmOps.qDedupMinhash(spark, sf)
+    assert(out.filter($"est_jaccard" < LlmOps.MinhashTau).count() == 0,
+      "q_dedup_minhash must only emit pairs at or above tau")
+  }
+
+  test("simhash banding has exact recall vs the all-pairs join") {
+    val sig = TrainingOps
+      .simhashSignatures(core.t(spark, sf, "documents")).cache()
+    val banded = TrainingOps.simhashPairsBanded(sig)
+      .collect().map(_.toSeq).toSet
+    val allp = TrainingOps.simhashPairsAllPairs(sig)
+      .collect().map(_.toSeq).toSet
+    assert(banded == allp,
+      s"banded=${banded.size} allpairs=${allp.size}; sets must be identical")
+  }
+
   test("simhash: identical token multisets get identical signatures") {
     import spark.implicits._
     val docs = Seq(

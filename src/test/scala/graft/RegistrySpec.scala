@@ -69,6 +69,18 @@ class RegistrySpec extends SparkSuite {
         s"expected-missing that have one: ${(noOracle -- lacking).mkString(", ")}")
   }
 
+  test("every registered key has a row in SURVEY.md §2 (no contract drift)") {
+    val survey = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+    val text = try survey.mkString finally survey.close()
+    val missing = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(k => text.contains(s"| `$k` |"))
+    assert(missing.isEmpty,
+      s"keys registered but absent from SURVEY §2 tables: ${missing.mkString(", ")}")
+    val staleRows = surveyKeys.filterNot(SparkEntry.queries.contains)
+    assert(staleRows.isEmpty,
+      s"surveyKeys list out of date: ${staleRows.mkString(", ")}")
+  }
+
   test("no duplicate keys across category registries") {
     val maps = Seq(ops.Relational.queries, ops.Windows.queries,
       ops.Aggregates.queries, ops.Scalars.queries, ops.Streaming.queries,

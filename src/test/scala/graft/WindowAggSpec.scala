@@ -26,6 +26,20 @@ class WindowAggSpec extends SparkSuite {
       "expected at least one tie-induced rank/dense_rank divergence")
   }
 
+  test("ntileRangePartitioned matches the global-window ntile exactly") {
+    import spark.implicits._
+    val cust = core.t(spark, sf, "customer")
+      .select($"c_custkey", ops.core.cents($"c_acctbal").as("acctbal_c"))
+    val global = Windows.qWinNtile(spark, sf)
+      .select($"c_custkey", $"quartile")
+    val ranged = Windows
+      .ntileRangePartitioned(cust, 4, 8, $"acctbal_c", $"c_custkey")
+      .select($"c_custkey", $"ntile".as("quartile"))
+    assert(global.exceptAll(ranged).count() == 0 &&
+      ranged.exceptAll(global).count() == 0,
+      "distributed ntile must be row-identical to ntile(4)")
+  }
+
   test("q_win_ntile quartiles are balanced within 1") {
     val sizes = Windows.qWinNtile(spark, sf)
       .groupBy("quartile").count().collect().map(_.getLong(1))

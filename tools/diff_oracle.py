@@ -69,6 +69,17 @@ def main():
     sys.exit(1 if n_fail else 0)
 
 
+def kind(s: pd.Series) -> str:
+    """Coarse numeric class used for the strict dtype gate."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    return "other"
+
+
 def compare(got: pd.DataFrame, want: pd.DataFrame):
     if list(got.columns) != list(want.columns):
         return False, f"columns differ: spark={list(got.columns)} oracle={list(want.columns)}"
@@ -76,14 +87,24 @@ def compare(got: pd.DataFrame, want: pd.DataFrame):
         return False, f"row count differs: spark={len(got)} oracle={len(want)}"
     for c in got.columns:
         g, w = got[c], want[c]
-        # dtype harmonization: duckdb may give decimal/object for sums
-        try:
-            if g.dtype != w.dtype:
-                if pd.api.types.is_numeric_dtype(g) or g.dtype == object:
-                    g = pd.to_numeric(g, errors="raise")
-                    w = pd.to_numeric(w, errors="raise")
-        except Exception:
-            pass
+        # duckdb can hand back DECIMAL sums as object dtype; resolve those to
+        # a real numeric dtype first so the strict check below sees the truth
+        if g.dtype == object and kind(w) in ("int", "float"):
+            try:
+                g = pd.to_numeric(g, errors="raise")
+            except Exception:
+                pass
+        if w.dtype == object and kind(g) in ("int", "float"):
+            try:
+                w = pd.to_numeric(w, errors="raise")
+            except Exception:
+                pass
+        # strict: int-vs-float (or bool) drift fails — the driver hashes raw
+        # values, so 1265 vs 1265.0 is a real t2 failure (VERDICT r1 items 1-2)
+        kg, kw = kind(g), kind(w)
+        if kg != kw and "other" not in (kg, kw):
+            return False, (f"col {c} dtype mismatch: spark={got[c].dtype}"
+                           f"({kg}) oracle={want[c].dtype}({kw})")
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
             ga, wa = g.astype(float), w.astype(float)
             neq = ~((ga == wa) | (ga.isna() & wa.isna()))
