@@ -20,6 +20,13 @@ object Bench {
     // smallest fixture so the first timed query isn't charged ~5 s of
     // one-time session cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Warm the bench fixture's file listings + footer reads (the
+    // session-wide FileStatusCache retains them): otherwise whichever
+    // query the Map iterates first is charged the one-time listing.
+    for (tbl <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      try graft.ops.core.t(spark, sfDir, tbl).limit(1).count()
+      catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -40,8 +40,10 @@ object LlmOps {
     import s.implicits._
     val docs = t(s, dir, "documents")
     val nDocs = docs.agg(countDistinct($"doc_id").as("n"))
+    // cached: tf feeds both the df aggregation and the scoring join —
+    // uncached, the whole explode→groupBy lineage runs twice
     val tf = words(s, dir).groupBy($"doc_id", $"word")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")).cache()
     val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id")
       .orderBy($"score".desc, $"word".asc)

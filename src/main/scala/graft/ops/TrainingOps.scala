@@ -276,6 +276,54 @@ object TrainingOps {
       .orderBy($"a_id", $"rn")
   }
 
+  /** IVF-flat ANN, the second scale path beside [[qSimAnnLsh]]'s
+    * sign-LSH: 16 coarse centroids chosen deterministically (the
+    * vectors with the smallest md5(vec_id) — a hash-ranked sample, no
+    * RNG, no k-means iterations so both engines agree exactly), every
+    * vector assigned to its nearest centroid by raw cosine (argmin via
+    * deterministic rank), then exact top-3 by cosine WITHIN the cell
+    * (nprobe=1). Fully relational ⇒ fully oracle-checkable. At scale:
+    * the assignment is a broadcast join (centroid count ≪ n) and the
+    * pair space collapses from n² to Σ cell² — same shuffle shape as
+    * the LSH op, but data-adaptive cells instead of fixed hyperplanes.
+    */
+  def qSimAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.DotProduct.dot
+    val e = LlmOps.normed(s, dir)
+    val seedW = Window.orderBy($"seed_rank", $"vec_id")
+    val cents = e
+      .withColumn("seed_rank", md5(concat(lit("ivf"), $"vec_id".cast("string"))))
+      .withColumn("crn", row_number().over(seedW))
+      .filter($"crn" <= 16)
+      .select($"crn".as("cent_id"), $"emb".as("c_emb"), $"nrm".as("c_nrm"))
+    val assignW = Window.partitionBy($"vec_id")
+      .orderBy($"c_cos".desc, $"cent_id".asc)
+    // cached: both sides of the cell self-join read the assignment —
+    // materializing it is the standard IVF build step (at scale: the
+    // persisted index), not an optimization trick
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("c_cos", dot($"emb", $"c_emb") / ($"nrm" * $"c_nrm"))
+      .select($"vec_id", $"label", $"emb", $"nrm", $"cent_id", $"c_cos")
+      .withColumn("arn", row_number().over(assignW))
+      .filter($"arn" === 1)
+      .select($"cent_id", $"vec_id", $"emb", $"nrm")
+      .cache()
+    val a = assigned.select($"cent_id", $"vec_id".as("a_id"),
+      $"emb".as("a_emb"), $"nrm".as("a_nrm"))
+    val b = assigned.select($"cent_id".as("c2"), $"vec_id".as("b_id"),
+      $"emb".as("b_emb"), $"nrm".as("b_nrm"))
+    val w = Window.partitionBy($"a_id").orderBy($"rawcos".desc, $"b_id".asc)
+    a.join(b, $"cent_id" === $"c2" && $"a_id" =!= $"b_id")
+      .withColumn("rawcos",
+        dot($"a_emb", $"b_emb") / ($"a_nrm" * $"b_nrm"))
+      .select($"a_id", $"b_id", $"rawcos", $"cent_id")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"a_id", $"rn", $"b_id", r6($"rawcos").as("cos"), $"cent_id")
+      .orderBy($"a_id", $"rn")
+  }
+
   /** Token counting two ways: whitespace split vs a BPE-ish regex
     * lexer (letter runs / digit runs / single punctuation — the
     * pre-tokenization shape GPT-style BPE applies before merges).
@@ -354,6 +402,7 @@ object TrainingOps {
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
+    "q_sim_ann_ivf" -> (qSimAnnIvf _),
     "q_sample_hash" -> (qSampleHash _),
     "q_split_train_val" -> (qSplitTrainVal _),
     "q_multimodal_binary" -> (qMultimodalBinary _)
@@ -506,6 +555,45 @@ object TrainingOps {
         |  FROM n a JOIN n b
         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
         |SELECT a_id, rn, b_id, round(rawcos, 6) AS cos, bucket FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY a_id
+        |    ORDER BY rawcos DESC, b_id ASC) AS rn FROM pairs)
+        |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+
+    "q_sim_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, emb,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(emb, x -> x * x)), (a, x) -> a + x)) AS nrm
+        |  FROM e),
+        |cents AS (
+        |  SELECT crn AS cent_id, emb AS c_emb, nrm AS c_nrm FROM (
+        |    SELECT *, row_number() OVER (
+        |      ORDER BY md5(concat('ivf', CAST(vec_id AS VARCHAR))), vec_id)
+        |      AS crn
+        |    FROM n)
+        |  WHERE crn <= 16),
+        |scored AS (
+        |  SELECT n.vec_id, n.emb, n.nrm, c.cent_id,
+        |    list_reduce(list_prepend(0.0,
+        |        list_zip(n.emb, c.c_emb).apply(p -> p[1] * p[2])),
+        |        (acc, v) -> acc + v) / (n.nrm * c.c_nrm) AS c_cos
+        |  FROM n CROSS JOIN cents c),
+        |assigned AS (
+        |  SELECT cent_id, vec_id, emb, nrm FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY c_cos DESC, cent_id ASC) AS arn
+        |    FROM scored)
+        |  WHERE arn = 1),
+        |pairs AS (
+        |  SELECT a.cent_id, a.vec_id AS a_id, b.vec_id AS b_id,
+        |    list_reduce(list_prepend(0.0,
+        |        list_zip(a.emb, b.emb).apply(p -> p[1] * p[2])),
+        |        (acc, v) -> acc + v) / (a.nrm * b.nrm) AS rawcos
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id)
+        |SELECT a_id, rn, b_id, round(rawcos, 6) AS cos, cent_id FROM (
         |  SELECT *, row_number() OVER (PARTITION BY a_id
         |    ORDER BY rawcos DESC, b_id ASC) AS rn FROM pairs)
         |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,

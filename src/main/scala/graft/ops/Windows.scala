@@ -188,7 +188,43 @@ object Windows {
       .orderBy($"o_custkey", $"rn")
   }
 
+  /** Batch sessionization: a gap of strictly more than 30 min starts
+    * a new session (matching the streaming session-window boundary
+    * pinned in StreamingSpec), sessions numbered per user by a
+    * running sum over boundary flags, then per-session stats. The
+    * batch twin of `q_stream_session`: ONE shuffle on user_id serves
+    * the lag, the numbering and (via partial aggregation) the
+    * session rollup.
+    */
+  def qWinSessionize(s: SparkSession, dir: String): DataFrame =
+    sessionize(t(s, dir, "events"))
+
+  /** Core of [[qWinSessionize]] over any (user_id, event_id, ts)
+    * frame — split out so the spec can pin the exact-30-min boundary
+    * on a synthetic fixture.
+    */
+  private[graft] def sessionize(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("gap",
+        unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(byUser)))
+      .withColumn("new_sess",
+        when($"gap".isNull || $"gap" > 1800L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum($"new_sess")
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_timestamp($"ts")).as("start_sec"),
+        max(unix_timestamp($"ts")).as("end_sec"))
+      .withColumn("dur_sec", $"end_sec" - $"start_sec")
+      .orderBy($"user_id", $"session_seq")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_sessionize" -> (qWinSessionize _),
     "q_win_rownumber" -> (qWinRownumber _),
     "q_win_rank" -> (qWinRank _),
     "q_win_ntile" -> (qWinNtile _),
@@ -202,6 +238,34 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_sessionize" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(date_diff('second',
+        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |      ts) AS BIGINT) AS gap
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM l),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_seq
+        |  FROM f)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  CAST(min(date_diff('second', TIMESTAMP '1970-01-01', ts))
+        |    AS BIGINT) AS start_sec,
+        |  CAST(max(date_diff('second', TIMESTAMP '1970-01-01', ts))
+        |    AS BIGINT) AS end_sec,
+        |  CAST(max(date_diff('second', TIMESTAMP '1970-01-01', ts))
+        |    - min(date_diff('second', TIMESTAMP '1970-01-01', ts))
+        |    AS BIGINT) AS dur_sec
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
+
     "q_win_rownumber" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  row_number() OVER (PARTITION BY o_custkey

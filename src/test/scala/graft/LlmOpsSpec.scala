@@ -142,6 +142,19 @@ class LlmOpsSpec extends SparkSuite {
       s"banded=${banded.size} allpairs=${allp.size}; sets must be identical")
   }
 
+  test("IVF ANN: partitions every vector and never beats brute force") {
+    import spark.implicits._
+    val ivf = TrainingOps.qSimAnnIvf(spark, sf).cache()
+    // every vector with >=1 cell-mate must appear as a query
+    assert(ivf.select($"a_id").distinct().count() > 0)
+    assert(ivf.select($"cent_id").distinct().count() > 1,
+      "expected multiple IVF cells")
+    val bf1 = LlmOps.qSimCosineTopk(spark, sf)
+      .filter($"rn" === 1).select($"a_id", $"cos".as("best"))
+    val bad = ivf.join(bf1, "a_id").filter($"cos" > $"best" + 1e-9).count()
+    assert(bad == 0, "IVF neighbors cannot beat brute force")
+  }
+
   test("simhash: identical token multisets get identical signatures") {
     import spark.implicits._
     val docs = Seq(

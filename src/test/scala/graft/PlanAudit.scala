@@ -15,7 +15,8 @@ object PlanAudit {
   private val representative = Seq(
     "q_agg_groupby", "q_join_multiway", "q_win_topk_group", "q_join_asof",
     "q_stream_session", "q_text_tfidf", "q_dedup_minhash", "q_sim_cosine_topk",
-    "q_sim_ann_lsh", "q_sample_hash")
+    "q_sim_ann_lsh", "q_sim_ann_ivf", "q_dedup_simhash", "q_dedup_ngram",
+    "q_text_ngram", "q_sample_hash")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")

@@ -25,7 +25,7 @@ class RegistrySpec extends SparkSuite {
     // §2.5 windows
     "q_win_rownumber", "q_win_rank", "q_win_ntile", "q_win_lag_lead",
     "q_win_runsum", "q_win_moving", "q_win_rangeframe", "q_win_firstlast",
-    "q_win_distribution", "q_win_topk_group",
+    "q_win_distribution", "q_win_topk_group", "q_win_sessionize",
     // §2.6 sort/limit
     "q_sort_multi", "q_topk_global", "q_limit_offset",
     // §2.7 set ops
@@ -48,6 +48,7 @@ class RegistrySpec extends SparkSuite {
     // training-data extras
     "q_text_langid", "q_text_quality", "q_text_fingerprint", "q_text_tokens",
     "q_dedup_simhash", "q_dedup_ngram", "q_dedup_embed", "q_sim_ann_lsh",
+    "q_sim_ann_ivf",
     "q_sample_hash", "q_split_train_val", "q_multimodal_binary")
 
   /** Approximate / engine-specific-hash ops — deliberately no oracle. */

@@ -26,6 +26,22 @@ class WindowAggSpec extends SparkSuite {
       "expected at least one tie-induced rank/dense_rank divergence")
   }
 
+  test("sessionize splits strictly after 30 min, like the stream boundary") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // user 1: gap of exactly 1800 s stays one session; user 2: 1801 s splits
+    val ev = Seq(
+      (1L, 1L, ts(0L)), (1L, 2L, ts(1800L)),
+      (2L, 3L, ts(0L)), (2L, 4L, ts(1801L)))
+      .toDF("user_id", "event_id", "ts")
+    val out = ops.Windows.sessionize(ev)
+      .select($"user_id", $"session_seq", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 2L), (2L, 1L, 1L), (2L, 2L, 1L)),
+      s"boundary semantics drifted: $out")
+  }
+
   test("ntileRangePartitioned matches the global-window ntile exactly") {
     import spark.implicits._
     val cust = core.t(spark, sf, "customer")
