@@ -13,6 +13,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
+      // answer COUNT/MIN/MAX from parquet footers (exact — row-group
+      // statistics), instead of scanning data pages; at 100 TB this
+      // is the difference between a metadata read and a table scan
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same footer-statistics aggregate pushdown as Bench, so the
+      // correctness gate exercises the plan the bench measures
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
