@@ -291,12 +291,17 @@ object TrainingOps {
     import s.implicits._
     import graft.functions.DotProduct.dot
     val e = LlmOps.normed(s, dir)
+    // orderBy+limit compiles to TakeOrderedAndProject — each task
+    // keeps its local top-16 and only 16·partitions rows reach the
+    // driver-side merge, unlike a global row_number window which
+    // would funnel ALL vectors through one task; the 16-row window
+    // after the limit is trivially cheap
     val seedW = Window.orderBy($"seed_rank", $"vec_id")
     val cents = e
       .withColumn("seed_rank", md5(concat(lit("ivf"), $"vec_id".cast("string"))))
-      .withColumn("crn", row_number().over(seedW))
-      .filter($"crn" <= 16)
-      .select($"crn".as("cent_id"), $"emb".as("c_emb"), $"nrm".as("c_nrm"))
+      .orderBy($"seed_rank", $"vec_id").limit(16)
+      .withColumn("cent_id", row_number().over(seedW))
+      .select($"cent_id", $"emb".as("c_emb"), $"nrm".as("c_nrm"))
     val assignW = Window.partitionBy($"vec_id")
       .orderBy($"c_cos".desc, $"cent_id".asc)
     // cached: both sides of the cell self-join read the assignment —

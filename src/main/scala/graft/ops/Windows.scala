@@ -64,8 +64,14 @@ object Windows {
       ord: org.apache.spark.sql.Column*): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
+    // persisted BEFORE the counts action: repartitionByRange samples
+    // its range boundaries per-execution (seeded from the RDD id), so
+    // without pinning the materialized partitioning, the counts job
+    // and the output job could draw different boundaries and the
+    // offsets would be wrong — correctness, not caching, is why
     val parted = df.repartitionByRange(numParts, ord: _*)
       .withColumn("_pid", spark_partition_id())
+      .persist()
     val counts = parted.groupBy($"_pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = counts.values.sum
@@ -209,10 +215,12 @@ object Windows {
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     events
       .select($"user_id", $"event_id", $"ts")
+      // microsecond gap, not unix_timestamp (whole-second truncation
+      // would merge a 1800.8 s gap the streaming session splits)
       .withColumn("gap",
-        unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(byUser)))
+        unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byUser)))
       .withColumn("new_sess",
-        when($"gap".isNull || $"gap" > 1800L, 1L).otherwise(0L))
+        when($"gap".isNull || $"gap" > 1800000000L, 1L).otherwise(0L))
       .withColumn("session_seq", sum($"new_sess")
         .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy($"user_id", $"session_seq")
@@ -241,13 +249,14 @@ object Windows {
     "q_win_sessionize" ->
       """WITH l AS (
         |  SELECT user_id, event_id, ts,
-        |    CAST(date_diff('second',
+        |    CAST(date_diff('microseconds',
         |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
         |      ts) AS BIGINT) AS gap
         |  FROM events),
         |f AS (
         |  SELECT user_id, event_id, ts,
-        |    CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_sess
+        |    CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END
+        |      AS new_sess
         |  FROM l),
         |s AS (
         |  SELECT user_id, ts,

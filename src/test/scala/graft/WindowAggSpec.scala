@@ -30,15 +30,19 @@ class WindowAggSpec extends SparkSuite {
     import spark.implicits._
     import java.sql.Timestamp
     def ts(sec: Long) = new Timestamp(sec * 1000L)
-    // user 1: gap of exactly 1800 s stays one session; user 2: 1801 s splits
+    // user 1: gap of exactly 1800 s stays one session; user 2: 1801 s
+    // splits; user 3: 1800.8 s must also split (sub-second precision —
+    // whole-second truncation would wrongly merge it)
     val ev = Seq(
       (1L, 1L, ts(0L)), (1L, 2L, ts(1800L)),
-      (2L, 3L, ts(0L)), (2L, 4L, ts(1801L)))
+      (2L, 3L, ts(0L)), (2L, 4L, ts(1801L)),
+      (3L, 5L, new Timestamp(100L)), (3L, 6L, new Timestamp(1800900L)))
       .toDF("user_id", "event_id", "ts")
     val out = ops.Windows.sessionize(ev)
       .select($"user_id", $"session_seq", $"n_events")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(out == Set((1L, 1L, 2L), (2L, 1L, 1L), (2L, 2L, 1L)),
+    assert(out == Set((1L, 1L, 2L), (2L, 1L, 1L), (2L, 2L, 1L),
+        (3L, 1L, 1L), (3L, 2L, 1L)),
       s"boundary semantics drifted: $out")
   }
 

@@ -87,13 +87,11 @@ def compare(got: pd.DataFrame, want: pd.DataFrame):
         return False, f"row count differs: spark={len(got)} oracle={len(want)}"
     for c in got.columns:
         g, w = got[c], want[c]
-        # duckdb can hand back DECIMAL sums as object dtype; resolve those to
-        # a real numeric dtype first so the strict check below sees the truth
-        if g.dtype == object and kind(w) in ("int", "float"):
-            try:
-                g = pd.to_numeric(g, errors="raise")
-            except Exception:
-                pass
+        # duckdb can hand back DECIMAL sums as object dtype; resolve the
+        # ORACLE side only — a Spark column is object dtype iff it is
+        # genuinely non-numeric (string/array/struct), and coercing it
+        # would reopen the exact representation-drift hole this gate
+        # exists to close (the driver hashes the raw string '1265', not 1265)
         if w.dtype == object and kind(g) in ("int", "float"):
             try:
                 w = pd.to_numeric(w, errors="raise")
@@ -102,7 +100,7 @@ def compare(got: pd.DataFrame, want: pd.DataFrame):
         # strict: int-vs-float (or bool) drift fails — the driver hashes raw
         # values, so 1265 vs 1265.0 is a real t2 failure (VERDICT r1 items 1-2)
         kg, kw = kind(g), kind(w)
-        if kg != kw and "other" not in (kg, kw):
+        if kg != kw and not (kg == "other" and kw == "other"):
             return False, (f"col {c} dtype mismatch: spark={got[c].dtype}"
                            f"({kg}) oracle={want[c].dtype}({kw})")
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
