@@ -173,6 +173,28 @@ object Aggregates {
       .orderBy($"o_orderstatus")
   }
 
+  /** Exact distinct counting via bitmap aggregation (Spark 4 bitmap
+    * fns): each key maps to (bucket, bit position); per-bucket
+    * bitmaps OR-merge associatively — map-side combinable with
+    * FIXED-SIZE partial state, unlike countDistinct whose partials
+    * carry the key sets. The roaring-bitmap shape engines use for
+    * distinct at scale. Oracle: plain count(DISTINCT) — same values.
+    */
+  def qAggBitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type",
+        expr("bitmap_bucket_number(user_id)").as("bkt"),
+        expr("bitmap_bit_position(user_id)").as("pos"))
+      .groupBy($"event_type", $"bkt")
+      .agg(expr("bitmap_count(bitmap_construct_agg(pos))").as("bucket_n"),
+        count(lit(1)).as("bucket_rows"))
+      .groupBy($"event_type")
+      .agg(sum($"bucket_n").as("n_users"),
+        sum($"bucket_rows").as("n_events"))
+      .orderBy($"event_type")
+  }
+
   /** Boolean aggregates: every / any / count_if per group. */
   def qAggBool(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -221,6 +243,7 @@ object Aggregates {
     "q_agg_bool" -> (qAggBool _),
     "q_agg_histogram" -> (qAggHistogram _),
     "q_agg_argmax" -> (qAggArgmax _),
+    "q_agg_bitmap_distinct" -> (qAggBitmapDistinct _),
     "q_agg_try_arith" -> (qAggTryArith _),
     "q_agg_approx_hll" -> (qAggApproxHll _),
     "q_agg_approx_quantile" -> (qAggApproxQuantile _)
@@ -312,6 +335,12 @@ object Aggregates {
         |    AS price_per_disc,
         |  CAST(round(l_discount*100) AS BIGINT) = 0 AS is_div0
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_agg_bitmap_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_agg_bool" ->
       """SELECT l_returnflag,

@@ -305,6 +305,28 @@ object Relational {
       .orderBy($"r_name", $"n_name")
   }
 
+  /** Correlated LATERAL derived table (SQL front end — the DataFrame
+    * API has no lateral): top-2 orders by totalprice among each
+    * nation's customers. Catalyst decorrelates the LATERAL + LIMIT
+    * into a ranked join, so no per-outer-row re-execution happens —
+    * at scale this is one shuffle, not n_nation subqueries.
+    */
+  def qJoinLateral(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("lat_nation")
+    t(s, dir, "customer").createOrReplaceTempView("lat_customer")
+    t(s, dir, "orders").createOrReplaceTempView("lat_orders")
+    s.sql("""
+      SELECT n.n_name, t.o_orderkey, t.total_c
+      FROM lat_nation n,
+      LATERAL (
+        SELECT o.o_orderkey,
+               CAST(round(o.o_totalprice*100) AS BIGINT) AS total_c
+        FROM lat_orders o JOIN lat_customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
+      ORDER BY n.n_name, t.total_c DESC, t.o_orderkey""")
+  }
+
   // --------------------------------------------------------- §2.4 aggregates
 
   /** Ungrouped global aggregates, cents-exact. */
@@ -503,6 +525,7 @@ object Relational {
     "q_join_range" -> (qJoinRange _),
     "q_join_asof" -> (qJoinAsof _),
     "q_join_multiway" -> (qJoinMultiway _),
+    "q_join_lateral" -> (qJoinLateral _),
     "q_agg_global" -> (qAggGlobal _),
     "q_agg_groupby" -> (qAggGroupby _),
     "q_agg_distinct" -> (qAggDistinct _),
@@ -702,6 +725,17 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_lateral" ->
+      """SELECT n.n_name, t.o_orderkey, t.total_c
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT o.o_orderkey,
+        |         CAST(round(o.o_totalprice*100) AS BIGINT) AS total_c
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
+        |ORDER BY n.n_name, t.total_c DESC, t.o_orderkey""".stripMargin,
 
     "q_agg_global" ->
       s"""SELECT count(*) AS n_rows,

@@ -15,13 +15,13 @@ class RegistrySpec extends SparkSuite {
     "q_join_inner", "q_join_broadcast", "q_join_merge_large", "q_join_left",
     "q_join_right", "q_join_full", "q_join_semi", "q_join_anti",
     "q_join_cross", "q_join_theta", "q_join_range", "q_join_asof",
-    "q_join_multiway",
+    "q_join_multiway", "q_join_lateral",
     // §2.4 aggregates
     "q_agg_global", "q_agg_groupby", "q_agg_distinct", "q_agg_multidistinct",
     "q_agg_having", "q_agg_rollup", "q_agg_cube", "q_agg_groupingsets",
     "q_agg_stats", "q_agg_collect", "q_agg_approx_hll", "q_agg_approx_quantile",
     "q_agg_percentile", "q_agg_bool", "q_agg_histogram", "q_agg_try_arith",
-    "q_agg_argmax",
+    "q_agg_argmax", "q_agg_bitmap_distinct",
     // §2.5 windows
     "q_win_rownumber", "q_win_rank", "q_win_ntile", "q_win_lag_lead",
     "q_win_runsum", "q_win_moving", "q_win_rangeframe", "q_win_firstlast",
