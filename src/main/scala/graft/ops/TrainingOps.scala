@@ -229,6 +229,60 @@ object TrainingOps {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the
+    * [[qDedupNgram]] pair graph, labels = min reachable doc_id —
+    * the step a real dedup pipeline runs after pair generation
+    * (keep one doc per cluster, not per pair). Iterative min-label
+    * propagation: each round a node takes the min of its own and its
+    * neighbors' labels; converges in ≤ graph-diameter rounds
+    * (near-dup clusters are clique-ish, so a handful). The driver
+    * loop only controls iteration (count per round — the same
+    * pattern GraphX/ALS use); data never leaves executors, and
+    * `localCheckpoint` truncates the growing lineage each round.
+    * Oracle: DuckDB recursive-CTE reachability closure + min.
+    */
+  def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels =
+      connectedComponents(qDedupNgram(s, dir).select($"a_id", $"b_id"))
+    val sizeW = Window.partitionBy($"component")
+    labels.select($"node".as("doc_id"), $"comp".as("component"))
+      .withColumn("n_members", count(lit(1)).over(sizeW))
+      .orderBy($"doc_id")
+  }
+
+  /** Min-label propagation over an (a_id, b_id) edge frame →
+    * (node, comp) with comp = min reachable node id. Split out so the
+    * spec can pin the semantics on synthetic graphs.
+    */
+  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val und = edges
+      .union(edges.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+      .toDF("x", "y").cache()
+    var labels = und.select($"x".as("node")).distinct()
+      .withColumn("comp", $"node").localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val neigh = und.join(labels, und("y") === labels("node"))
+        .groupBy($"x").agg(min($"comp").as("ncomp"))
+      // carry the previous label through the (eager) checkpoint so
+      // convergence is a scan of the materialized frame, not another
+      // shuffle join per round
+      val next = labels.join(neigh, labels("node") === neigh("x"), "left")
+        .select($"node", $"comp".as("prev"),
+          least($"comp", coalesce($"ncomp", $"comp")).as("comp"))
+        .localCheckpoint()
+      converged = next.filter($"comp" =!= $"prev").isEmpty
+      labels = next.select($"node", $"comp")
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ 0.5, a < b). */
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -405,6 +459,7 @@ object TrainingOps {
     "q_text_tokens" -> (qTextTokens _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_components" -> (qDedupComponents _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
@@ -412,6 +467,47 @@ object TrainingOps {
     "q_split_train_val" -> (qSplitTrainVal _),
     "q_multimodal_binary" -> (qMultimodalBinary _)
   )
+
+  /** q_dedup_ngram's oracle, shared: q_dedup_components embeds it as
+    * the edge-set CTE of its recursive closure.
+    */
+  private val NgramOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+      |    unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |big AS (
+      |  SELECT DISTINCT a.doc_id, a.lang, a.source,
+      |    concat(a.word, ' ', b.word) AS bigram
+      |  FROM tok a JOIN tok b
+      |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      |blockn AS (
+      |  SELECT lang, source, count(*) AS n_block
+      |  FROM documents GROUP BY 1, 2),
+      |dfc AS (
+      |  SELECT lang, source, bigram, count(*) AS df
+      |  FROM big GROUP BY 1, 2, 3),
+      |kept AS (
+      |  SELECT b.doc_id, b.lang, b.source, b.bigram
+      |  FROM big b
+      |  JOIN dfc USING (lang, source, bigram)
+      |  JOIN blockn USING (lang, source)
+      |  WHERE dfc.df <= greatest(5, n_block // 4)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      |  FROM kept a JOIN kept b
+      |    ON a.bigram = b.bigram AND a.lang = b.lang
+      |   AND a.source = b.source AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id, inter,
+      |  round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON inter.a_id = sa.doc_id
+      |JOIN sizes sb ON inter.b_id = sb.doc_id
+      |WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
+      |ORDER BY a_id, b_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_text_langid" ->
@@ -487,43 +583,23 @@ object TrainingOps {
         |    '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE), 6) AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q_dedup_ngram" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang, source,
-        |    CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
-        |    unnest(string_split(text, ' ')) AS word
-        |  FROM documents),
-        |big AS (
-        |  SELECT DISTINCT a.doc_id, a.lang, a.source,
-        |    concat(a.word, ' ', b.word) AS bigram
-        |  FROM tok a JOIN tok b
-        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
-        |blockn AS (
-        |  SELECT lang, source, count(*) AS n_block
-        |  FROM documents GROUP BY 1, 2),
-        |dfc AS (
-        |  SELECT lang, source, bigram, count(*) AS df
-        |  FROM big GROUP BY 1, 2, 3),
-        |kept AS (
-        |  SELECT b.doc_id, b.lang, b.source, b.bigram
-        |  FROM big b
-        |  JOIN dfc USING (lang, source, bigram)
-        |  JOIN blockn USING (lang, source)
-        |  WHERE dfc.df <= greatest(5, n_block // 4)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-        |  FROM kept a JOIN kept b
-        |    ON a.bigram = b.bigram AND a.lang = b.lang
-        |   AND a.source = b.source AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT a_id, b_id, inter,
-        |  round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON inter.a_id = sa.doc_id
-        |JOIN sizes sb ON inter.b_id = sb.doc_id
-        |WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2
-        |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_ngram" -> NgramOracleSql,
+
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE pairs AS ($NgramOracleSql),
+        |und AS (
+        |  SELECT a_id AS x, b_id AS y FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |walk(x, y) AS (
+        |  SELECT x, y FROM und
+        |  UNION
+        |  SELECT w.x, u.y FROM walk w JOIN und u ON w.y = u.x),
+        |comp AS (
+        |  SELECT x AS doc_id, least(x, min(y)) AS component
+        |  FROM walk GROUP BY x)
+        |SELECT doc_id, component,
+        |  count(*) OVER (PARTITION BY component) AS n_members
+        |FROM comp ORDER BY doc_id""".stripMargin,
 
     "q_dedup_embed" ->
       """WITH e AS (

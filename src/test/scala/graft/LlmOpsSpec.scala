@@ -11,7 +11,8 @@ class LlmOpsSpec extends SparkSuite {
 
   private val rowsExpected =
     (LlmOps.queries ++ TrainingOps.queries) -
-      ("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed", "q_dedup_ngram")
+      ("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed", "q_dedup_ngram",
+        "q_dedup_components")
 
   for ((name, fn) <- rowsExpected) {
     test(s"$name runs and returns rows at sf0.001") {
@@ -20,7 +21,7 @@ class LlmOpsSpec extends SparkSuite {
   }
 
   for (name <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed",
-      "q_dedup_ngram")) {
+      "q_dedup_ngram", "q_dedup_components")) {
     test(s"$name runs (pairs may legitimately be empty at sf0.001)") {
       assert(SparkEntry.queries(name)(spark, sf).count() >= 0)
     }
@@ -165,6 +166,19 @@ class LlmOpsSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(sig(1L) == sig(2L), "identical docs must collide")
     assert(sig(1L) != sig(3L), "distinct docs should (generically) differ")
+  }
+
+  test("connected components: min-label propagation over a known graph") {
+    import spark.implicits._
+    // two chains and a singleton-free isolated pair:
+    // {1-2, 2-3, 3-4} -> comp 1; {10-11} -> comp 10; {7-8, 8-9} -> comp 7
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (8L, 7L),
+      (9L, 8L)).toDF("a_id", "b_id")
+    val got = TrainingOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 7L -> 7L, 8L -> 7L, 9L -> 7L)
+    assert(got == want, s"got $got")
   }
 
   test("quality score stays in [0, 1]") {

@@ -47,8 +47,8 @@ class RegistrySpec extends SparkSuite {
     "q_sim_knn_label", "q_multimodal_join",
     // training-data extras
     "q_text_langid", "q_text_quality", "q_text_fingerprint", "q_text_tokens",
-    "q_dedup_simhash", "q_dedup_ngram", "q_dedup_embed", "q_sim_ann_lsh",
-    "q_sim_ann_ivf",
+    "q_dedup_simhash", "q_dedup_ngram", "q_dedup_components",
+    "q_dedup_embed", "q_sim_ann_lsh", "q_sim_ann_ivf",
     "q_sample_hash", "q_split_train_val", "q_multimodal_binary")
 
   /** Approximate / engine-specific-hash ops — deliberately no oracle. */
