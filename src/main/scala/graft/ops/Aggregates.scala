@@ -195,6 +195,35 @@ object Aggregates {
       .orderBy($"event_type")
   }
 
+  /** Robust outlier detection per event_type: median/MAD (median
+    * absolute deviation), flag |v − med| > 3·MAD. Bit-deterministic
+    * across engines WITHOUT rounding tricks: values are integer
+    * cents, so the interpolated median is an exact half-integer
+    * (k/2), absolute deviations are exact halves, and the MAD is an
+    * exact quarter (k/4) — all binary-representable, so the threshold
+    * compare cannot straddle an ulp. The data-quality gate a real
+    * ingest pipeline runs per batch.
+    */
+  def qAggOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"event_type", cents($"value").as("v_c"))
+    val med = ev.groupBy($"event_type")
+      .agg(expr("percentile(v_c, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs($"v_c" - $"med"))
+    val mad = dev.groupBy($"event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        r4(max($"med") / 100.0).as("med"),
+        r4(max($"mad") / 100.0).as("mad"),
+        sum(when($"adev" > lit(3.0) * $"mad", 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy($"event_type")
+  }
+
   /** Boolean aggregates: every / any / count_if per group. */
   def qAggBool(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -244,6 +273,7 @@ object Aggregates {
     "q_agg_histogram" -> (qAggHistogram _),
     "q_agg_argmax" -> (qAggArgmax _),
     "q_agg_bitmap_distinct" -> (qAggBitmapDistinct _),
+    "q_agg_outliers" -> (qAggOutliers _),
     "q_agg_try_arith" -> (qAggTryArith _),
     "q_agg_approx_hll" -> (qAggApproxHll _),
     "q_agg_approx_quantile" -> (qAggApproxQuantile _)
@@ -335,6 +365,27 @@ object Aggregates {
         |    AS price_per_disc,
         |  CAST(round(l_discount*100) AS BIGINT) = 0 AS is_div0
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_agg_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS v_c
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, quantile_cont(v_c, 0.5) AS med
+        |  FROM ev GROUP BY 1),
+        |dev AS (
+        |  SELECT ev.event_type, v_c, med, abs(v_c - med) AS adev
+        |  FROM ev JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n,
+        |  round(max(d.med) / 100.0, 4) AS med,
+        |  round(max(m.mad) / 100.0, 4) AS mad,
+        |  CAST(sum(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     "q_agg_bitmap_distinct" ->
       """SELECT event_type,

@@ -103,6 +103,30 @@ object Scalars {
       .orderBy($"event_id")
   }
 
+  /** Weekly retention cohorts: users active in ISO week w who are
+    * also active in week w+1 (`date_trunc('week')` is Monday-based in
+    * BOTH engines — unlike weekofyear/dayofweek numbering, which
+    * differs and is banned, SURVEY §2.8). The cohort self-join is on
+    * (user, exact next week) — equi keys, shuffle-friendly; the
+    * distinct active-set is the only wide state and it's (user, week)
+    * — bounded by activity, not events.
+    */
+  def qTsRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val active = t(s, dir, "events")
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("week"))
+      .distinct()
+    val nxt = active.select($"user_id".as("u2"), $"week".as("wk2"))
+    active.join(nxt,
+        $"user_id" === $"u2" && $"wk2" === date_add($"week", 7), "left")
+      .groupBy($"week")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when($"u2".isNotNull, 1L).otherwise(0L)).as("n_retained"))
+      .select($"week", $"n_active", $"n_retained",
+        r6($"n_retained" / $"n_active".cast("double")).as("retention"))
+      .orderBy($"week")
+  }
+
   def qMathFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "events")
@@ -318,6 +342,7 @@ object Scalars {
     "q_date_parts" -> (qDateParts _),
     "q_date_arith" -> (qDateArith _),
     "q_ts_funcs" -> (qTsFuncs _),
+    "q_ts_retention" -> (qTsRetention _),
     "q_math_funcs" -> (qMathFuncs _),
     "q_cond_funcs" -> (qCondFuncs _),
     "q_cast_funcs" -> (qCastFuncs _),
@@ -397,6 +422,20 @@ object Scalars {
         |    AS epoch_s,
         |  date_trunc('hour', ts)::TIMESTAMP AS hour_start
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_ts_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week
+        |  FROM events)
+        |SELECT a.week,
+        |  count(*) AS n_active,
+        |  CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_retained,
+        |  round(CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS retention
+        |FROM active a LEFT JOIN active b
+        |  ON a.user_id = b.user_id AND b.week = a.week + 7
+        |GROUP BY a.week ORDER BY a.week""".stripMargin,
 
     "q_math_funcs" ->
       """SELECT event_id, x,

@@ -21,7 +21,7 @@ class RegistrySpec extends SparkSuite {
     "q_agg_having", "q_agg_rollup", "q_agg_cube", "q_agg_groupingsets",
     "q_agg_stats", "q_agg_collect", "q_agg_approx_hll", "q_agg_approx_quantile",
     "q_agg_percentile", "q_agg_bool", "q_agg_histogram", "q_agg_try_arith",
-    "q_agg_argmax", "q_agg_bitmap_distinct",
+    "q_agg_argmax", "q_agg_bitmap_distinct", "q_agg_outliers",
     // §2.5 windows
     "q_win_rownumber", "q_win_rank", "q_win_ntile", "q_win_lag_lead",
     "q_win_runsum", "q_win_moving", "q_win_rangeframe", "q_win_firstlast",
@@ -33,7 +33,8 @@ class RegistrySpec extends SparkSuite {
     "q_set_by_name",
     // §2.8 scalars
     "q_str_basic", "q_str_split", "q_str_regexp", "q_str_like",
-    "q_date_parts", "q_date_arith", "q_ts_funcs", "q_math_funcs",
+    "q_date_parts", "q_date_arith", "q_ts_funcs", "q_ts_retention",
+    "q_math_funcs",
     "q_cond_funcs", "q_cast_funcs", "q_array_funcs", "q_array_hof",
     "q_explode", "q_explode_outer", "q_map_funcs", "q_json_extract",
     "q_struct_funcs", "q_str_encode", "q_date_seq", "q_math_bitwise",
