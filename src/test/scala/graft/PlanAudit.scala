@@ -13,8 +13,10 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 object PlanAudit {
 
   private val representative = Seq(
-    "q_agg_groupby", "q_join_multiway", "q_win_topk_group", "q_join_asof",
-    "q_stream_session", "q_text_tfidf", "q_dedup_minhash", "q_sim_cosine_topk",
+    "q_agg_groupby", "q_join_multiway", "q_join_lateral", "q_win_topk_group",
+    "q_win_sessionize", "q_join_asof", "q_stream_session", "q_text_tfidf",
+    "q_agg_bitmap_distinct", "q_agg_outliers", "q_ts_retention",
+    "q_dedup_minhash", "q_sim_cosine_topk",
     "q_sim_ann_lsh", "q_sim_ann_ivf", "q_dedup_simhash", "q_dedup_ngram",
     "q_text_ngram", "q_sample_hash")
 
