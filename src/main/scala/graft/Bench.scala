@@ -39,6 +39,11 @@ object Bench {
           try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
           val dt = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
+          // clearCache only covers CacheManager entries; localCheckpoint
+          // blocks (iterative ops) register as persistent RDDs and would
+          // otherwise pin storage memory into later queries
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
           dt
         }
         name -> times.min

@@ -22,8 +22,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop intra-query caches between keys (see Bench)
+      // drop intra-query caches between keys (see Bench) — including
+      // localCheckpoint RDD blocks, which clearCache doesn't touch
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

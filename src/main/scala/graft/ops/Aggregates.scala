@@ -210,8 +210,11 @@ object Aggregates {
       .select($"event_type", cents($"value").as("v_c"))
     val med = ev.groupBy($"event_type")
       .agg(expr("percentile(v_c, 0.5)").as("med"))
+    // cached: dev feeds the MAD aggregation AND the final rollup —
+    // uncached, the events scan + median percentile would run twice
     val dev = ev.join(broadcast(med), "event_type")
       .withColumn("adev", abs($"v_c" - $"med"))
+      .cache()
     val mad = dev.groupBy($"event_type")
       .agg(expr("percentile(adev, 0.5)").as("mad"))
     dev.join(broadcast(mad), "event_type")

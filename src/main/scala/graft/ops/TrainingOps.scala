@@ -258,8 +258,11 @@ object TrainingOps {
   private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val und = edges
-      .union(edges.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+    // materialize the (possibly expensive) edge pipeline ONCE before
+    // the union duplicates its lineage into both branches
+    val e = edges.localCheckpoint()
+    val und = e
+      .union(e.select($"b_id".as("a_id"), $"a_id".as("b_id")))
       .toDF("x", "y").cache()
     var labels = und.select($"x".as("node")).distinct()
       .withColumn("comp", $"node").localCheckpoint()
@@ -279,6 +282,13 @@ object TrainingOps {
       labels = next.select($"node", $"comp")
       iter += 1
     }
+    // a silent cap hit would return labels that are NOT the min
+    // reachable id and diverge from the oracle with no hint why —
+    // fail loudly instead (50 rounds = graph diameter 50; near-dup
+    // clusters are clique-ish, so hitting this means the edge set is
+    // not a near-dup graph)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $iter rounds")
     und.unpersist()
     labels
   }

@@ -36,7 +36,12 @@ object core {
   def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
   /** Deterministic double output: round at the very end, same depth
-    * as the oracle SQL.
+    * as the oracle SQL. Spark `round` = HALF_UP, which MATCHES DuckDB
+    * `round` on DOUBLE inputs (half-away-from-zero — verified:
+    * `round(0.5623125::DOUBLE, 6)` → 0.562313 in both engines; the
+    * HALF_EVEN behavior often attributed to DuckDB applies to DECIMAL
+    * inputs only). `bround` (HALF_EVEN) would DIVERGE at double
+    * midpoints — the sf0.01 q_text_quality fixture actually hits one.
     */
   def r4(c: Column): Column = round(c, 4)
   def r6(c: Column): Column = round(c, 6)
