@@ -46,6 +46,23 @@ class WindowAggSpec extends SparkSuite {
       s"boundary semantics drifted: $out")
   }
 
+  test("batch sessionize agrees with session_window on session counts") {
+    import spark.implicits._
+    // both merge a touching 30-min gap and split strictly greater —
+    // two independent formulations (lag+runsum vs session_window)
+    // must count the same sessions per user
+    val viaWin = ops.Windows.qWinSessionize(spark, sf)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"))
+    val viaSessionWindow = ops.core.t(spark, sf, "events")
+      .groupBy($"user_id",
+        session_window($"ts", "30 minutes"))
+      .count()
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"))
+    assert(viaWin.exceptAll(viaSessionWindow).count() == 0 &&
+      viaSessionWindow.exceptAll(viaWin).count() == 0,
+      "sessionize and session_window must produce identical session counts")
+  }
+
   test("ntileRangePartitioned matches the global-window ntile exactly") {
     import spark.implicits._
     val cust = core.t(spark, sf, "customer")
