@@ -10,6 +10,19 @@ import graft.ops.core
   */
 class TopKAggregatorSpec extends SparkSuite {
 
+  test("TopKNeighbors ranks by (rawcos desc, bId asc) with bounded buffers") {
+    import graft.functions.{Neighbor, TopKNeighbors}
+    val agg = new TopKNeighbors(2)
+    val items = Seq(
+      Neighbor(5L, 1, 0.9), Neighbor(3L, 1, 0.9), // tie -> smaller id first
+      Neighbor(9L, 2, 0.95), Neighbor(7L, 0, 0.1), Neighbor(2L, 0, 0.5))
+    // run through reduce (exercises the amortized trim) then finish
+    val buf = items.foldLeft(agg.zero)(agg.reduce)
+    val out = agg.finish(agg.merge(agg.zero, buf))
+    assert(out == Seq(Neighbor(9L, 2, 0.95), Neighbor(3L, 1, 0.9)),
+      s"got $out")
+  }
+
   test("TopKAggregator(3) matches row_number()<=3 per customer") {
     import spark.implicits._
     val orders = core.t(spark, sf, "orders")
