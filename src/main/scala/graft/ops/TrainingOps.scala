@@ -233,13 +233,15 @@ object TrainingOps {
     * [[qDedupNgram]] pair graph, labels = min reachable doc_id —
     * the step a real dedup pipeline runs after pair generation
     * (keep one doc per cluster, not per pair). Iterative min-label
-    * propagation: each round a node takes the min of its own and its
-    * neighbors' labels; converges in ≤ graph-diameter rounds
-    * (near-dup clusters are clique-ish, so a handful). The driver
-    * loop only controls iteration (count per round — the same
-    * pattern GraphX/ALS use); data never leaves executors, and
-    * `localCheckpoint` truncates the growing lineage each round.
-    * Oracle: DuckDB recursive-CTE reachability closure + min.
+    * propagation WITH pointer jumping: each round a node takes the
+    * min of its own, its neighbors', and its current label's label —
+    * the jump halves the remaining depth, so convergence is
+    * O(log diameter) (a 100k-node chain needs ~17 rounds, not 100k).
+    * The driver loop only controls iteration (one convergence scan
+    * per round — the same pattern GraphX/ALS use); data never leaves
+    * executors, and `localCheckpoint` truncates the growing lineage
+    * each round. Oracle: DuckDB recursive-CTE reachability closure +
+    * min.
     */
   def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -271,22 +273,36 @@ object TrainingOps {
     while (!converged && iter < 50) {
       val neigh = und.join(labels, und("y") === labels("node"))
         .groupBy($"x").agg(min($"comp").as("ncomp"))
-      // carry the previous label through the (eager) checkpoint so
-      // convergence is a scan of the materialized frame, not another
-      // shuffle join per round
-      val next = labels.join(neigh, labels("node") === neigh("x"), "left")
+      val stepped = labels.join(neigh, labels("node") === neigh("x"), "left")
         .select($"node", $"comp".as("prev"),
           least($"comp", coalesce($"ncomp", $"comp")).as("comp"))
-        .localCheckpoint()
+      // pointer jumping: also adopt the label OF my current label —
+      // halves the remaining propagation depth every round, so
+      // convergence is O(log diameter), not O(diameter): a 100k-long
+      // chain needs ~17 rounds, not 100k. Skipped for the first two
+      // rounds: clique-ish near-dup graphs converge before it helps,
+      // and the extra join would be pure overhead there. Carry the
+      // previous label through the (eager) checkpoint so convergence
+      // is a scan of the materialized frame, not another shuffle
+      // join per round.
+      val jumped =
+        if (iter < 2) stepped
+        else stepped.as("l")
+          .join(stepped.select($"node".as("pnode"), $"comp".as("pcomp")).as("p"),
+            col("l.comp") === col("pnode"), "left")
+          .select(col("l.node").as("node"), col("l.prev").as("prev"),
+            least(col("l.comp"), coalesce(col("pcomp"), col("l.comp")))
+              .as("comp"))
+      val next = jumped.localCheckpoint()
       converged = next.filter($"comp" =!= $"prev").isEmpty
       labels = next.select($"node", $"comp")
       iter += 1
     }
     // a silent cap hit would return labels that are NOT the min
     // reachable id and diverge from the oracle with no hint why —
-    // fail loudly instead (50 rounds = graph diameter 50; near-dup
-    // clusters are clique-ish, so hitting this means the edge set is
-    // not a near-dup graph)
+    // fail loudly instead (with pointer jumping, 50 rounds covers a
+    // diameter around 2^50; hitting the cap means something is
+    // structurally wrong, not that the graph is big)
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $iter rounds")
     und.unpersist()

@@ -181,6 +181,18 @@ class LlmOpsSpec extends SparkSuite {
     assert(got == want, s"got $got")
   }
 
+  test("connected components: pointer jumping handles a deep chain fast") {
+    import spark.implicits._
+    // a 2000-node single chain has diameter 1999 — plain propagation
+    // would blow the 50-round cap; pointer jumping needs ~11 rounds
+    val edges = spark.range(1, 2000L)
+      .select(($"id" - 1).as("a_id"), $"id".as("b_id"))
+    val got = TrainingOps.connectedComponents(edges)
+    assert(got.select($"comp").distinct().count() == 1)
+    assert(got.filter($"comp" =!= 0L).count() == 0,
+      "every node must label to the chain minimum 0")
+  }
+
   test("quality score stays in [0, 1]") {
     import spark.implicits._
     val q = TrainingOps.qTextQuality(spark, sf)
