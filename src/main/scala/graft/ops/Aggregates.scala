@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import core._
@@ -195,6 +196,24 @@ object Aggregates {
       .orderBy($"event_type")
   }
 
+  /** Deterministic mode (most frequent value) per group — NOT the
+    * built-in `mode()`, which picks an arbitrary value on frequency
+    * ties in both engines; rank on (count desc, value asc) instead.
+    */
+  def qAggMode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = t(s, dir, "orders")
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"cnt".desc, $"o_orderpriority".asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_orderstatus", $"o_orderpriority".as("mode_priority"),
+        $"cnt")
+      .orderBy($"o_orderstatus")
+  }
+
   /** Robust outlier detection per event_type: median/MAD (median
     * absolute deviation), flag |v − med| > 3·MAD. Bit-deterministic
     * across engines WITHOUT rounding tricks: values are integer
@@ -277,6 +296,7 @@ object Aggregates {
     "q_agg_argmax" -> (qAggArgmax _),
     "q_agg_bitmap_distinct" -> (qAggBitmapDistinct _),
     "q_agg_outliers" -> (qAggOutliers _),
+    "q_agg_mode" -> (qAggMode _),
     "q_agg_try_arith" -> (qAggTryArith _),
     "q_agg_approx_hll" -> (qAggApproxHll _),
     "q_agg_approx_quantile" -> (qAggApproxQuantile _)
@@ -368,6 +388,15 @@ object Aggregates {
         |    AS price_per_disc,
         |  CAST(round(l_discount*100) AS BIGINT) = 0 AS is_div0
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_agg_mode" ->
+      """SELECT o_orderstatus, mode_priority, cnt FROM (
+        |  SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |    count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
 
     "q_agg_outliers" ->
       """WITH ev AS (

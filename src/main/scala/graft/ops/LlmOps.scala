@@ -259,6 +259,28 @@ object LlmOps {
       .orderBy($"a_id")
   }
 
+  /** Per-label embedding centroids, element-wise: posexplode the
+    * vectors, aggregate exact fixed-point sums per (label, dim),
+    * divide once — the class-centroid computation that seeds
+    * k-means / builds IVF cells / powers nearest-centroid
+    * classifiers. One shuffle keyed by (label, dim): n·d rows in,
+    * |labels|·d out, partials combine map-side. Decimal sums make the
+    * result independent of aggregation order (same rule as
+    * [[qMultimodalJoin]]).
+    */
+  def qAggVectorCentroid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .select($"label", posexplode(
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE), 8) AS DECIMAL(20, 8)))"))
+        .as(Seq("dim", "v")))
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .select($"label", ($"dim" + 1).as("dim"), $"n",
+        r6($"s".cast("double") / $"n").as("c"))
+      .orderBy($"label", $"dim")
+  }
+
   /** documents ⋈ embeddings on doc_id = vec_id (text + vector as one
     * multimodal row) with per-language stats over leading components.
     * Component sums go through fixed-point decimals so the aggregation
@@ -296,7 +318,8 @@ object LlmOps {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_sim_cosine_topk" -> (qSimCosineTopk _),
     "q_sim_knn_label" -> (qSimKnnLabel _),
-    "q_multimodal_join" -> (qMultimodalJoin _)
+    "q_multimodal_join" -> (qMultimodalJoin _),
+    "q_agg_vector_centroid" -> (qAggVectorCentroid _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -347,6 +370,17 @@ object LlmOps {
         |    ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1 ORDER BY lang, n_chars""".stripMargin,
+
+    "q_agg_vector_centroid" ->
+      """WITH x AS (
+        |  SELECT label,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE), 8)
+        |      AS DECIMAL(20, 8)) AS v
+        |  FROM embeddings)
+        |SELECT label, dim, count(*) AS n,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS c
+        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     "q_sim_cosine_topk" ->
       """WITH e AS (

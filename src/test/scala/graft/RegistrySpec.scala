@@ -21,7 +21,7 @@ class RegistrySpec extends SparkSuite {
     "q_agg_having", "q_agg_rollup", "q_agg_cube", "q_agg_groupingsets",
     "q_agg_stats", "q_agg_collect", "q_agg_approx_hll", "q_agg_approx_quantile",
     "q_agg_percentile", "q_agg_bool", "q_agg_histogram", "q_agg_try_arith",
-    "q_agg_argmax", "q_agg_bitmap_distinct", "q_agg_outliers",
+    "q_agg_argmax", "q_agg_bitmap_distinct", "q_agg_outliers", "q_agg_mode",
     // §2.5 windows
     "q_win_rownumber", "q_win_rank", "q_win_ntile", "q_win_lag_lead",
     "q_win_runsum", "q_win_moving", "q_win_rangeframe", "q_win_firstlast",
@@ -45,7 +45,7 @@ class RegistrySpec extends SparkSuite {
     // §2.10 LLM ops
     "q_text_wordcount", "q_text_tfidf", "q_text_ngram", "q_text_stats",
     "q_dedup_exact", "q_dedup_minhash", "q_sim_cosine_topk",
-    "q_sim_knn_label", "q_multimodal_join",
+    "q_sim_knn_label", "q_multimodal_join", "q_agg_vector_centroid",
     // training-data extras
     "q_text_langid", "q_text_quality", "q_text_fingerprint", "q_text_tokens",
     "q_dedup_simhash", "q_dedup_ngram", "q_dedup_components",
