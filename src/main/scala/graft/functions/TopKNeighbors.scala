@@ -22,8 +22,14 @@ case class Neighbor(bId: Long, bLabel: Int, rawcos: Double)
 class TopKNeighbors(k: Int)
     extends Aggregator[Neighbor, ArrayBuffer[Neighbor], Seq[Neighbor]] {
 
-  private def better(a: Neighbor, b: Neighbor): Boolean =
-    a.rawcos > b.rawcos || (a.rawcos == b.rawcos && a.bId < b.bId)
+  // java.lang.Double.compare gives a TOTAL order (NaN greater than
+  // everything — matching Spark's desc sort, which also ranks NaN
+  // first); a bare `>` is not a strict weak ordering under NaN and
+  // makes sortWith undefined (or throws in TimSort)
+  private def better(a: Neighbor, b: Neighbor): Boolean = {
+    val c = java.lang.Double.compare(a.rawcos, b.rawcos)
+    c > 0 || (c == 0 && a.bId < b.bId)
+  }
 
   private def trim(buf: ArrayBuffer[Neighbor]): ArrayBuffer[Neighbor] = {
     val kept = buf.sortWith(better).take(k)

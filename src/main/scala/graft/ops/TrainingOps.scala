@@ -285,10 +285,14 @@ object TrainingOps {
       // previous label through the (eager) checkpoint so convergence
       // is a scan of the materialized frame, not another shuffle
       // join per round.
+      // the jump lookup reads the PREVIOUS round's checkpointed
+      // labels, not `stepped` — self-joining stepped would execute
+      // the labels⋈neigh subtree twice per round; stale-label jumps
+      // (Jacobi-style) are still monotone and still halve depth
       val jumped =
         if (iter < 2) stepped
         else stepped.as("l")
-          .join(stepped.select($"node".as("pnode"), $"comp".as("pcomp")).as("p"),
+          .join(labels.select($"node".as("pnode"), $"comp".as("pcomp")).as("p"),
             col("l.comp") === col("pnode"), "left")
           .select(col("l.node").as("node"), col("l.prev").as("prev"),
             least(col("l.comp"), coalesce(col("pcomp"), col("l.comp")))

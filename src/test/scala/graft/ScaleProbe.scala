@@ -52,7 +52,7 @@ object ScaleProbe {
     // similarity cost split at sf0.1: pair-join + dot alone vs the
     // full top-k (adds the rank window) — tells whether the O(n²)
     // loop or the ranking dominates
-    val sf = "/root/testdata/sf0.1"
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val e = ops.LlmOps.normed(spark, sf)
     val a = e.select($"vec_id".as("a_id"), $"emb".as("a_emb"),
       $"nrm".as("a_nrm"))
