@@ -196,6 +196,27 @@ object Aggregates {
       .orderBy($"event_type")
   }
 
+  /** Shannon entropy of each user's event-type distribution — the
+    * behavioral-diversity metric quality pipelines gate on. Each
+    * −p·ln(p) term is rounded to fixed-point DECIMAL BEFORE the sum,
+    * so the aggregation ORDER cannot perturb the result (float sums
+    * are order-dependent; decimal sums are exact) — the §5.3 rule the
+    * whole repo follows for money, applied to information.
+    */
+  def qAggEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = t(s, dir, "events")
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy($"user_id").agg(sum($"c").as("n"))
+    counts.join(totals, "user_id")
+      .withColumn("term", expr(
+        "CAST(round(-(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)), 12) AS DECIMAL(28, 12))"))
+      .groupBy($"user_id")
+      .agg(max($"n").as("n_events"), count(lit(1)).as("n_types"),
+        r6(sum($"term").cast("double")).as("entropy"))
+      .orderBy($"user_id")
+  }
+
   /** Deterministic mode (most frequent value) per group — NOT the
     * built-in `mode()`, which picks an arbitrary value on frequency
     * ties in both engines; rank on (count desc, value asc) instead.
@@ -297,6 +318,7 @@ object Aggregates {
     "q_agg_bitmap_distinct" -> (qAggBitmapDistinct _),
     "q_agg_outliers" -> (qAggOutliers _),
     "q_agg_mode" -> (qAggMode _),
+    "q_agg_entropy" -> (qAggEntropy _),
     "q_agg_try_arith" -> (qAggTryArith _),
     "q_agg_approx_hll" -> (qAggApproxHll _),
     "q_agg_approx_quantile" -> (qAggApproxQuantile _)
@@ -388,6 +410,21 @@ object Aggregates {
         |    AS price_per_disc,
         |  CAST(round(l_discount*100) AS BIGINT) = 0 AS is_div0
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_agg_entropy" ->
+      """WITH counts AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n
+        |  FROM counts GROUP BY 1)
+        |SELECT c.user_id, max(t.n) AS n_events, count(*) AS n_types,
+        |  round(CAST(sum(
+        |    CAST(round(-(c.c / CAST(t.n AS DOUBLE))
+        |      * ln(c.c / CAST(t.n AS DOUBLE)), 12) AS DECIMAL(28, 12)))
+        |    AS DOUBLE), 6) AS entropy
+        |FROM counts c JOIN totals t USING (user_id)
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
 
     "q_agg_mode" ->
       """SELECT o_orderstatus, mode_priority, cnt FROM (

@@ -231,7 +231,30 @@ object Windows {
       .orderBy($"user_id", $"session_seq")
   }
 
+  /** Forward-fill imputation: value = 0.00 is treated as a dropped
+    * reading (the sf0.1 fixture really contains such rows — the ln(0)
+    * trap), nulled, then filled from the most recent non-null reading
+    * per user via `last(…, ignoreNulls)` over a running frame —
+    * never-seen users keep −1. The standard time-series gap-fill; at
+    * scale it's one user-keyed shuffle like every other per-user
+    * window here.
+    */
+  def qWinGapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts", cents($"value").as("v_c"))
+      .withColumn("v_null",
+        when($"v_c" === 0L, lit(null).cast("long")).otherwise($"v_c"))
+      .withColumn("v_filled",
+        coalesce(last($"v_null", ignoreNulls = true).over(w), lit(-1L)))
+      .select($"user_id", $"event_id", $"v_c", $"v_filled")
+      .orderBy($"user_id", $"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_gap_fill" -> (qWinGapFill _),
     "q_win_sessionize" -> (qWinSessionize _),
     "q_win_rownumber" -> (qWinRownumber _),
     "q_win_rank" -> (qWinRank _),
@@ -246,6 +269,17 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_gap_fill" ->
+      """SELECT user_id, event_id,
+        |  CAST(round(value*100) AS BIGINT) AS v_c,
+        |  coalesce(
+        |    last_value(nullif(CAST(round(value*100) AS BIGINT), 0)
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    -1) AS v_filled
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
     "q_win_sessionize" ->
       """WITH l AS (
         |  SELECT user_id, event_id, ts,

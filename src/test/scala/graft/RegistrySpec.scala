@@ -22,10 +22,12 @@ class RegistrySpec extends SparkSuite {
     "q_agg_stats", "q_agg_collect", "q_agg_approx_hll", "q_agg_approx_quantile",
     "q_agg_percentile", "q_agg_bool", "q_agg_histogram", "q_agg_try_arith",
     "q_agg_argmax", "q_agg_bitmap_distinct", "q_agg_outliers", "q_agg_mode",
+    "q_agg_entropy",
     // §2.5 windows
     "q_win_rownumber", "q_win_rank", "q_win_ntile", "q_win_lag_lead",
     "q_win_runsum", "q_win_moving", "q_win_rangeframe", "q_win_firstlast",
     "q_win_distribution", "q_win_topk_group", "q_win_sessionize",
+    "q_win_gap_fill",
     // §2.6 sort/limit
     "q_sort_multi", "q_topk_global", "q_limit_offset",
     // §2.7 set ops
