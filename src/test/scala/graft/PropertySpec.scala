@@ -32,6 +32,43 @@ class PropertySpec extends SparkSuite {
     }.toDF("event_id", "ts", "user_id", "event_type", "value")
   }
 
+  test("entropy is within [0, ln(n_types)]; uniformity maximizes it") {
+    import spark.implicits._
+    val h = ops.Aggregates.qAggEntropy(spark, sf)
+    val bad = h.filter($"entropy" < -1e-9 ||
+      $"entropy" > log($"n_types".cast("double")) + 1e-6).count()
+    assert(bad == 0, "entropy must satisfy 0 <= H <= ln(k)")
+    assert(h.filter($"n_types" === 1 && $"entropy" =!= 0.0).count() == 0,
+      "single-type users must have zero entropy")
+  }
+
+  test("gap-fill output never contains a zero; sentinel only before first reading") {
+    import spark.implicits._
+    val g = ops.Windows.qWinGapFill(spark, "/root/testdata/sf0.1")
+    assert(g.filter($"v_filled" === 0L).count() == 0,
+      "every dropped reading must be filled or sentineled")
+    // the fill must never invent values: v_filled is either -1 or some
+    // user's real non-zero reading
+    val vals = g.filter($"v_c" =!= 0L).select($"v_c".as("v")).distinct()
+    val bad = g.filter($"v_filled" =!= -1L)
+      .join(vals, g("v_filled") === vals("v"), "left_anti").count()
+    assert(bad == 0, "filled values must come from real readings")
+  }
+
+  test("retention shares stay in [0, 1]") {
+    import spark.implicits._
+    val r = ops.Scalars.qTsRetention(spark, sf)
+    assert(r.filter($"retention" < 0 || $"retention" > 1).count() == 0)
+    assert(r.filter($"n_retained" > $"n_active").count() == 0)
+  }
+
+  test("outlier counts are bounded by group size") {
+    import spark.implicits._
+    val o = ops.Aggregates.qAggOutliers(spark, sf)
+    assert(o.filter($"n_outliers" > $"n" || $"n_outliers" < 0).count() == 0)
+    assert(o.filter($"mad" < 0).count() == 0, "MAD is nonnegative")
+  }
+
   test("sessions never overlap; consecutive sessions of a user are separated") {
     for (seed <- 1L to 5L) {
       import spark.implicits._
