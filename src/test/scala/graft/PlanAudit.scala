@@ -16,6 +16,7 @@ object PlanAudit {
     "q_agg_groupby", "q_join_multiway", "q_join_lateral", "q_win_topk_group",
     "q_win_sessionize", "q_join_asof", "q_stream_session", "q_text_tfidf",
     "q_agg_bitmap_distinct", "q_agg_outliers", "q_ts_retention",
+    "q_agg_vector_centroid", "q_agg_entropy", "q_win_gap_fill",
     "q_dedup_minhash", "q_sim_cosine_topk",
     "q_sim_ann_lsh", "q_sim_ann_ivf", "q_dedup_simhash", "q_dedup_ngram",
     "q_text_ngram", "q_sample_hash")
