@@ -34,9 +34,13 @@ object Bench {
     // and intra-query caches can't pin memory across queries.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val times = (1 to 2).map { _ =>
+        val runs = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+              false
+            }
           val dt = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
           // clearCache only covers CacheManager entries; localCheckpoint
@@ -44,18 +48,24 @@ object Bench {
           // otherwise pin storage memory into later queries
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
-          dt
+          (dt, ok)
         }
-        name -> times.min
+        // A key that throws must POISON the bench, not flatter it
+        // (r2 swallowed exceptions inside the timing loop, so a broken
+        // key was recorded as a near-zero "success"): failures are
+        // reported as -1 and excluded from the total.
+        name -> (if (runs.forall(_._2)) runs.map(_._1).min else -1.0)
     }.toMap
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson}""")
     // Repeat the headline as a SHORT standalone line LAST: the r1
     // driver capture tail-truncated the big per-query line and lost
     // the total entirely (BENCH_r01.json parsed:null).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}}""")
     spark.stop()
   }
 }

@@ -97,17 +97,22 @@ object Relational {
       .orderBy($"l_orderkey", $"l_linenumber")
   }
 
-  /** IN (subquery) + correlated EXISTS — the semi-join rewrite path. */
+  /** IN (subquery) + correlated EXISTS — the semi-join rewrite path.
+    * View names carry a dir-derived tag: temp views are session-global
+    * state, so constant names would let two concurrent invocations
+    * with different fixture dirs clobber each other (VERDICT r2 §5).
+    */
   def qFilterSubquery(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "orders").createOrReplaceTempView("sq_orders")
-    t(s, dir, "customer").createOrReplaceTempView("sq_customer")
-    t(s, dir, "lineitem").createOrReplaceTempView("sq_lineitem")
-    s.sql("""
+    val tag = (dir.hashCode & 0x7fffffff).toHexString
+    t(s, dir, "orders").createOrReplaceTempView(s"sq_orders_$tag")
+    t(s, dir, "customer").createOrReplaceTempView(s"sq_customer_$tag")
+    t(s, dir, "lineitem").createOrReplaceTempView(s"sq_lineitem_$tag")
+    s.sql(s"""
       SELECT o_orderkey, o_custkey, o_orderstatus
-      FROM sq_orders o
-      WHERE o_custkey IN (SELECT c_custkey FROM sq_customer
+      FROM sq_orders_$tag o
+      WHERE o_custkey IN (SELECT c_custkey FROM sq_customer_$tag
                           WHERE c_mktsegment = 'BUILDING')
-        AND EXISTS (SELECT 1 FROM sq_lineitem l
+        AND EXISTS (SELECT 1 FROM sq_lineitem_$tag l
                     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 30)
       ORDER BY o_orderkey""")
   }
@@ -312,16 +317,20 @@ object Relational {
     * at scale this is one shuffle, not n_nation subqueries.
     */
   def qJoinLateral(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "nation").createOrReplaceTempView("lat_nation")
-    t(s, dir, "customer").createOrReplaceTempView("lat_customer")
-    t(s, dir, "orders").createOrReplaceTempView("lat_orders")
-    s.sql("""
+    // dir-tagged view names — same concurrency rationale as
+    // [[qFilterSubquery]]
+    val tag = (dir.hashCode & 0x7fffffff).toHexString
+    t(s, dir, "nation").createOrReplaceTempView(s"lat_nation_$tag")
+    t(s, dir, "customer").createOrReplaceTempView(s"lat_customer_$tag")
+    t(s, dir, "orders").createOrReplaceTempView(s"lat_orders_$tag")
+    s.sql(s"""
       SELECT n.n_name, t.o_orderkey, t.total_c
-      FROM lat_nation n,
+      FROM lat_nation_$tag n,
       LATERAL (
         SELECT o.o_orderkey,
                CAST(round(o.o_totalprice*100) AS BIGINT) AS total_c
-        FROM lat_orders o JOIN lat_customer c ON o.o_custkey = c.c_custkey
+        FROM lat_orders_$tag o JOIN lat_customer_$tag c
+          ON o.o_custkey = c.c_custkey
         WHERE c.c_nationkey = n.n_nationkey
         ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
       ORDER BY n.n_name, t.total_c DESC, t.o_orderkey""")

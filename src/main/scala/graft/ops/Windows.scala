@@ -34,44 +34,58 @@ object Windows {
       .orderBy($"p_brand", $"p_size", $"p_partkey")
   }
 
-  /** Quartiles of customers by account balance.
-    *
-    * NOTE: the unpartitioned window executes in ONE task — correct
-    * but single-threaded, acceptable only because global ntile is
-    * dashboard-shaped. The scale path is [[ntileRangePartitioned]]
-    * (identical output, tested), which this key deliberately does not
-    * use so the oracle stays a plain window formulation.
+  /** Quartiles of customers by account balance — executes the
+    * distributed [[ntileRangePartitioned]] path. (The r2 registered
+    * form ran the whole table through ONE unpartitioned-window task;
+    * the output is pinned row-identical to global `ntile(4)` by
+    * WindowAggSpec, so the oracle stays the plain window
+    * formulation.)
     */
   def qWinNtile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.orderBy($"acctbal_c", $"c_custkey")
-    t(s, dir, "customer")
+    val cust = t(s, dir, "customer")
       .select($"c_custkey", cents($"c_acctbal").as("acctbal_c"))
-      .withColumn("quartile", ntile(4).over(w))
+    ntileRangePartitioned(cust, 4, 32, $"acctbal_c", $"c_custkey")
+      .withColumnRenamed("ntile", "quartile")
       .orderBy($"c_custkey")
   }
 
   /** Distributed ntile with EXACT `ntile(k)` semantics and no
-    * single-task global window: range-partition on the order key,
-    * rank within each partition in parallel, add broadcast
-    * per-partition offsets (metadata-sized driver collect — one row
-    * per partition, like AQE stats), then apply ntile's remainder
-    * rule (first n%k buckets get one extra row) as an expression.
-    * Scales to any row count: the only global step touches
-    * `numParts` longs.
+    * single-task global window. `ord.head` must be a non-null numeric
+    * ranking column (long-castable); the rest are tiebreakers.
+    *
+    * Strategy: deterministic order-aligned bucketing — the bucket id
+    * is a pure monotone function of the ranking value, linear between
+    * the global min/max (one 2-long driver fetch), so every execution
+    * assigns identical buckets. (r2 used `repartitionByRange`, whose
+    * sampled boundaries are seeded from the per-execution RDD id and
+    * had to be pinned with a `persist()` the caller then leaked —
+    * ADVICE r2. Determinism by construction removes the cache
+    * entirely.) Rows then rank within each bucket in parallel, add
+    * broadcast per-bucket offsets (one long per bucket, same class as
+    * AQE stats), and apply ntile's remainder rule (first total%k
+    * buckets get one extra row) as an expression. Value-skewed data
+    * skews bucket SIZES (the price of determinism over sampling);
+    * the ntile output is exact regardless because offsets are exact.
+    * Ties stay inside one bucket by construction (same value ⇒ same
+    * bucket), so tiebreaker ordering never crosses buckets.
     */
   def ntileRangePartitioned(df: DataFrame, k: Int, numParts: Int,
       ord: org.apache.spark.sql.Column*): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    // persisted BEFORE the counts action: repartitionByRange samples
-    // its range boundaries per-execution (seeded from the RDD id), so
-    // without pinning the materialized partitioning, the counts job
-    // and the output job could draw different boundaries and the
-    // offsets would be wrong — correctness, not caching, is why
-    val parted = df.repartitionByRange(numParts, ord: _*)
-      .withColumn("_pid", spark_partition_id())
-      .persist()
+    val v = ord.head
+    val bounds = df.agg(min(v).cast("long"), max(v).cast("long")).head()
+    if (bounds.isNullAt(0))                        // empty input
+      return df.withColumn("ntile", lit(0).cast("int")).limit(0)
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    // double math: monotone in v (mult/div by positive constants
+    // round monotonically), overflow-safe for any long span
+    val span = math.max(1.0, (mx - mn).toDouble + 1.0)
+    val parted = df.withColumn("_pid",
+      least(lit(numParts - 1),
+        floor((v.cast("long") - mn).cast("double") * numParts / span))
+        .cast("int"))
     val counts = parted.groupBy($"_pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = counts.values.sum
@@ -140,15 +154,21 @@ object Windows {
   }
 
   /** Value-range frame: sum of orders within ±1000.00 of the current
-    * order's totalprice, per status (range frames need a numeric
-    * order key in both engines — hence cents).
+    * order's totalprice, within (status, order month). The composite
+    * partition key keeps every window partition bounded as data grows
+    * — r2 partitioned by o_orderstatus alone, so 3 tasks carried the
+    * whole table at any scale. Range frames need a numeric order key
+    * in both engines — hence cents.
     */
   def qWinRangeframe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"o_orderstatus").orderBy($"total_c")
+    val w = Window.partitionBy($"o_orderstatus", $"o_month")
+      .orderBy($"total_c")
       .rangeBetween(-100000L, 100000L)
     t(s, dir, "orders")
-      .select($"o_orderkey", $"o_orderstatus", cents($"o_totalprice").as("total_c"))
+      .select($"o_orderkey", $"o_orderstatus",
+        date_format($"o_orderdate", "yyyy-MM").as("o_month"),
+        cents($"o_totalprice").as("total_c"))
       .withColumn("sum_near_c", sum($"total_c").over(w))
       .withColumn("n_near", count(lit(1)).over(w))
       .orderBy($"o_orderkey")
@@ -356,12 +376,13 @@ object Windows {
 
     "q_win_rangeframe" ->
       """SELECT o_orderkey, o_orderstatus,
+        |  strftime(o_orderdate, '%Y-%m') AS o_month,
         |  CAST(round(o_totalprice*100) AS BIGINT) AS total_c,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS BIGINT)
         |    AS sum_near_c,
         |  count(*) OVER w AS n_near
         |FROM orders
-        |WINDOW w AS (PARTITION BY o_orderstatus
+        |WINDOW w AS (PARTITION BY o_orderstatus, strftime(o_orderdate, '%Y-%m')
         |  ORDER BY CAST(round(o_totalprice*100) AS BIGINT)
         |  RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
