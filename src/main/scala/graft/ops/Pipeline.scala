@@ -92,4 +92,53 @@ object Pipeline {
       case None => cleaned
     }
   }
+
+  /** The composed pipeline as an oracle-checked key: quality gate →
+    * md5 exact dedup → deterministic split, reduced to per-(lang,
+    * split) counts and token totals. Proves the STAGES COMPOSE
+    * deterministically, not just pass their unit tests — every stage
+    * is plain SQL in DuckDB. [[nearDupPrune]] is deliberately absent:
+    * its MinHash signatures are xxhash64-based (no DuckDB twin), so
+    * its coverage stays with `q_dedup_minhash`'s property tests and
+    * PipelineSpec; the other three stages are checked composed.
+    */
+  def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    annotate(exactDedup(qualityGate(t(s, dir, "documents"))))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("sum_tokens"),
+        sum($"n_distinct").as("sum_distinct"))
+      .orderBy($"lang", $"split")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_e2e" -> (qPipelineE2e _))
+
+  val oracle: Map[String, String] = Map(
+    "q_pipeline_e2e" ->
+      """WITH gated AS (
+        |  SELECT doc_id, text, lang,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 15
+        |    AND len(list_distinct(string_split(text, ' ')))
+        |        >= len(string_split(text, ' ')) * 0.3),
+        |deduped AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM gated)
+        |  WHERE rn = 1),
+        |split AS (
+        |  SELECT lang, n_tokens, n_distinct,
+        |    CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |              ::BIGINT % 100 < 90
+        |         THEN 'train' ELSE 'val' END AS split
+        |  FROM deduped)
+        |SELECT lang, split, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(n_distinct) AS BIGINT) AS sum_distinct
+        |FROM split GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)
 }

@@ -98,6 +98,67 @@ object Streaming {
     dedupBatch(t(s, dir, "events")).orderBy($"user_id", $"event_type")
   }
 
+  /** Purchase-to-click attribution: each purchase joined to the same
+    * user's clicks in the preceding 10 minutes — the canonical
+    * stream-stream interval join. ONE definition serves both modes:
+    * here the bounded (t2) form over two filtered slices of the events
+    * table; StreamStreamJoinSpec runs the same transform over two
+    * MemoryStreams with watermarks bounding the join state. At scale
+    * both sides hash-shuffle on user_id and the time bound prunes
+    * state/probe ranges — no cross product.
+    */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val s = purchases.sparkSession
+    import s.implicits._
+    purchases.join(clicks,
+      $"p_user" === $"c_user" &&
+        $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 10 MINUTES"))
+  }
+
+  def qStreamJoinInterval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+    attributionJoin(p, c)
+      .select($"p_id", $"c_id", $"p_user".as("user_id"),
+        // microsecond delta — unix_timestamp would truncate to seconds
+        ((unix_micros($"p_ts") - unix_micros($"c_ts")) / lit(1000000L))
+          .cast("long").as("lead_sec"))
+      .orderBy($"p_id", $"c_id")
+  }
+
+  /** Conversion funnel signup → view → purchase with SEQUENTIAL
+    * semantics: a stage counts only if it happens at-or-after the
+    * user's entry into the previous stage (min-after-min, not mere
+    * presence). Three user-keyed conditional aggregations — at scale
+    * each is one combinable shuffle on user_id, and the stage frames
+    * shrink monotonically.
+    */
+  def qEventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").select($"user_id", $"event_type", $"ts")
+    val s1 = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("s_ts"))
+    val s2 = ev.filter($"event_type" === "view")
+      .join(s1, "user_id").filter($"ts" >= $"s_ts")
+      .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+    val s3 = ev.filter($"event_type" === "purchase")
+      .join(s2, "user_id").filter($"ts" >= $"v_ts")
+      .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+    val rows = Seq(
+      (1, "signup", s1), (2, "view_after_signup", s2),
+      (3, "purchase_after_view", s3))
+    rows.map { case (stage, name, df) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+            $"n_users")
+      }.reduce(_.unionAll(_))
+      .orderBy($"stage")
+  }
+
   // ------------------------------------------------- streaming-only forms
 
   /** Streaming tumbling aggregation with a watermark: late events
@@ -133,7 +194,9 @@ object Streaming {
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_session" -> (qStreamSession _),
-    "q_stream_dedup" -> (qStreamDedup _)
+    "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_join_interval" -> (qStreamJoinInterval _),
+    "q_events_funnel" -> (qEventsFunnel _)
   )
 
   private val valC = "CAST(round(value*100) AS BIGINT)"

@@ -330,6 +330,55 @@ object TrainingOps {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Threshold-cosine near-dup through an LSH-bucketed candidate
+    * generator — the scale path beside [[qDedupEmbed]]'s declared
+    * all-pairs baseline (same output contract: pairs with cos ≥ 0.5,
+    * a < b, minus bucketing misses). Candidates are generated by an
+    * EQUI-join: 8 bands × 8 sign bits cover all 64 dims, and a pair is
+    * a candidate when some band's bit patterns differ by ≤ 1 bit
+    * (multi-probe — the probe side also emits the 8 one-bit-flip keys
+    * per band, so Hamming-≤1 stays an equi-join, never a similarity
+    * predicate). Exact `graft_dot` cosine then filters candidates to
+    * true pairs: precision is 1 by construction, recall is measured in
+    * the spec (12/14 at sf0.1). The fixture's τ = 0.5 (θ = 60°) sits
+    * near sign-LSH's hardness floor (p₁ = 1 − θ/π = ⅔ vs p₂ = ½ for
+    * orthogonal pairs — candidate volume scales n^(1+ρ), ρ =
+    * ln(1/p₁)/ln(1/p₂) ≈ 0.585); at a production dedup threshold
+    * (τ ≥ 0.9 ⇒ p₁ ≈ 0.86) the same 8×8 layout reaches ~95% recall
+    * with 2⁻⁸ selectivity. At 100 TB: signatures are one narrow pass,
+    * candidates an equi-join on (band, key) — n² never materializes.
+    */
+  def qDedupEmbedLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.DotProduct.dot
+    val e = LlmOps.normed(s, dir)
+    val bandCols = (0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"""aggregate(slice(emb, ${b * 8 + 1}, 8), CAST(0 AS BIGINT),
+                 (acc, x) -> acc * 2 + CASE WHEN x >= 0 THEN 1 ELSE 0 END)""")
+          .as("bv"))
+    }
+    val sig = e.select($"vec_id", explode(array(bandCols: _*)).as("bk"))
+      .select($"vec_id", $"bk.band".as("band"), $"bk.bv".as("bv"))
+    val probes = sig.select($"vec_id", $"band", explode(array(
+        ($"bv" +: (0 until 8).map(j => $"bv".bitwiseXOR(lit(1L << j)))): _*))
+      .as("pv"))
+    val cand = probes.as("x").join(sig.as("y"),
+        $"x.band" === $"y.band" && $"x.pv" === $"y.bv" &&
+        $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("a_id"), $"y.vec_id".as("b_id"))
+      .distinct()
+    val a = e.select($"vec_id".as("a_id"), $"emb".as("a_emb"), $"nrm".as("a_nrm"))
+    val b = e.select($"vec_id".as("b_id"), $"emb".as("b_emb"), $"nrm".as("b_nrm"))
+    cand.join(a, "a_id").join(b, "b_id")
+      .withColumn("rawcos", dot($"a_emb", $"b_emb") / ($"a_nrm" * $"b_nrm"))
+      // threshold on the raw cosine (bit-identical fold across
+      // engines); round survivors only — module convention
+      .filter($"rawcos" >= 0.5)
+      .select($"a_id", $"b_id", r6($"rawcos").as("cos"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** Sign-LSH bucketed ANN: bucket key = sign pattern of the first 8
     * components (axis-aligned hyperplanes — deterministic, no RNG);
     * exact top-3 by cosine *within* the bucket. The scale path: the
@@ -491,6 +540,7 @@ object TrainingOps {
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_components" -> (qDedupComponents _),
     "q_dedup_embed" -> (qDedupEmbed _),
+    "q_dedup_embed_lsh" -> (qDedupEmbedLsh _),
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
     "q_sample_hash" -> (qSampleHash _),
@@ -645,6 +695,41 @@ object TrainingOps {
         |        list_zip(a.emb, b.emb).apply(p -> p[1] * p[2])),
         |        (acc, v) -> acc + v) / (a.nrm * b.nrm) AS rawcos
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |WHERE rawcos >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Hamming-≤1 band match is expressed directly (bit_count ≤ 1
+    // inside the band equi-join) — semantically identical to the
+    // Spark side's multi-probe key expansion, which exists only to
+    // keep the predicate an equi-join at scale.
+    "q_dedup_embed_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, emb,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(emb, x -> x * x)), (a, x) -> a + x)) AS nrm
+        |  FROM e),
+        |sig AS (
+        |  SELECT vec_id, b AS band,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        emb[(b*8+1):(b*8+8)]),
+        |      (acc, x) -> acc * 2 + CASE WHEN x >= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS bv
+        |  FROM n CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+        |  FROM sig x JOIN sig y
+        |    ON x.band = y.band AND x.vec_id < y.vec_id
+        |  WHERE bit_count(xor(x.bv, y.bv)) <= 1)
+        |SELECT a_id, b_id, round(rawcos, 6) AS cos FROM (
+        |  SELECT c.a_id, c.b_id,
+        |    list_reduce(list_prepend(0.0,
+        |        list_zip(a.emb, b.emb).apply(p -> p[1] * p[2])),
+        |        (acc, v) -> acc + v) / (a.nrm * b.nrm) AS rawcos
+        |  FROM cand c
+        |  JOIN n a ON c.a_id = a.vec_id
+        |  JOIN n b ON c.b_id = b.vec_id)
         |WHERE rawcos >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
 
