@@ -202,6 +202,15 @@ object Aggregates {
     * so the aggregation ORDER cannot perturb the result (float sums
     * are order-dependent; decimal sums are exact) — the §5.3 rule the
     * whole repo follows for money, applied to information.
+    *
+    * Known libm assumption (ADVICE r2): the 12-decimal pre-round
+    * presumes JVM `Math.log` and DuckDB `ln` agree to well under
+    * 5e-13 on the small-rational inputs c/n — true for any
+    * correctly-rounded libm (both claim ≤1 ulp ≈ 2e-16 here) and
+    * verified green at sf0.001/0.01/0.1, but not guaranteed by
+    * integer construction like the cents keys. If a future oracle
+    * host's libm drifts onto a 12th-digit midpoint, re-derive the
+    * term from exact integers (c, n) in both engines instead.
     */
   def qAggEntropy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -124,9 +124,11 @@ object Streaming {
       .select($"event_id".as("c_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
     attributionJoin(p, c)
       .select($"p_id", $"c_id", $"p_user".as("user_id"),
-        // microsecond delta — unix_timestamp would truncate to seconds
-        ((unix_micros($"p_ts") - unix_micros($"c_ts")) / lit(1000000L))
-          .cast("long").as("lead_sec"))
+        // microsecond delta — unix_timestamp would truncate to seconds;
+        // DIV (integer floor) instead of Column./ (double) so the value
+        // is exact-integer on both engines (DuckDB twin uses //)
+        expr("(unix_micros(p_ts) - unix_micros(c_ts)) DIV 1000000")
+          .as("lead_sec"))
       .orderBy($"p_id", $"c_id")
   }
 
@@ -246,6 +248,37 @@ object Streaming {
         |FROM (SELECT *, row_number() OVER (
         |        PARTITION BY user_id, event_type ORDER BY event_id) AS rn
         |      FROM events)
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    // Interval join: µs delta floored to whole seconds with integer
+    // division on both engines (Spark DIV ↔ DuckDB //) — no double
+    // rounding in the comparison path.
+    "q_stream_join_interval" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id,
+        |  p.user_id AS user_id,
+        |  date_diff('microsecond', c.ts, p.ts) // 1000000 AS lead_sec
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
+        |ORDER BY p_id, c_id""".stripMargin,
+
+    "q_events_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS v_ts
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts >= s1.s_ts GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.v_ts GROUP BY 1)
+        |SELECT 1 AS stage, 'signup' AS stage_name,
+        |  count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'view_after_signup', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase_after_view', count(*) FROM s3
+        |ORDER BY stage""".stripMargin
   )
 }

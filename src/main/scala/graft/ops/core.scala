@@ -8,6 +8,16 @@ import org.apache.spark.sql.functions._
   * Capability contract derives from `/root/reference/README.md:2`
   * ("Apply complex transformations on single events or collections");
   * everything here is an idiomatic Spark re-expression, not a port.
+  *
+  * Cache lifecycle (ADVICE r2): some ops `.cache()` an intermediate
+  * that their plan reads twice (langid's token table, tf-idf's tf,
+  * minhash signatures, …). The op cannot unpersist it itself — the
+  * returned DataFrame is lazy and still references the cached plan.
+  * Contract: callers owning a long-lived session clear between ops
+  * (`spark.catalog.clearCache()` PLUS unpersisting
+  * `sparkContext.getPersistentRDDs` for localCheckpoint blocks), as
+  * Bench/Verify both do; Pipeline-style compositions that keep many
+  * ops live accept the pinned storage as working-set by design.
   */
 object core {
 

@@ -43,7 +43,7 @@ class RegistrySpec extends SparkSuite {
     "q_pivot", "q_unpivot",
     // §2.9 streaming (batch-checkable forms)
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_dedup",
+    "q_stream_dedup", "q_stream_join_interval", "q_events_funnel",
     // §2.10 LLM ops
     "q_text_wordcount", "q_text_tfidf", "q_text_ngram", "q_text_stats",
     "q_dedup_exact", "q_dedup_minhash", "q_sim_cosine_topk",
@@ -52,7 +52,8 @@ class RegistrySpec extends SparkSuite {
     "q_text_langid", "q_text_quality", "q_text_fingerprint", "q_text_tokens",
     "q_dedup_simhash", "q_dedup_ngram", "q_dedup_components",
     "q_dedup_embed", "q_sim_ann_lsh", "q_sim_ann_ivf",
-    "q_sample_hash", "q_split_train_val", "q_multimodal_binary")
+    "q_sample_hash", "q_split_train_val", "q_multimodal_binary",
+    "q_dedup_embed_lsh", "q_pipeline_e2e")
 
   /** Approximate / engine-specific-hash ops — deliberately no oracle. */
   private val noOracle = Set("q_agg_approx_hll", "q_agg_approx_quantile",
@@ -88,7 +89,7 @@ class RegistrySpec extends SparkSuite {
   test("no duplicate keys across category registries") {
     val maps = Seq(ops.Relational.queries, ops.Windows.queries,
       ops.Aggregates.queries, ops.Scalars.queries, ops.Streaming.queries,
-      ops.LlmOps.queries, ops.TrainingOps.queries)
+      ops.LlmOps.queries, ops.TrainingOps.queries, ops.Pipeline.queries)
     val total = maps.map(_.size).sum
     assert(total == SparkEntry.queries.size,
       "a key is defined in more than one registry")
