@@ -18,7 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Windows.queries ++ ops.Aggregates.queries ++
     ops.Scalars.queries ++ ops.Streaming.queries ++ ops.LlmOps.queries ++
-    ops.TrainingOps.queries ++ ops.Pipeline.queries
+    ops.TrainingOps.queries ++ ops.Pipeline.queries ++ ops.Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -26,5 +26,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Windows.oracle ++ ops.Aggregates.oracle ++
     ops.Scalars.oracle ++ ops.Streaming.oracle ++ ops.LlmOps.oracle ++
-    ops.TrainingOps.oracle ++ ops.Pipeline.oracle
+    ops.TrainingOps.oracle ++ ops.Pipeline.oracle ++ ops.Corpus.oracle
 }

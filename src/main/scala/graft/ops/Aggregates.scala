@@ -304,6 +304,69 @@ object Aggregates {
       .orderBy($"event_type")
   }
 
+  /** Exponentially time-decayed engagement score per user: each
+    * event's cents value is weighted by 2^(−age/7d), age measured
+    * back from the corpus max timestamp — the recency-weighted
+    * feature online systems keep incrementally and batch systems
+    * recompute exactly like this. Each term is rounded to 12-dp
+    * DECIMAL before the sum (order-independent, §5.3); same libm
+    * caveat as [[qAggEntropy]] — `power` assumed ≤1-ulp in both
+    * engines, pre-round gives ~3 orders of headroom, green at 3 SFs.
+    *
+    * Scale shape: the max-ts is a 1-row broadcast (same class as AQE
+    * stats), then one combinable user-keyed aggregation.
+    */
+  def qAggDecay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"user_id", $"ts", cents($"value").as("value_c"))
+    val mx = ev.agg(max($"ts").as("mx_ts"))
+    ev.crossJoin(broadcast(mx))
+      .withColumn("term", expr(
+        """CAST(round(value_c * power(0.5,
+          |  (unix_micros(mx_ts) - unix_micros(ts)) / 604800000000.0), 12)
+          |AS DECIMAL(28, 12))""".stripMargin))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        r6(sum($"term").cast("double")).as("decayed_value"))
+      .orderBy($"user_id")
+  }
+
+  /** Per-user linear trend (least-squares slope of value over time),
+    * derived ENTIRELY from exact integer sums: x = whole seconds
+    * since 2024-01-01 (integer floor on both engines), y = cents;
+    * n, Σx, Σy, Σxy, Σx² accumulate in DECIMAL(38,0) (HUGEINT on the
+    * oracle side), and the slope is one double division of two exact
+    * integers at the very end — deterministic by construction, no
+    * libm, no order dependence. Degenerate users (single event or
+    * zero time variance) yield NULL.
+    *
+    * Scale shape: one combinable user-keyed aggregation; the five
+    * sums are map-side partials like any sum.
+    */
+  def qAggRegrSlope(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"user_id",
+        expr("unix_micros(ts) DIV 1000000 - 1704067200").as("xs"),
+        cents($"value").as("yc"))
+    ev.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"xs".cast("decimal(38,0)")).as("sx"),
+        sum($"yc".cast("decimal(38,0)")).as("sy"),
+        sum(($"xs" * $"yc").cast("decimal(38,0)")).as("sxy"),
+        sum(($"xs" * $"xs").cast("decimal(38,0)")).as("sxx"))
+      .withColumn("num",
+        $"n_events".cast("decimal(38,0)") * $"sxy" - $"sx" * $"sy")
+      .withColumn("den",
+        $"n_events".cast("decimal(38,0)") * $"sxx" - $"sx" * $"sx")
+      .select($"user_id", $"n_events",
+        when($"den" =!= 0,
+          r6($"num".cast("double") / $"den".cast("double")))
+          .as("slope"))
+      .orderBy($"user_id")
+  }
+
   /** Approximate quantiles (GK sketch) — unit-test-only. */
   def qAggApproxQuantile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -329,6 +392,8 @@ object Aggregates {
     "q_agg_mode" -> (qAggMode _),
     "q_agg_entropy" -> (qAggEntropy _),
     "q_agg_try_arith" -> (qAggTryArith _),
+    "q_agg_decay" -> (qAggDecay _),
+    "q_agg_regr_slope" -> (qAggRegrSlope _),
     "q_agg_approx_hll" -> (qAggApproxHll _),
     "q_agg_approx_quantile" -> (qAggApproxQuantile _)
   )
@@ -434,6 +499,35 @@ object Aggregates {
         |    AS DOUBLE), 6) AS entropy
         |FROM counts c JOIN totals t USING (user_id)
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
+    "q_agg_decay" ->
+      """WITH mx AS (SELECT max(ts) AS mx_ts FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  round(CAST(sum(CAST(round(
+        |    CAST(round(value * 100) AS BIGINT) * power(0.5,
+        |      date_diff('microsecond', ts, mx.mx_ts) / 604800000000.0),
+        |    12) AS DECIMAL(28, 12))) AS DOUBLE), 6) AS decayed_value
+        |FROM events, mx
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_agg_regr_slope" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    date_diff('second', TIMESTAMP '2024-01-01', ts) AS xs,
+        |    CAST(round(value * 100) AS BIGINT) AS yc
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    sum(CAST(xs AS HUGEINT)) AS sx, sum(CAST(yc AS HUGEINT)) AS sy,
+        |    sum(CAST(xs AS HUGEINT) * yc) AS sxy,
+        |    sum(CAST(xs AS HUGEINT) * xs) AS sxx
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, n_events,
+        |  CASE WHEN n_events * sxx - sx * sx <> 0 THEN
+        |    round(CAST(n_events * sxy - sx * sy AS DOUBLE)
+        |          / CAST(n_events * sxx - sx * sx AS DOUBLE), 6)
+        |  END AS slope
+        |FROM st ORDER BY user_id""".stripMargin,
 
     "q_agg_mode" ->
       """SELECT o_orderstatus, mode_priority, cnt FROM (

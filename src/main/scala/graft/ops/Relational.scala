@@ -510,9 +510,59 @@ object Relational {
     a.unionByName(b).orderBy($"event_id")
   }
 
+  /** The SQL-text entry point (SURVEY §3.2) exercised as a t2 key:
+    * the same analytical shape a DataFrame key would build (3-way
+    * join → cents revenue rollup → per-segment top-3 window), but
+    * authored as one `spark.sql` string — proving the second API
+    * surface parses/optimizes/executes through the identical Catalyst
+    * path. View names are dir-tagged (VERDICT r2 §5 concurrency rule).
+    */
+  def qSqlText(s: SparkSession, dir: String): DataFrame = {
+    val tag = (dir.hashCode & 0x7fffffff).toHexString
+    t(s, dir, "customer").createOrReplaceTempView(s"sqlt_customer_$tag")
+    t(s, dir, "orders").createOrReplaceTempView(s"sqlt_orders_$tag")
+    t(s, dir, "lineitem").createOrReplaceTempView(s"sqlt_lineitem_$tag")
+    s.sql(s"""
+      WITH rev AS (
+        SELECT c.c_mktsegment AS segment, c.c_custkey AS custkey,
+          c.c_name AS name,
+          SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS rev_c
+        FROM sqlt_customer_$tag c
+        JOIN sqlt_orders_$tag o ON o.o_custkey = c.c_custkey
+        JOIN sqlt_lineitem_$tag l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY segment ORDER BY rev_c DESC, custkey) AS rk
+        FROM rev)
+      SELECT segment, rk, custkey, name, rev_c
+      FROM ranked WHERE rk <= 3
+      ORDER BY segment, rk""")
+  }
+
+  /** Hot-key-safe join: [[Skew.saltedJoin]] registered as a t2 key —
+    * the oracle is the PLAIN join, so the correctness gate itself
+    * proves salting is semantics-preserving (dim replicated k ways,
+    * fact salted by deterministic hash, results identical). At scale
+    * this is the escape hatch when one customer owns a pathological
+    * share of orders and AQE's skew split can't divide a single key.
+    */
+  def qJoinSalted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", cents($"o_totalprice").as("price_c"))
+    val c = t(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
+    Skew.saltedJoin(o, c, "o_custkey", "c_custkey", $"o_orderkey", 8)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), sum($"price_c").as("sum_price_c"))
+      .orderBy($"c_mktsegment")
+  }
+
   // ------------------------------------------------------------- registries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_text" -> (qSqlText _),
+    "q_join_salted" -> (qJoinSalted _),
     "q_scan_full" -> (qScanFull _),
     "q_scan_pruned" -> (qScanPruned _),
     "q_scan_count" -> (qScanCount _),
@@ -557,6 +607,33 @@ object Relational {
     "tax" -> "CAST(round(l_tax*100) AS BIGINT)")
 
   val oracle: Map[String, String] = Map(
+    "q_sql_text" ->
+      """WITH rev AS (
+        |  SELECT c.c_mktsegment AS segment, c.c_custkey AS custkey,
+        |    c.c_name AS name,
+        |    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS rev_c
+        |  FROM customer c
+        |  JOIN orders o ON o.o_custkey = c.c_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY segment ORDER BY rev_c DESC, custkey) AS rk
+        |  FROM rev)
+        |SELECT segment, rk, custkey, name, rev_c
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY segment, rk""".stripMargin,
+
+    // plain join on purpose: the salted Spark plan must produce the
+    // UNSALTED join's exact result
+    "q_join_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
     "q_scan_full" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
 

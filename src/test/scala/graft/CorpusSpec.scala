@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-4 operators: corpus hygiene (Corpus), decayed/trend
+  * aggregates (Aggregates), SQL-text entry and salted join
+  * (Relational). The t2 oracle is the main gate; these pin the
+  * invariants the oracle can't phrase.
+  */
+class CorpusSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val newKeys = Seq("q_text_repetition", "q_dedup_chunk",
+    "q_agg_decay", "q_agg_regr_slope", "q_sql_text", "q_join_salted")
+
+  for (k <- newKeys) {
+    test(s"$k runs and returns rows at sf0.001") {
+      assert(SparkEntry.queries(k)(spark, sf).count() > 0)
+    }
+  }
+
+  test("repetition fractions are in [0,1] and keep matches thresholds") {
+    val df = ops.Corpus.qTextRepetition(spark, sf).cache()
+    try {
+      assert(df.filter($"top_tok_frac" < 0 || $"top_tok_frac" > 1 ||
+        $"dup_bigram_frac" < 0 || $"dup_bigram_frac" > 1).count() == 0)
+      assert(df.filter($"keep" =!=
+        ($"top_tok_frac" <= 0.12 && $"dup_bigram_frac" <= 0.05)).count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("chunk dedup conserves chunks: Σ n_first == distinct chunk count") {
+    val df = ops.Corpus.qDedupChunk(spark, sf).cache()
+    try {
+      assert(df.filter($"n_first" > $"n_chunks").count() == 0)
+      val nFirst = df.agg(sum($"n_first")).head().getLong(0)
+      val docs = ops.core.t(spark, sf, "documents")
+      val nDistinct = docs
+        .select($"doc_id", explode(expr(
+          """transform(sequence(0, CAST((size(split(text, ' ')) + 7) DIV 8 AS INT) - 1),
+            |          i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' '))"""
+            .stripMargin)).as("chunk"))
+        .select($"chunk").distinct().count()
+      assert(nFirst == nDistinct,
+        s"kept $nFirst first-occurrences vs $nDistinct distinct chunks")
+    } finally df.unpersist()
+  }
+
+  test("regr slope is exact on synthetic perfectly-linear data") {
+    // y = 3x + 7 in cents over x = 0, 60, 120 s after 2024-01-01:
+    // slope must be exactly 3, r6-rounded
+    import java.sql.Timestamp
+    val base = 1704067200L * 1000000L
+    val rows = Seq(0L, 60L, 120L).map { x =>
+      (1L, new Timestamp((base + x * 1000000L) / 1000),
+        (3 * x + 7).toDouble / 100.0) // value in dollars; cents = 3x+7
+    }
+    val df = rows.toDF("user_id", "ts", "value")
+    import org.apache.spark.sql.expressions.Window
+    val got = df
+      .select($"user_id",
+        expr("unix_micros(ts) DIV 1000000 - 1704067200").as("xs"),
+        ops.core.cents($"value").as("yc"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"xs".cast("decimal(38,0)")).as("sx"),
+        sum($"yc".cast("decimal(38,0)")).as("sy"),
+        sum(($"xs" * $"yc").cast("decimal(38,0)")).as("sxy"),
+        sum(($"xs" * $"xs").cast("decimal(38,0)")).as("sxx"))
+      .withColumn("num", $"n".cast("decimal(38,0)") * $"sxy" - $"sx" * $"sy")
+      .withColumn("den", $"n".cast("decimal(38,0)") * $"sxx" - $"sx" * $"sx")
+      .select(($"num".cast("double") / $"den".cast("double")).as("slope"))
+      .head().getDouble(0)
+    assert(got == 3.0, s"expected exact slope 3.0, got $got")
+  }
+
+  test("decay weight is exactly 1 for the newest event") {
+    // a user whose only event sits AT the corpus max ts contributes
+    // value_c * 2^0 = value_c, so decayed_value == value_c / 100^-scaled
+    val df = ops.Aggregates.qAggDecay(spark, sf)
+    val ev = ops.core.events(spark, sf)
+    val mx = ev.agg(max($"ts")).head().getTimestamp(0)
+    val newest = ev.filter($"ts" === mx).select($"user_id",
+      ops.core.cents($"value").as("vc")).head()
+    val row = df.filter($"user_id" === newest.getLong(0)).head()
+    // that user's decayed_value must be >= its newest event's full value
+    assert(row.getDouble(2) >= newest.getLong(1) * 1.0 - 1e-6)
+  }
+
+  test("salted join result equals the plain join result") {
+    val salted = ops.Relational.qJoinSalted(spark, sf)
+    val o = ops.core.t(spark, sf, "orders")
+      .select($"o_custkey", ops.core.cents($"o_totalprice").as("price_c"))
+    val c = ops.core.t(spark, sf, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    val plain = o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), sum($"price_c").as("sum_price_c"))
+      .orderBy($"c_mktsegment")
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("sql-text top-3: at most 3 rows per segment, ranks 1..3") {
+    val df = ops.Relational.qSqlText(spark, sf).cache()
+    try {
+      assert(df.groupBy($"segment").count().filter($"count" > 3).count() == 0)
+      assert(df.filter($"rk" < 1 || $"rk" > 3).count() == 0)
+    } finally df.unpersist()
+  }
+}

@@ -11,18 +11,19 @@ class RegistrySpec extends SparkSuite {
     "q_scan_full", "q_scan_pruned", "q_scan_count", "q_scan_pushdown",
     // §2.2 project/filter
     "q_project_arith", "q_filter_pred", "q_filter_null3vl", "q_filter_subquery",
+    "q_sql_text",
     // §2.3 joins
     "q_join_inner", "q_join_broadcast", "q_join_merge_large", "q_join_left",
     "q_join_right", "q_join_full", "q_join_semi", "q_join_anti",
     "q_join_cross", "q_join_theta", "q_join_range", "q_join_asof",
-    "q_join_multiway", "q_join_lateral",
+    "q_join_multiway", "q_join_lateral", "q_join_salted",
     // §2.4 aggregates
     "q_agg_global", "q_agg_groupby", "q_agg_distinct", "q_agg_multidistinct",
     "q_agg_having", "q_agg_rollup", "q_agg_cube", "q_agg_groupingsets",
     "q_agg_stats", "q_agg_collect", "q_agg_approx_hll", "q_agg_approx_quantile",
     "q_agg_percentile", "q_agg_bool", "q_agg_histogram", "q_agg_try_arith",
     "q_agg_argmax", "q_agg_bitmap_distinct", "q_agg_outliers", "q_agg_mode",
-    "q_agg_entropy",
+    "q_agg_entropy", "q_agg_decay", "q_agg_regr_slope",
     // §2.5 windows
     "q_win_rownumber", "q_win_rank", "q_win_ntile", "q_win_lag_lead",
     "q_win_runsum", "q_win_moving", "q_win_rangeframe", "q_win_firstlast",
@@ -53,7 +54,8 @@ class RegistrySpec extends SparkSuite {
     "q_dedup_simhash", "q_dedup_ngram", "q_dedup_components",
     "q_dedup_embed", "q_sim_ann_lsh", "q_sim_ann_ivf",
     "q_sample_hash", "q_split_train_val", "q_multimodal_binary",
-    "q_dedup_embed_lsh", "q_pipeline_e2e")
+    "q_dedup_embed_lsh", "q_pipeline_e2e",
+    "q_text_repetition", "q_dedup_chunk")
 
   /** Approximate / engine-specific-hash ops — deliberately no oracle. */
   private val noOracle = Set("q_agg_approx_hll", "q_agg_approx_quantile",
@@ -89,7 +91,8 @@ class RegistrySpec extends SparkSuite {
   test("no duplicate keys across category registries") {
     val maps = Seq(ops.Relational.queries, ops.Windows.queries,
       ops.Aggregates.queries, ops.Scalars.queries, ops.Streaming.queries,
-      ops.LlmOps.queries, ops.TrainingOps.queries, ops.Pipeline.queries)
+      ops.LlmOps.queries, ops.TrainingOps.queries, ops.Pipeline.queries,
+      ops.Corpus.queries)
     val total = maps.map(_.size).sum
     assert(total == SparkEntry.queries.size,
       "a key is defined in more than one registry")
