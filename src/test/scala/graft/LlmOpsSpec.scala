@@ -100,6 +100,47 @@ class LlmOpsSpec extends SparkSuite {
     assert(bad == 0, "LSH cannot beat brute force")
   }
 
+  test("embed-LSH threshold pairs: exact precision, pinned recall vs all-pairs") {
+    import spark.implicits._
+    // precision is exact BY CONSTRUCTION (candidates pass the same
+    // exact-cosine filter), so lsh ⊆ all-pairs must hold as sets;
+    // recall is what banding+multi-probe buys and must stay pinned.
+    // sf0.01: sf0.001 has zero cos>=0.5 pairs (vacuously green)
+    val sf01 = "/root/testdata/sf0.01"
+    val allp = TrainingOps.qDedupEmbed(spark, sf01)
+      .select($"a_id", $"b_id").collect().map(_.toSeq).toSet
+    val lsh = TrainingOps.qDedupEmbedLsh(spark, sf01)
+      .select($"a_id", $"b_id").collect().map(_.toSeq).toSet
+    assert((lsh -- allp).isEmpty,
+      "embed-LSH emitted a pair the exact all-pairs join does not contain")
+    val recall =
+      if (allp.isEmpty) 1.0 else lsh.intersect(allp).size.toDouble / allp.size
+    info(s"embed-LSH recall = $recall over ${allp.size} true pairs")
+    assert(recall >= 0.9,
+      s"embed-LSH recall $recall below pinned 0.9 (${allp.size} true pairs)")
+  }
+
+  test("IVF ANN recall vs brute-force top-3 is pinned") {
+    import spark.implicits._
+    // nprobe=1 IVF: a true neighbor is findable only when it shares
+    // the query's cell, so recall < 1 by design — pin the fixture
+    // floor so a regression in centroid assignment shows up loudly.
+    val bf = LlmOps.qSimCosineTopk(spark, sf)
+      .filter($"rn" <= 3).select($"a_id", $"b_id")
+      .collect().map(_.toSeq).toSet
+    val ivf = TrainingOps.qSimAnnIvf(spark, sf)
+      .select($"a_id", $"b_id").collect().map(_.toSeq).toSet
+    val recall =
+      if (bf.isEmpty) 1.0 else ivf.intersect(bf).size.toDouble / bf.size
+    // measured 0.205 on this fixture: the synthetic embeddings have
+    // weak cluster structure, so a 1-cell probe over 16 cells finds
+    // ~1/5 of true top-3 neighbors — recall here is bought with
+    // nprobe, and the pin guards assignment correctness, not quality
+    info(s"IVF recall = $recall over ${bf.size} brute-force top-3 pairs")
+    assert(recall >= 0.15,
+      s"IVF nprobe=1 recall $recall below pinned fixture floor 0.15")
+  }
+
   test("bigram array matches positional semantics, incl. 1-token docs") {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, "solo"), (3L, "x y"))

@@ -19,7 +19,12 @@ object PlanAudit {
     "q_agg_vector_centroid", "q_agg_entropy", "q_win_gap_fill",
     "q_dedup_minhash", "q_sim_cosine_topk",
     "q_sim_ann_lsh", "q_sim_ann_ivf", "q_dedup_simhash", "q_dedup_ngram",
-    "q_text_ngram", "q_sample_hash")
+    "q_text_ngram", "q_sample_hash",
+    // round-3/4 additions
+    "q_dedup_embed_lsh", "q_win_ntile", "q_win_rangeframe",
+    "q_pipeline_e2e", "q_stream_join_interval", "q_events_funnel",
+    "q_text_repetition", "q_dedup_chunk", "q_agg_decay",
+    "q_agg_regr_slope", "q_sql_text", "q_join_salted")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
