@@ -367,6 +367,39 @@ object Aggregates {
       .orderBy($"user_id")
   }
 
+  /** Pearson correlation of price vs quantity per return flag, from
+    * EXACT integer sums — not the built-in `corr` (float running
+    * sums, order-dependent): n, Σx, Σy, Σxy, Σx², Σy² accumulate in
+    * DECIMAL(38,0) ↔ HUGEINT, and the final expression uses only
+    * IEEE-exact double ops (casts of exact ints, *, /, and sqrt —
+    * which IEEE 754 requires correctly rounded, unlike ln/pow) — so
+    * both engines produce bit-identical doubles BEFORE the r6.
+    * Zero-variance groups yield NULL.
+    */
+  def qAggCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select($"l_returnflag",
+        cents($"l_extendedprice").as("x"), cents($"l_quantity").as("y"))
+    li.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast("decimal(38,0)")).as("sx"),
+        sum($"y".cast("decimal(38,0)")).as("sy"),
+        sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"),
+        sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
+        sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"))
+      .withColumn("num",
+        $"n".cast("decimal(38,0)") * $"sxy" - $"sx" * $"sy")
+      .withColumn("dx", $"n".cast("decimal(38,0)") * $"sxx" - $"sx" * $"sx")
+      .withColumn("dy", $"n".cast("decimal(38,0)") * $"syy" - $"sy" * $"sy")
+      .select($"l_returnflag", $"n",
+        when($"dx" > 0 && $"dy" > 0,
+          r6($"num".cast("double") /
+            (sqrt($"dx".cast("double")) * sqrt($"dy".cast("double")))))
+          .as("corr_price_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Approximate quantiles (GK sketch) — unit-test-only. */
   def qAggApproxQuantile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -394,6 +427,7 @@ object Aggregates {
     "q_agg_try_arith" -> (qAggTryArith _),
     "q_agg_decay" -> (qAggDecay _),
     "q_agg_regr_slope" -> (qAggRegrSlope _),
+    "q_agg_corr" -> (qAggCorr _),
     "q_agg_approx_hll" -> (qAggApproxHll _),
     "q_agg_approx_quantile" -> (qAggApproxQuantile _)
   )
@@ -509,6 +543,27 @@ object Aggregates {
         |    12) AS DECIMAL(28, 12))) AS DOUBLE), 6) AS decayed_value
         |FROM events, mx
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_agg_corr" ->
+      """WITH e AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM e GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS corr_price_qty
+        |FROM st ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_regr_slope" ->
       """WITH e AS (

@@ -20,29 +20,27 @@ object Corpus {
     * keyword-stuffed / looping machine text. `keep` thresholds on the
     * ROUNDED scores (§5.3 rule) so both engines gate identically.
     *
-    * Scale shape: bigram stats are per-row array expressions (zero
-    * shuffle, same `zip_with` trick as [[LlmOps.qTextNgram]]); the
-    * top-token count is explode → two combinable doc-keyed
-    * aggregations (map-side partials, no skew — a doc's tokens
-    * co-locate with its doc_id hash). Nothing global.
+    * Scale shape: EVERY metric is a per-row array expression — the
+    * whole operator is one map stage with zero shuffles (the final
+    * orderBy is presentation-only). The top-token count folds over
+    * `array_distinct` (O(d·n) per row; per-doc vocabulary d is small
+    * for natural text) instead of explode → double-agg, which
+    * benchmarked 5× slower here by carrying five doc columns through
+    * every exploded token row. Bigram stats use the same `zip_with`
+    * trick as [[LlmOps.qTextNgram]].
     */
   def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = t(s, dir, "documents")
+    t(s, dir, "documents")
       .select($"doc_id", $"lang", split($"text", " ").as("toks"))
       .withColumn("bg", LlmOps.bigramsOf($"toks"))
       .select($"doc_id", $"lang",
         size($"toks").cast("long").as("n_tokens"),
         size($"bg").cast("long").as("n_bigrams"),
         size(array_distinct($"bg")).cast("long").as("n_dist_bigrams"),
-        explode($"toks").as("tok"))
-    base
-      .groupBy($"doc_id", $"lang", $"n_tokens", $"n_bigrams",
-        $"n_dist_bigrams", $"tok")
-      .agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id", $"lang", $"n_tokens", $"n_bigrams",
-        $"n_dist_bigrams")
-      .agg(max($"c").as("top_c"))
+        expr("""CAST(array_max(transform(array_distinct(toks),
+                 x -> size(filter(toks, y -> y = x)))) AS BIGINT)""")
+          .as("top_c"))
       .select($"doc_id", $"lang", $"n_tokens",
         r6($"top_c" / $"n_tokens".cast("double")).as("top_tok_frac"),
         r6(when($"n_bigrams" > 0,

@@ -161,6 +161,42 @@ object Streaming {
       .orderBy($"stage")
   }
 
+  /** Behavior-sequence transition matrix: for each user's event
+    * stream ordered by (ts, event_id), count (event_type → next
+    * event_type) transitions and the mean gap in seconds — the
+    * Markov-chain summary session-analysis and bot-detection
+    * pipelines start from. Mean gap is exact-integer µs sums divided
+    * once at the end (deterministic, no float accumulation).
+    *
+    * Scale shape: one user-keyed window (lead), then a combinable
+    * (type, next) aggregation — both shuffles are on natural keys.
+    */
+  def qEventsTransitions(s: SparkSession, dir: String): DataFrame =
+    transitions(t(s, dir, "events"))
+
+  /** The reusable transform behind [[qEventsTransitions]] (also
+    * driven at 5M rows by ScaleProbe).
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .withColumn("gap_us",
+        lead(unix_micros($"ts"), 1).over(w) - unix_micros($"ts"))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type", $"next_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"gap_us".cast("decimal(38,0)")).as("sum_gap_us"))
+      .select($"event_type", $"next_type", $"n",
+        r6($"sum_gap_us".cast("double") /
+          ($"n".cast("double") * 1000000.0)).as("avg_gap_sec"))
+      .orderBy($"event_type", $"next_type")
+  }
+
   // ------------------------------------------------- streaming-only forms
 
   /** Streaming tumbling aggregation with a watermark: late events
@@ -198,7 +234,8 @@ object Streaming {
     "q_stream_session" -> (qStreamSession _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_join_interval" -> (qStreamJoinInterval _),
-    "q_events_funnel" -> (qEventsFunnel _)
+    "q_events_funnel" -> (qEventsFunnel _),
+    "q_events_transitions" -> (qEventsTransitions _)
   )
 
   private val valC = "CAST(round(value*100) AS BIGINT)"
@@ -279,6 +316,22 @@ object Streaming {
         |  count(*) AS n_users FROM s1
         |UNION ALL SELECT 2, 'view_after_signup', count(*) FROM s2
         |UNION ALL SELECT 3, 'purchase_after_view', count(*) FROM s3
-        |ORDER BY stage""".stripMargin
+        |ORDER BY stage""".stripMargin,
+
+    // mean gap from exact integer µs sums, divided once — HUGEINT
+    // sum cast to DOUBLE matches Spark's DECIMAL(38,0) → double
+    "q_events_transitions" ->
+      """WITH nx AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+        |    date_diff('microsecond', ts, lead(ts) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        |  FROM events)
+        |SELECT event_type, next_type, count(*) AS n,
+        |  round(CAST(sum(CAST(gap_us AS HUGEINT)) AS DOUBLE)
+        |        / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS avg_gap_sec
+        |FROM nx WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin
   )
 }

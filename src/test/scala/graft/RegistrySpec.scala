@@ -23,7 +23,7 @@ class RegistrySpec extends SparkSuite {
     "q_agg_stats", "q_agg_collect", "q_agg_approx_hll", "q_agg_approx_quantile",
     "q_agg_percentile", "q_agg_bool", "q_agg_histogram", "q_agg_try_arith",
     "q_agg_argmax", "q_agg_bitmap_distinct", "q_agg_outliers", "q_agg_mode",
-    "q_agg_entropy", "q_agg_decay", "q_agg_regr_slope",
+    "q_agg_entropy", "q_agg_decay", "q_agg_regr_slope", "q_agg_corr",
     // §2.5 windows
     "q_win_rownumber", "q_win_rank", "q_win_ntile", "q_win_lag_lead",
     "q_win_runsum", "q_win_moving", "q_win_rangeframe", "q_win_firstlast",
@@ -45,6 +45,7 @@ class RegistrySpec extends SparkSuite {
     // §2.9 streaming (batch-checkable forms)
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
     "q_stream_dedup", "q_stream_join_interval", "q_events_funnel",
+    "q_events_transitions",
     // §2.10 LLM ops
     "q_text_wordcount", "q_text_tfidf", "q_text_ngram", "q_text_stats",
     "q_dedup_exact", "q_dedup_minhash", "q_sim_cosine_topk",

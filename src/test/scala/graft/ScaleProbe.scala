@@ -38,6 +38,30 @@ object ScaleProbe {
       print(s"  ($n sessions) ")
     }
 
+    // round-4 event analytics at the same 5M synthetic events: the
+    // transition matrix (user-keyed lead window + combinable agg)
+    // and the decayed-engagement aggregation (1-row broadcast max +
+    // user-keyed agg) — both must scale linearly with rows
+    val evFull = spark.read.format("graft.sources.SyntheticEventsProvider")
+      .option("rows", "5000000").option("partitions", "16").load()
+    timed("transitions 5M events") {
+      val n = ops.Streaming.transitions(evFull).count()
+      print(s"  ($n transition cells) ")
+    }
+    timed("decayed engagement 5M events") {
+      val e2 = evFull.select($"user_id", $"ts",
+        ops.core.cents($"value").as("value_c"))
+      val mx = e2.agg(max($"ts").as("mx_ts"))
+      val n = e2.crossJoin(broadcast(mx))
+        .withColumn("term", expr(
+          """CAST(round(value_c * power(0.5,
+            |  (unix_micros(mx_ts) - unix_micros(ts)) / 604800000000.0), 12)
+            |AS DECIMAL(28, 12))""".stripMargin))
+        .groupBy($"user_id")
+        .agg(sum($"term").as("d")).count()
+      print(s"  ($n users) ")
+    }
+
     // near-dup-shaped graph: 100k clusters x 10 members, edges chain
     // each cluster (diameter 9 -> converges well under the cap)
     val edges = spark.range(0, 1000000L)
