@@ -83,13 +83,58 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
+  /** Distinctive vocabulary per language: rank tokens by the share of
+    * their global occurrences that fall in this language (an exact
+    * integer ratio — both engines compute the identical double, so
+    * ranking on the RAW ratio is safe; tok asc breaks ties), top-3
+    * per language. The corpus-keyword extraction behind "what is this
+    * source actually about" dashboards.
+    *
+    * Scale shape: two combinable token-keyed aggregations; the global
+    * count table is vocabulary-sized, so Catalyst broadcasts the join
+    * back to the per-lang counts.
+    */
+  def qTextLangKeywords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("tok"))
+    val byLang = toks.groupBy($"lang", $"tok").agg(count(lit(1)).as("c_lang"))
+    val global = toks.groupBy($"tok").agg(count(lit(1)).as("c_all"))
+    val scored = byLang.join(global, "tok")
+      .withColumn("ratio", $"c_lang" / $"c_all".cast("double"))
+    val w = Window.partitionBy($"lang").orderBy($"ratio".desc, $"tok".asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"lang", $"rk", $"tok", $"c_lang", $"c_all",
+        r6($"ratio").as("affinity"))
+      .orderBy($"lang", $"rk")
+  }
+
   // ------------------------------------------------------------- registries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_repetition" -> (qTextRepetition _),
-    "q_dedup_chunk" -> (qDedupChunk _))
+    "q_dedup_chunk" -> (qDedupChunk _),
+    "q_text_lang_keywords" -> (qTextLangKeywords _))
 
   val oracle: Map[String, String] = Map(
+    "q_text_lang_keywords" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |bl AS (SELECT lang, tok, count(*) AS c_lang FROM tok GROUP BY 1, 2),
+        |g AS (SELECT tok, count(*) AS c_all FROM tok GROUP BY 1),
+        |j AS (
+        |  SELECT bl.lang, bl.tok, bl.c_lang, g.c_all,
+        |    bl.c_lang / CAST(g.c_all AS DOUBLE) AS ratio
+        |  FROM bl JOIN g USING (tok)),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY lang ORDER BY ratio DESC, tok ASC) AS rk
+        |  FROM j)
+        |SELECT lang, rk, tok, c_lang, c_all, round(ratio, 6) AS affinity
+        |FROM r WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
+
     "q_text_repetition" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok,

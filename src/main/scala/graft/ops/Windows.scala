@@ -273,7 +273,39 @@ object Windows {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Longest same-event-type streak per user — the gaps-and-islands
+    * pattern in its second form (change-detection islands, vs
+    * [[qWinSessionize]]'s time-gap islands): island id = global row
+    * number − per-type row number (both over the user's (ts,
+    * event_id) order), then the longest island wins with a
+    * deterministic (length desc, first event_id asc) tiebreak.
+    *
+    * Scale shape: two window functions over the SAME user-keyed sort
+    * (one shuffle + one sort, second window reuses the partitioning),
+    * then two combinable aggregations.
+    */
+  def qWinStreak(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wAll = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wTyp = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    val islands = t(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("grp",
+        row_number().over(wAll) - row_number().over(wTyp))
+      .groupBy($"user_id", $"event_type", $"grp")
+      .agg(count(lit(1)).as("len"), min($"event_id").as("first_id"))
+    val pick = Window.partitionBy($"user_id")
+      .orderBy($"len".desc, $"first_id".asc)
+    islands.withColumn("rn", row_number().over(pick))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type".as("streak_type"),
+        $"len".as("streak_len"), $"first_id")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_streak" -> (qWinStreak _),
     "q_win_gap_fill" -> (qWinGapFill _),
     "q_win_sessionize" -> (qWinSessionize _),
     "q_win_rownumber" -> (qWinRownumber _),
@@ -289,6 +321,25 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_streak" ->
+      """WITH numbered AS (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    - row_number() OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY ts, event_id) AS grp
+        |  FROM events),
+        |islands AS (
+        |  SELECT user_id, event_type, grp, count(*) AS len,
+        |    min(event_id) AS first_id
+        |  FROM numbered GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY len DESC, first_id ASC) AS rn
+        |  FROM islands)
+        |SELECT user_id, event_type AS streak_type, len AS streak_len,
+        |  first_id
+        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     "q_win_gap_fill" ->
       """SELECT user_id, event_id,
         |  CAST(round(value*100) AS BIGINT) AS v_c,

@@ -24,7 +24,9 @@ object PlanAudit {
     "q_dedup_embed_lsh", "q_win_ntile", "q_win_rangeframe",
     "q_pipeline_e2e", "q_stream_join_interval", "q_events_funnel",
     "q_text_repetition", "q_dedup_chunk", "q_agg_decay",
-    "q_agg_regr_slope", "q_sql_text", "q_join_salted")
+    "q_agg_regr_slope", "q_sql_text", "q_join_salted",
+    "q_agg_corr", "q_events_transitions", "q_win_streak",
+    "q_text_lang_keywords")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")

@@ -28,7 +28,7 @@ class RegistrySpec extends SparkSuite {
     "q_win_rownumber", "q_win_rank", "q_win_ntile", "q_win_lag_lead",
     "q_win_runsum", "q_win_moving", "q_win_rangeframe", "q_win_firstlast",
     "q_win_distribution", "q_win_topk_group", "q_win_sessionize",
-    "q_win_gap_fill",
+    "q_win_gap_fill", "q_win_streak",
     // §2.6 sort/limit
     "q_sort_multi", "q_topk_global", "q_limit_offset",
     // §2.7 set ops
@@ -56,7 +56,7 @@ class RegistrySpec extends SparkSuite {
     "q_dedup_embed", "q_sim_ann_lsh", "q_sim_ann_ivf",
     "q_sample_hash", "q_split_train_val", "q_multimodal_binary",
     "q_dedup_embed_lsh", "q_pipeline_e2e",
-    "q_text_repetition", "q_dedup_chunk")
+    "q_text_repetition", "q_dedup_chunk", "q_text_lang_keywords")
 
   /** Approximate / engine-specific-hash ops — deliberately no oracle. */
   private val noOracle = Set("q_agg_approx_hll", "q_agg_approx_quantile",
