@@ -100,6 +100,29 @@ class CorpusSpec extends SparkSuite {
     assert(salted.collect().toSeq == plain.collect().toSeq)
   }
 
+  test("dir-tagged temp views: concurrent runs on different sfDirs are independent") {
+    // VERDICT r2 §5 / item 6: temp views are session-global state, so
+    // two concurrent invocations with different fixture dirs must not
+    // clobber each other — the dir-derived view-name tag guarantees it
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val sfA = "/root/testdata/sf0.001"
+    val sfB = "/root/testdata/sf0.01"
+    val serialA = ops.Relational.qFilterSubquery(spark, sfA).count()
+    val serialB = ops.Relational.qFilterSubquery(spark, sfB).count()
+    val runs = Future.sequence((1 to 4).map { i =>
+      Future {
+        val d = if (i % 2 == 0) sfA else sfB
+        d -> ops.Relational.qFilterSubquery(spark, d).count()
+      }
+    })
+    val got = Await.result(runs, 120.seconds)
+    for ((d, n) <- got)
+      assert(n == (if (d == sfA) serialA else serialB),
+        s"concurrent run on $d returned $n")
+  }
+
   test("sql-text top-3: at most 3 rows per segment, ranks 1..3") {
     val df = ops.Relational.qSqlText(spark, sf).cache()
     try {
