@@ -62,6 +62,27 @@ object ScaleProbe {
       print(s"  ($n users) ")
     }
 
+    // pathological hot key: 4M of 5M fact rows share ONE key. The
+    // plain shuffle join puts all 4M in a single task; the salted
+    // join spreads them across 8. (At local[8] with a broadcast-sized
+    // dim Catalyst would BHJ both — force shuffle join to model the
+    // large-dim cluster case where salting is the only lever.)
+    val hotFacts = spark.range(0, 5000000L)
+      .select($"id".as("row_id"),
+        when($"id" % 5 =!= 0, lit(7L)).otherwise($"id" % 1000L).as("k"))
+    val dim = spark.range(0, 1000L).select($"id".as("k2"), ($"id" * 3).as("attr"))
+    val noBcast = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    noBcast.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      timed("plain shuffle join, 4M-row hot key") {
+        hotFacts.join(dim, $"k" === $"k2").agg(sum($"attr")).collect()
+      }
+      timed("salted join (k=8), same data") {
+        ops.Skew.saltedJoin(hotFacts, dim, "k", "k2", $"row_id", 8)
+          .agg(sum($"attr")).collect()
+      }
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     // near-dup-shaped graph: 100k clusters x 10 members, edges chain
     // each cluster (diameter 9 -> converges well under the cap)
     val edges = spark.range(0, 1000000L)
