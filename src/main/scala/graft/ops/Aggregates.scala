@@ -400,6 +400,61 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** Skewness and excess kurtosis of value per event type, from EXACT
+    * integer power sums — not the built-in `skewness`/`kurtosis`
+    * (float running moments, order-dependent). The central-moment
+    * numerators are integer polynomials in (n, Σx, Σx², Σx³, Σx⁴):
+    *   M2 = n·S2 − S1²
+    *   M3 = n²·S3 − 3n·S1·S2 + 2·S1³
+    *   M4 = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3·S1⁴
+    *   g1 = √n · M3 / M2^1.5,  g2 = n·M4 / M2² − 3
+    * computed in DECIMAL(38,0) ↔ HUGEINT, then one final double
+    * expression of exact ints using only IEEE-exact ops (sqrt, *, /)
+    * — bit-identical across engines before r6.
+    *
+    * Validity bound: the largest intermediate is S1⁴, so the formula
+    * is exact while per-group n·x̄ stays under ~1.1·10⁹ cents
+    * (S1⁴ < HUGEINT max 1.7·10³⁸); fixture max is ~10⁹·cents at
+    * sf0.1. Past that, shift to centered two-pass accumulation —
+    * both engines overflow together (Spark decimal → null under
+    * non-ANSI, DuckDB HUGEINT errors), so the gate would catch it.
+    */
+  def qAggMoments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"event_type", cents($"value").as("x"))
+    ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast("decimal(38,0)")).as("s1"),
+        sum(($"x" * $"x").cast("decimal(38,0)")).as("s2"),
+        sum(($"x" * $"x" * $"x").cast("decimal(38,0)")).as("s3"),
+        // x⁴ must promote BEFORE the last multiply: x ≤ 56 021 cents
+        // at sf0.1 puts x⁴ past Long.MaxValue (found by the ANSI
+        // overflow error); x³ ≤ 1.8e14 still fits
+        sum($"x".cast("decimal(38,0)") * ($"x" * $"x" * $"x"))
+          .as("s4"))
+      .withColumn("nd", $"n".cast("decimal(38,0)"))
+      .withColumn("m2", $"nd" * $"s2" - $"s1" * $"s1")
+      .withColumn("m3",
+        $"nd" * $"nd" * $"s3" - lit(3) * $"nd" * $"s1" * $"s2"
+          + lit(2) * $"s1" * $"s1" * $"s1")
+      .withColumn("m4",
+        $"nd" * $"nd" * $"nd" * $"s4"
+          - lit(4) * $"nd" * $"nd" * $"s1" * $"s3"
+          + lit(6) * $"nd" * $"s1" * $"s1" * $"s2"
+          - lit(3) * $"s1" * $"s1" * $"s1" * $"s1")
+      .select($"event_type", $"n",
+        when($"m2" > 0, r6(
+          sqrt($"n".cast("double")) * $"m3".cast("double") /
+            ($"m2".cast("double") * sqrt($"m2".cast("double")))))
+          .as("skewness"),
+        when($"m2" > 0, r6(
+          $"n".cast("double") * $"m4".cast("double") /
+            ($"m2".cast("double") * $"m2".cast("double")) - 3.0))
+          .as("kurtosis_excess"))
+      .orderBy($"event_type")
+  }
+
   /** Approximate quantiles (GK sketch) — unit-test-only. */
   def qAggApproxQuantile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -428,6 +483,7 @@ object Aggregates {
     "q_agg_decay" -> (qAggDecay _),
     "q_agg_regr_slope" -> (qAggRegrSlope _),
     "q_agg_corr" -> (qAggCorr _),
+    "q_agg_moments" -> (qAggMoments _),
     "q_agg_approx_hll" -> (qAggApproxHll _),
     "q_agg_approx_quantile" -> (qAggApproxQuantile _)
   )
@@ -564,6 +620,35 @@ object Aggregates {
         |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
         |  END AS corr_price_qty
         |FROM st ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_moments" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS s1,
+        |    sum(CAST(x AS HUGEINT) * x) AS s2,
+        |    sum(CAST(x AS HUGEINT) * x * x) AS s3,
+        |    sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+        |  FROM e GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, n,
+        |    n * s2 - s1 * s1 AS m2,
+        |    n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3,
+        |    n * n * n * s4 - 4 * n * n * s1 * s3
+        |      + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4
+        |  FROM st)
+        |SELECT event_type, n,
+        |  CASE WHEN m2 > 0 THEN
+        |    round(sqrt(CAST(n AS DOUBLE)) * CAST(m3 AS DOUBLE)
+        |      / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))), 6)
+        |  END AS skewness,
+        |  CASE WHEN m2 > 0 THEN
+        |    round(CAST(n AS DOUBLE) * CAST(m4 AS DOUBLE)
+        |      / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0, 6)
+        |  END AS kurtosis_excess
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "q_agg_regr_slope" ->
       """WITH e AS (
