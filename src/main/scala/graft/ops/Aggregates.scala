@@ -407,7 +407,10 @@ object Aggregates {
     *   M2 = n·S2 − S1²
     *   M3 = n²·S3 − 3n·S1·S2 + 2·S1³
     *   M4 = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3·S1⁴
-    *   g1 = √n · M3 / M2^1.5,  g2 = n·M4 / M2² − 3
+    * Since Σ(x−x̄)² = M2/n, Σ(x−x̄)³ = M3/n², Σ(x−x̄)⁴ = M4/n³, the
+    * n-powers cancel exactly in the population-moment ratios:
+    *   g1 = m3/m2^1.5 = M3 / M2^1.5,  g2 = m4/m2² − 3 = M4/M2² − 3
+    * (pinned on {0,0,1}: g1 = 1/√2, g2 = −3/2 in MomentsSpec)
     * computed in DECIMAL(38,0) ↔ HUGEINT, then one final double
     * expression of exact ints using only IEEE-exact ops (sqrt, *, /)
     * — bit-identical across engines before r6.
@@ -445,11 +448,11 @@ object Aggregates {
           - lit(3) * $"s1" * $"s1" * $"s1" * $"s1")
       .select($"event_type", $"n",
         when($"m2" > 0, r6(
-          sqrt($"n".cast("double")) * $"m3".cast("double") /
+          $"m3".cast("double") /
             ($"m2".cast("double") * sqrt($"m2".cast("double")))))
           .as("skewness"),
         when($"m2" > 0, r6(
-          $"n".cast("double") * $"m4".cast("double") /
+          $"m4".cast("double") /
             ($"m2".cast("double") * $"m2".cast("double")) - 3.0))
           .as("kurtosis_excess"))
       .orderBy($"event_type")
@@ -641,11 +644,11 @@ object Aggregates {
         |  FROM st)
         |SELECT event_type, n,
         |  CASE WHEN m2 > 0 THEN
-        |    round(sqrt(CAST(n AS DOUBLE)) * CAST(m3 AS DOUBLE)
+        |    round(CAST(m3 AS DOUBLE)
         |      / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))), 6)
         |  END AS skewness,
         |  CASE WHEN m2 > 0 THEN
-        |    round(CAST(n AS DOUBLE) * CAST(m4 AS DOUBLE)
+        |    round(CAST(m4 AS DOUBLE)
         |      / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0, 6)
         |  END AS kurtosis_excess
         |FROM m ORDER BY event_type""".stripMargin,
