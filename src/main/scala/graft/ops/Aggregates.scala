@@ -309,27 +309,47 @@ object Aggregates {
     * back from the corpus max timestamp — the recency-weighted
     * feature online systems keep incrementally and batch systems
     * recompute exactly like this. Each term is rounded to 12-dp
-    * DECIMAL before the sum (order-independent, §5.3); same libm
-    * caveat as [[qAggEntropy]] — `power` assumed ≤1-ulp in both
-    * engines, pre-round gives ~3 orders of headroom, green at 3 SFs.
+    * DECIMAL before the sum (order-independent, §5.3).
+    *
+    * Determinism is EMPIRICAL here, not by-construction: (a) `power`
+    * is libm in both engines (assumed ≤1-ulp, as in [[qAggEntropy]]);
+    * (b) unlike entropy (terms ~1, ulp 2e-16 ≪ the 1e-12 grid), terms
+    * reach ~5.6e4 cents at sf0.1 where ulp ≈ 7e-12 EXCEEDS the grid,
+    * so for those terms the 12-dp DECIMAL digit is decided by each
+    * engine's double→decimal convention (Spark shortest-string vs
+    * DuckDB exact-binary) and can differ by ~2e-12 per term. Those
+    * per-term wiggles only surface if a user's sum lands within ~1e-10
+    * of an r6 midpoint — verified green at all 3 fixed fixtures, and
+    * deterministic per fixture; a new SF re-rolls that lottery. Any
+    * re-quantization (coarser pre-round, integer weights) just trades
+    * divergence frequency for magnitude — the only by-construction fix
+    * is dyadic stepped decay (0.5^floor(weeks), exact in double),
+    * which changes the op's continuous semantics, so it stays as is.
     *
     * Scale shape: the max-ts is a 1-row broadcast (same class as AQE
     * stats), then one combinable user-keyed aggregation.
     */
   def qAggDecay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = t(s, dir, "events")
-      .select($"user_id", $"ts", cents($"value").as("value_c"))
-    val mx = ev.agg(max($"ts").as("mx_ts"))
+    decayed(t(s, dir, "events")
+      .select($"user_id", $"ts", cents($"value").as("value_c")))
+      .orderBy($"user_id")
+  }
+
+  /** The decayed-engagement transform behind [[qAggDecay]], reusable
+    * on any (user_id, ts, value_c) frame — ScaleProbe drives it on 5M
+    * synthetic rows so the probe and the key can't drift apart.
+    */
+  def decayed(ev: DataFrame): DataFrame = {
+    val mx = ev.agg(max(col("ts")).as("mx_ts"))
     ev.crossJoin(broadcast(mx))
       .withColumn("term", expr(
         """CAST(round(value_c * power(0.5,
           |  (unix_micros(mx_ts) - unix_micros(ts)) / 604800000000.0), 12)
           |AS DECIMAL(28, 12))""".stripMargin))
-      .groupBy($"user_id")
+      .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        r6(sum($"term").cast("double")).as("decayed_value"))
-      .orderBy($"user_id")
+        r6(sum(col("term")).cast("double")).as("decayed_value"))
   }
 
   /** Per-user linear trend (least-squares slope of value over time),

@@ -90,16 +90,18 @@ object Corpus {
     * per language. The corpus-keyword extraction behind "what is this
     * source actually about" dashboards.
     *
-    * Scale shape: two combinable token-keyed aggregations; the global
-    * count table is vocabulary-sized, so Catalyst broadcasts the join
-    * back to the per-lang counts.
+    * Scale shape: ONE scan+explode — the global counts are derived
+    * from the per-lang table (Σ c_lang over langs) rather than
+    * re-exploding the token stream, so the expensive split+explode
+    * stage runs once; the global count table is vocabulary-sized, so
+    * Catalyst broadcasts the join back to the per-lang counts.
     */
   def qTextLangKeywords(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = t(s, dir, "documents")
       .select($"lang", explode(split($"text", " ")).as("tok"))
     val byLang = toks.groupBy($"lang", $"tok").agg(count(lit(1)).as("c_lang"))
-    val global = toks.groupBy($"tok").agg(count(lit(1)).as("c_all"))
+    val global = byLang.groupBy($"tok").agg(sum($"c_lang").as("c_all"))
     val scored = byLang.join(global, "tok")
       .withColumn("ratio", $"c_lang" / $"c_all".cast("double"))
     val w = Window.partitionBy($"lang").orderBy($"ratio".desc, $"tok".asc)

@@ -48,29 +48,19 @@ class CorpusSpec extends SparkSuite {
 
   test("regr slope is exact on synthetic perfectly-linear data") {
     // y = 3x + 7 in cents over x = 0, 60, 120 s after 2024-01-01:
-    // slope must be exactly 3, r6-rounded
-    import java.sql.Timestamp
-    val base = 1704067200L * 1000000L
-    val rows = Seq(0L, 60L, 120L).map { x =>
-      (1L, new Timestamp((base + x * 1000000L) / 1000),
-        (3 * x + 7).toDouble / 100.0) // value in dollars; cents = 3x+7
-    }
-    val df = rows.toDF("user_id", "ts", "value")
-    import org.apache.spark.sql.expressions.Window
-    val got = df
-      .select($"user_id",
-        expr("unix_micros(ts) DIV 1000000 - 1704067200").as("xs"),
-        ops.core.cents($"value").as("yc"))
-      .groupBy($"user_id")
-      .agg(count(lit(1)).as("n"),
-        sum($"xs".cast("decimal(38,0)")).as("sx"),
-        sum($"yc".cast("decimal(38,0)")).as("sy"),
-        sum(($"xs" * $"yc").cast("decimal(38,0)")).as("sxy"),
-        sum(($"xs" * $"xs").cast("decimal(38,0)")).as("sxx"))
-      .withColumn("num", $"n".cast("decimal(38,0)") * $"sxy" - $"sx" * $"sy")
-      .withColumn("den", $"n".cast("decimal(38,0)") * $"sxx" - $"sx" * $"sx")
-      .select(($"num".cast("double") / $"den".cast("double")).as("slope"))
-      .head().getDouble(0)
+    // slope must be exactly 3, r6-rounded. Drives the REAL operator
+    // over a temp events fixture (ts as long nanos, like the driver's
+    // parquet) so a formula edit in qAggRegrSlope fails here.
+    val dir = java.nio.file.Files.createTempDirectory("regr").toString
+    val base = 1704067200L * 1000000000L
+    Seq(0L, 60L, 120L)
+      .map(x => (1L, base + x * 1000000000L, "a",
+        (3 * x + 7).toDouble / 100.0)) // value in dollars; cents = 3x+7
+      .toDF("user_id", "ts", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val row = ops.Aggregates.qAggRegrSlope(spark, dir).head()
+    assert(row.getAs[Long]("n_events") == 3L)
+    val got = row.getAs[Double]("slope")
     assert(got == 3.0, s"expected exact slope 3.0, got $got")
   }
 

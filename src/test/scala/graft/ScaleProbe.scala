@@ -49,16 +49,8 @@ object ScaleProbe {
       print(s"  ($n transition cells) ")
     }
     timed("decayed engagement 5M events") {
-      val e2 = evFull.select($"user_id", $"ts",
-        ops.core.cents($"value").as("value_c"))
-      val mx = e2.agg(max($"ts").as("mx_ts"))
-      val n = e2.crossJoin(broadcast(mx))
-        .withColumn("term", expr(
-          """CAST(round(value_c * power(0.5,
-            |  (unix_micros(mx_ts) - unix_micros(ts)) / 604800000000.0), 12)
-            |AS DECIMAL(28, 12))""".stripMargin))
-        .groupBy($"user_id")
-        .agg(sum($"term").as("d")).count()
+      val n = ops.Aggregates.decayed(evFull.select($"user_id", $"ts",
+        ops.core.cents($"value").as("value_c"))).count()
       print(s"  ($n users) ")
     }
 
