@@ -18,7 +18,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Windows.queries ++ ops.Aggregates.queries ++
     ops.Scalars.queries ++ ops.Streaming.queries ++ ops.LlmOps.queries ++
-    ops.TrainingOps.queries ++ ops.Pipeline.queries ++ ops.Corpus.queries
+    ops.TrainingOps.queries ++ ops.Pipeline.queries ++ ops.Corpus.queries ++
+    ops.Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -26,5 +27,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Windows.oracle ++ ops.Aggregates.oracle ++
     ops.Scalars.oracle ++ ops.Streaming.oracle ++ ops.LlmOps.oracle ++
-    ops.TrainingOps.oracle ++ ops.Pipeline.oracle ++ ops.Corpus.oracle
+    ops.TrainingOps.oracle ++ ops.Pipeline.oracle ++ ops.Corpus.oracle ++
+    ops.Graph.oracle
 }

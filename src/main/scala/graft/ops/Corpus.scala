@@ -112,12 +112,122 @@ object Corpus {
       .orderBy($"lang", $"rk")
   }
 
+  /** Benchmark-contamination check: which training documents share a
+    * 5-token shingle with the held-out evaluation slice (sources
+    * src18/src19 — 10% of the corpus, stable across SFs)? The decon
+    * pass every serious LLM corpus runs before training: n-gram
+    * overlap between train and eval is exactly how benchmark leakage
+    * is measured in practice.
+    *
+    * Scale shape: shingling and per-doc dedup are per-row array
+    * expressions (zero shuffles); the eval shingle set is benchmark-
+    * sized (tiny vs the corpus) so membership is a BROADCAST semi
+    * join against the exploded train shingles — the train side is
+    * never shuffled at all; the only shuffle is the doc-keyed count
+    * rollup with map-side combine. At 100 TB the train scan dominates
+    * and runs once per side with the source filter pushed to parquet.
+    */
+  def qTextContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evalSrc = Seq("src18", "src19")
+    val grams = t(s, dir, "documents")
+      .select($"doc_id", $"lang", $"source", split($"text", " ").as("toks"))
+      .select($"doc_id", $"lang", $"source", explode(expr(
+        """array_distinct(
+          |  CASE WHEN size(toks) >= 5
+          |       THEN transform(sequence(1, size(toks) - 4),
+          |                      i -> array_join(slice(toks, i, 5), ' '))
+          |       ELSE array() END)""".stripMargin)).as("gram"))
+    val evalGrams = grams.filter($"source".isin(evalSrc: _*))
+      .select($"gram").distinct()
+    val train = grams.filter(!$"source".isin(evalSrc: _*))
+    val perDoc = train.groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_grams"))
+    val hit = train.join(broadcast(evalGrams), "gram")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
+    perDoc.join(hit, "doc_id")
+      .select($"doc_id", $"lang", $"n_grams", $"n_contaminated",
+        r6($"n_contaminated" / $"n_grams".cast("double")).as("contamination"))
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic stratified corpus rebalance: per-language keep
+    * rates (downsample the dominant language, keep more of the rare
+    * ones) applied through the same md5 content-hash bucket as
+    * [[TrainingOps.qSampleHash]] — reproducible on any cluster, any
+    * partitioning, no rand(). Reports per-language kept counts,
+    * volumes and realised share vs the target rate.
+    *
+    * Scale shape: the rate table is config-sized (one row per
+    * language) and broadcast; the corpus side is one scan + one
+    * combinable lang-keyed rollup. Nothing here depends on corpus
+    * size except the scan.
+    */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = Seq(("de", 20), ("en", 5), ("es", 20), ("fr", 20), ("zh", 50))
+      .toDF("lang", "rate")
+    t(s, dir, "documents")
+      .withColumn("bucket", TrainingOps.hashBucket("doc_id"))
+      .join(broadcast(rates), "lang")
+      .groupBy($"lang", $"rate")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"bucket" < $"rate", 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when($"bucket" < $"rate", $"n_chars")), lit(0L))
+          .as("kept_chars"))
+      .select($"lang", $"rate", $"n_total", $"n_kept", $"kept_chars",
+        r6($"n_kept" / $"n_total".cast("double")).as("kept_share"))
+      .orderBy($"lang")
+  }
+
+  /** Unigram language-model cross-entropy per document (average
+    * negative log-likelihood under corpus-wide unigram frequencies) —
+    * the classic perplexity-style quality prune: documents whose
+    * token mix is far from the corpus distribution score high.
+    * Perplexity itself would be `exp(avg_nll)`; we emit the nll to
+    * keep the cross-engine arithmetic inside the pinned ln-only
+    * surface (exp would double the libm exposure for zero extra
+    * information — the ordering is identical).
+    *
+    * Determinism: each ln(c_all/T) is rounded to 12-dp DECIMAL before
+    * the per-doc sum (the [[Aggregates.qAggEntropy]] pattern, same
+    * libm caveat documented there); the c_doc multiplier is an exact
+    * DECIMAL(8,0) so the product and sum are order-independent.
+    *
+    * Scale shape: ONE explode feeds both the per-(doc,token) counts
+    * and the vocabulary table (derived by re-aggregating the counts,
+    * not re-scanning); the vocabulary and the 1-row total are
+    * broadcast back. The only corpus-sized shuffles are the two
+    * combinable token/doc-keyed aggregations.
+    */
+  def qTextPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perDocTok = t(s, dir, "documents")
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"lang", $"tok").agg(count(lit(1)).as("c_doc"))
+    val vocab = perDocTok.groupBy($"tok").agg(sum($"c_doc").as("c_all"))
+    val total = vocab.agg(sum($"c_all").as("t_all"))
+    perDocTok.join(broadcast(vocab), "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("term", expr(
+        """CAST(round(ln(c_all / CAST(t_all AS DOUBLE)), 12) AS DECIMAL(26, 12))
+          | * CAST(c_doc AS DECIMAL(8, 0))""".stripMargin))
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"c_doc").as("n_tokens"), sum($"term").as("s"))
+      .select($"doc_id", $"lang", $"n_tokens",
+        r6(-$"s".cast("double") / $"n_tokens".cast("double")).as("avg_nll"))
+      .orderBy($"doc_id")
+  }
+
   // ------------------------------------------------------------- registries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_repetition" -> (qTextRepetition _),
     "q_dedup_chunk" -> (qDedupChunk _),
-    "q_text_lang_keywords" -> (qTextLangKeywords _))
+    "q_text_lang_keywords" -> (qTextLangKeywords _),
+    "q_text_contamination" -> (qTextContamination _),
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_text_perplexity" -> (qTextPerplexity _))
 
   val oracle: Map[String, String] = Map(
     "q_text_lang_keywords" ->
@@ -184,5 +294,64 @@ object Corpus {
         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
         |  round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |        / CAST(count(*) AS DOUBLE), 6) AS frac_unique
-        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(generate_subscripts(w, 1) AS BIGINT) AS i, len(w) AS n, w
+        |  FROM toks),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, lang, source,
+        |    array_to_string(w[i:i+4], ' ') AS gram
+        |  FROM pos WHERE i + 4 <= n),
+        |ev AS (SELECT DISTINCT gram FROM grams
+        |       WHERE source IN ('src18', 'src19')),
+        |tr AS (SELECT * FROM grams WHERE source NOT IN ('src18', 'src19')),
+        |pd AS (SELECT doc_id, lang, count(*) AS n_grams FROM tr GROUP BY 1, 2),
+        |ct AS (SELECT doc_id, count(*) AS n_contaminated
+        |       FROM tr JOIN ev USING (gram) GROUP BY 1)
+        |SELECT pd.doc_id, pd.lang, pd.n_grams, ct.n_contaminated,
+        |  round(ct.n_contaminated / CAST(pd.n_grams AS DOUBLE), 6)
+        |    AS contamination
+        |FROM pd JOIN ct USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH tagged AS (
+        |  SELECT lang, n_chars,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |      AS bucket,
+        |    CASE lang WHEN 'de' THEN 20 WHEN 'en' THEN 5 WHEN 'es' THEN 20
+        |              WHEN 'fr' THEN 20 WHEN 'zh' THEN 50 END AS rate
+        |  FROM documents)
+        |SELECT lang, rate, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(COALESCE(sum(CASE WHEN bucket < rate THEN n_chars END), 0)
+        |       AS BIGINT) AS kept_chars,
+        |  round(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END)
+        |        / CAST(count(*) AS DOUBLE), 6) AS kept_share
+        |FROM tagged GROUP BY lang, rate ORDER BY lang""".stripMargin,
+
+    "q_text_perplexity" ->
+      """WITH pdt AS (
+        |  SELECT doc_id, lang, tok, count(*) AS c_doc FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2, 3),
+        |vocab AS (SELECT tok, CAST(sum(c_doc) AS BIGINT) AS c_all
+        |          FROM pdt GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS t_all FROM vocab),
+        |terms AS (
+        |  SELECT p.doc_id, p.lang, p.c_doc,
+        |    CAST(round(ln(v.c_all / CAST(t.t_all AS DOUBLE)), 12)
+        |         AS DECIMAL(26, 12)) * CAST(p.c_doc AS DECIMAL(8, 0)) AS term
+        |  FROM pdt p JOIN vocab v USING (tok) CROSS JOIN tot t)
+        |SELECT doc_id, lang, CAST(sum(c_doc) AS BIGINT) AS n_tokens,
+        |  round(-CAST(sum(term) AS DOUBLE)
+        |        / CAST(sum(c_doc) AS DOUBLE), 6) AS avg_nll
+        |FROM terms GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import core._
+
+/** Graph analytics over relationship graphs derived from the fixture
+  * tables (round 4 addition to SURVEY §2.11). Complements
+  * [[TrainingOps.qDedupComponents]] (connectivity) with a centrality
+  * measure — the two iterative-graph shapes a data-engine user
+  * actually runs (capability sentence: `/root/reference/README.md:2`).
+  */
+object Graph {
+
+  /** PageRank over the undirected customer↔supplier interaction graph
+    * (an edge per distinct (customer, supplier) pair that transacted,
+    * via orders ⋈ lineitem) — "which suppliers/customers sit at the
+    * center of the trade network". 5 fixed damped iterations
+    * (d = 0.85).
+    *
+    * Determinism (§5.3): ranks live in exact BIGINT micro-units
+    * (initial mass 1e12 per node); each step is integer-only —
+    * `contrib = r DIV deg`, `r' = 0.15·1e12 + (85·Σcontrib) DIV 100`.
+    * Truncating integer division matches DuckDB `//` on positive
+    * operands, so every rank is bit-identical across engines and the
+    * top-k rank order needs no rounded-score rule. Headroom: total
+    * mass n·1e12 must stay ≪ 2^63/85 ≈ 1.1e17, i.e. fine to ~100k
+    * nodes; at larger graphs shrink the unit (1e9 keeps 100M nodes
+    * exact) — the arithmetic is unit-agnostic.
+    *
+    * Scale shape: the edge list (with degree attached) is built once
+    * and cached — it is the only corpus-sized state; each iteration
+    * is ONE equi-join (ranks ⋈ edges on src) + ONE combinable
+    * dst-keyed sum, i.e. the standard Pregel step as two shuffles on
+    * stable keys (AQE reuses the exchange partitioning). 5 fixed
+    * iterations unroll into a single declarative plan — no
+    * driver-side data, no collect; for unbounded iteration counts
+    * use the localCheckpoint-per-round pattern of
+    * [[TrainingOps.qDedupComponents]].
+    *
+    * Node ids: customers → 2·custkey, suppliers → 2·suppkey+1 (both
+    * engines derive node_type/node_key back out by parity).
+    */
+  def qGraphPagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .distinct()
+    val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "src").cache()
+
+    var ranks = deg.select($"src".as("node"), lit(1000000000000L).as("r"))
+    for (_ <- 1 to 5) {
+      ranks = withDeg.join(ranks, $"src" === $"node")
+        .select($"dst", expr("r DIV deg").as("contrib"))
+        .groupBy($"dst").agg(sum($"contrib").as("m"))
+        .select($"dst".as("node"),
+          (lit(150000000000L) + expr("(85 * m) DIV 100")).as("r"))
+    }
+    ranks.join(deg, $"node" === $"src")
+      .select(
+        when($"node" % 2 === 0, "customer").otherwise("supplier")
+          .as("node_type"),
+        expr("node DIV 2").as("node_key"),
+        $"deg", $"r".as("rank_micro"))
+      .orderBy($"rank_micro".desc, $"node_type", $"node_key")
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_pagerank" -> (qGraphPagerank _))
+
+  val oracle: Map[String, String] = Map(
+    "q_graph_pagerank" ->
+      """WITH eg AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |edges AS (SELECT src, dst FROM eg
+        |          UNION ALL SELECT dst, src FROM eg),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r
+        |       FROM deg),
+        |r1 AS (SELECT e.dst AS node, CAST(150000000000
+        |         + (85 * CAST(sum(p.r // d.deg) AS BIGINT)) // 100 AS BIGINT)
+        |         AS r
+        |       FROM edges e JOIN deg d ON e.src = d.src
+        |         JOIN r0 p ON p.node = e.src GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node, CAST(150000000000
+        |         + (85 * CAST(sum(p.r // d.deg) AS BIGINT)) // 100 AS BIGINT)
+        |         AS r
+        |       FROM edges e JOIN deg d ON e.src = d.src
+        |         JOIN r1 p ON p.node = e.src GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node, CAST(150000000000
+        |         + (85 * CAST(sum(p.r // d.deg) AS BIGINT)) // 100 AS BIGINT)
+        |         AS r
+        |       FROM edges e JOIN deg d ON e.src = d.src
+        |         JOIN r2 p ON p.node = e.src GROUP BY e.dst),
+        |r4 AS (SELECT e.dst AS node, CAST(150000000000
+        |         + (85 * CAST(sum(p.r // d.deg) AS BIGINT)) // 100 AS BIGINT)
+        |         AS r
+        |       FROM edges e JOIN deg d ON e.src = d.src
+        |         JOIN r3 p ON p.node = e.src GROUP BY e.dst),
+        |r5 AS (SELECT e.dst AS node, CAST(150000000000
+        |         + (85 * CAST(sum(p.r // d.deg) AS BIGINT)) // 100 AS BIGINT)
+        |         AS r
+        |       FROM edges e JOIN deg d ON e.src = d.src
+        |         JOIN r4 p ON p.node = e.src GROUP BY e.dst)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |         AS node_type,
+        |       node // 2 AS node_key, d.deg, r AS rank_micro
+        |FROM r5 JOIN deg d ON d.src = r5.node
+        |ORDER BY rank_micro DESC, node_type, node_key LIMIT 20""".stripMargin)
+}

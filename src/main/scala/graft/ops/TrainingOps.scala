@@ -486,7 +486,7 @@ object TrainingOps {
     * lands in the same bucket on any cluster, any partitioning, any
     * engine (md5 is everywhere; rand() is banned).
     */
-  private def hashBucket(idCol: String): org.apache.spark.sql.Column =
+  private[ops] def hashBucket(idCol: String): org.apache.spark.sql.Column =
     expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
 
   /** Reproducible 5% Bernoulli-style sample of the corpus. */

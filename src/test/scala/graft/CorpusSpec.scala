@@ -11,7 +11,8 @@ class CorpusSpec extends SparkSuite {
   import spark.implicits._
 
   private val newKeys = Seq("q_text_repetition", "q_dedup_chunk",
-    "q_agg_decay", "q_agg_regr_slope", "q_sql_text", "q_join_salted")
+    "q_agg_decay", "q_agg_regr_slope", "q_sql_text", "q_join_salted",
+    "q_sample_stratified", "q_text_perplexity")
 
   for (k <- newKeys) {
     test(s"$k runs and returns rows at sf0.001") {
@@ -111,6 +112,45 @@ class CorpusSpec extends SparkSuite {
     for ((d, n) <- got)
       assert(n == (if (d == sfA) serialA else serialB),
         s"concurrent run on $d returned $n")
+  }
+
+  test("contamination rates are in (0,1] and only hit docs appear") {
+    // run at sf0.01 — sf0.001 may legitimately have zero cross-source
+    // shingle overlap; the invariants must hold wherever rows exist
+    val df = ops.Corpus.qTextContamination(spark, "/root/testdata/sf0.01")
+      .cache()
+    try {
+      assert(df.count() > 0, "expected ≥1 contaminated doc at sf0.01")
+      assert(df.filter($"n_contaminated" < 1 ||
+        $"n_contaminated" > $"n_grams").count() == 0)
+      assert(df.filter($"contamination" <= 0 || $"contamination" > 1)
+        .count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("stratified sample: kept ⊆ total and rates match the config table") {
+    val df = ops.Corpus.qSampleStratified(spark, sf).cache()
+    try {
+      assert(df.filter($"n_kept" > $"n_total").count() == 0)
+      val rates = df.select($"lang", $"rate").collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(rates == Map("de" -> 20, "en" -> 5, "es" -> 20,
+        "fr" -> 20, "zh" -> 50))
+    } finally df.unpersist()
+  }
+
+  test("perplexity nll is bounded below by the most-common-token nll") {
+    // avg_nll is a convex combination of -ln(p_tok) terms, so no doc
+    // can score below -ln(max_tok_share) (up to the 12-dp pre-round)
+    val docs = ops.core.t(spark, sf, "documents")
+    val toks = docs.select(explode(split($"text", " ")).as("tok"))
+    val total = toks.count().toDouble
+    val maxShare = toks.groupBy($"tok").count()
+      .agg(max($"count")).head().getLong(0) / total
+    val bound = -math.log(maxShare) - 1e-6
+    val df = ops.Corpus.qTextPerplexity(spark, sf)
+    assert(df.filter($"avg_nll" < bound).count() == 0,
+      s"avg_nll below the -ln(p_max) = $bound floor")
   }
 
   test("sql-text top-3: at most 3 rows per segment, ranks 1..3") {

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** PageRank invariants the t2 oracle can't phrase: the exact
+  * fixed-point behavior on a symmetric graph, and the mass bounds the
+  * integer-unit arithmetic guarantees.
+  */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("q_graph_pagerank runs, returns exactly 20 rows, ranks descend") {
+    val rows = ops.Graph.qGraphPagerank(spark, sf).collect()
+    assert(rows.length == 20)
+    val ranks = rows.map(_.getAs[Long]("rank_micro")).toSeq
+    assert(ranks == ranks.sortBy(-_), "rows not in descending rank order")
+    // every node receives at least the undamped base mass
+    assert(ranks.forall(_ >= 150000000000L))
+  }
+
+  test("pagerank is the exact fixed point 1e12 on a perfect matching") {
+    // two disjoint customer–supplier pairs: every node has degree 1,
+    // so each iteration maps r → 0.15e12 + 0.85·r, whose fixed point
+    // 1e12 is hit EXACTLY in integer units (85·1e12 DIV 100 is exact).
+    // Any drift here means the integer update rule changed.
+    val dir = java.nio.file.Files.createTempDirectory("pr").toString
+    Seq((100L, 1L), (200L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((100L, 7L), (200L, 8L)).toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val rows = ops.Graph.qGraphPagerank(spark, dir).collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getAs[Long]("rank_micro") == 1000000000000L),
+      rows.map(_.getAs[Long]("rank_micro")).mkString(", "))
+    assert(rows.forall(_.getAs[Long]("deg") == 1L))
+  }
+
+  test("pagerank favors the hub in a star graph") {
+    // one supplier serving 5 customers vs one serving a single
+    // customer: the hub must out-rank the leaf supplier
+    val dir = java.nio.file.Files.createTempDirectory("pr2").toString
+    val orders = (1L to 6L).map(c => (c * 10, c))
+    orders.toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+    orders.map { case (ok, c) => (ok, if (c <= 5) 1L else 2L) }
+      .toDF("l_orderkey", "l_suppkey").write.parquet(s"$dir/lineitem.parquet")
+    val bySupp = ops.Graph.qGraphPagerank(spark, dir).collect()
+      .filter(_.getAs[String]("node_type") == "supplier")
+      .map(r => r.getAs[Long]("node_key") -> r.getAs[Long]("rank_micro"))
+      .toMap
+    assert(bySupp(1L) > bySupp(2L),
+      s"hub rank ${bySupp(1L)} not above leaf rank ${bySupp(2L)}")
+  }
+}

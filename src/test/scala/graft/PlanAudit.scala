@@ -26,7 +26,10 @@ object PlanAudit {
     "q_text_repetition", "q_dedup_chunk", "q_agg_decay",
     "q_agg_regr_slope", "q_sql_text", "q_join_salted",
     "q_agg_corr", "q_events_transitions", "q_win_streak",
-    "q_text_lang_keywords", "q_agg_moments")
+    "q_text_lang_keywords", "q_agg_moments",
+    // round-4b additions
+    "q_text_contamination", "q_sample_stratified", "q_text_perplexity",
+    "q_graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
