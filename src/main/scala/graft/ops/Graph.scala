@@ -50,10 +50,17 @@ object Graph {
       .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
       .distinct()
     val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, "src").cache()
+    // degree via a src-partitioned window, NOT a groupBy + self-join:
+    // the edge pipeline (the only corpus-sized input) is derived
+    // exactly once, then cached; `nodes` is node-sized and derived
+    // FROM the cache rather than re-running the orders ⋈ lineitem scan
+    val withDeg = edges.select($"src", $"dst",
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"src"))
+        .as("deg")).cache()
+    val nodes = withDeg.select($"src", $"deg").dropDuplicates("src")
 
-    var ranks = deg.select($"src".as("node"), lit(1000000000000L).as("r"))
+    var ranks = nodes.select($"src".as("node"), lit(1000000000000L).as("r"))
     for (_ <- 1 to 5) {
       ranks = withDeg.join(ranks, $"src" === $"node")
         .select($"dst", expr("r DIV deg").as("contrib"))
@@ -61,7 +68,7 @@ object Graph {
         .select($"dst".as("node"),
           (lit(150000000000L) + expr("(85 * m) DIV 100")).as("r"))
     }
-    ranks.join(deg, $"node" === $"src")
+    ranks.join(nodes, $"node" === $"src")
       .select(
         when($"node" % 2 === 0, "customer").otherwise("supplier")
           .as("node_type"),
