@@ -197,6 +197,35 @@ object Streaming {
       .orderBy($"event_type", $"next_type")
   }
 
+  /** Rank the tumbling window-type counts to the top-3 event types
+    * per window (ties → event_type asc). In batch this composes
+    * directly onto [[tumbling]]; in streaming, ranking a streaming
+    * aggregate needs a second stateful stage, so the standard shape is
+    * agg-in-stream + rank-in-sink: StreamingSpec drives [[tumblingStream]]
+    * into a foreachBatch sink that applies THIS SAME function per
+    * micro-batch — one rank definition, two modes.
+    *
+    * Scale shape: counts are combinable (map-side partials); the rank
+    * window partitions by window_start, so WindowGroupLimit prunes to
+    * k rows per partition before the final exchange.
+    */
+  def topkOfWindows(counts: DataFrame, k: Int = 3): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"window_start")
+      .orderBy($"n".desc, $"event_type".asc)
+    counts.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"window_start", $"rk", $"event_type", $"n", $"sum_value_c")
+  }
+
+  def qStreamTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    topkOfWindows(tumbling(t(s, dir, "events")))
+      .orderBy($"window_start", $"rk")
+  }
+
   // ------------------------------------------------- streaming-only forms
 
   /** Streaming tumbling aggregation with a watermark: late events
@@ -234,6 +263,7 @@ object Streaming {
     "q_stream_session" -> (qStreamSession _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_join_interval" -> (qStreamJoinInterval _),
+    "q_stream_topk" -> (qStreamTopk _),
     "q_events_funnel" -> (qEventsFunnel _),
     "q_events_transitions" -> (qEventsTransitions _)
   )
@@ -286,6 +316,17 @@ object Streaming {
         |        PARTITION BY user_id, event_type ORDER BY event_id) AS rn
         |      FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_stream_topk" ->
+      s"""WITH counts AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |    count(*) AS n, CAST(sum($valC) AS BIGINT) AS sum_value_c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, rk, event_type, n, sum_value_c FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY window_start
+        |    ORDER BY n DESC, event_type ASC) AS rk
+        |  FROM counts)
+        |WHERE rk <= 3 ORDER BY window_start, rk""".stripMargin,
 
     // Interval join: µs delta floored to whole seconds with integer
     // division on both engines (Spark DIV ↔ DuckDB //) — no double

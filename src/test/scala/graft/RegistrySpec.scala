@@ -45,8 +45,8 @@ class RegistrySpec extends SparkSuite {
     "q_pivot", "q_unpivot",
     // §2.9 streaming (batch-checkable forms)
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_dedup", "q_stream_join_interval", "q_events_funnel",
-    "q_events_transitions",
+    "q_stream_dedup", "q_stream_join_interval", "q_stream_topk",
+    "q_events_funnel", "q_events_transitions",
     // §2.10 LLM ops
     "q_text_wordcount", "q_text_tfidf", "q_text_ngram", "q_text_stats",
     "q_dedup_exact", "q_dedup_minhash", "q_sim_cosine_topk",

@@ -47,6 +47,36 @@ class StreamingSpec extends SparkSuite {
       s"streaming (${streamed.length}) != batch (${batch.length})")
   }
 
+  test("streaming topk: rank-in-foreachBatch == batch rank on same data") {
+    // agg runs IN the stream (update mode), the rank runs per
+    // micro-batch in the sink via the SAME topkOfWindows function the
+    // t2 key uses — the standard two-stage shape for ranking a
+    // streaming aggregate
+    val s = spark
+    import s.implicits._
+    val batch = Streaming.qStreamTopk(spark, sf)
+      .collect().map(_.toString).sorted
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(core.t(spark, sf, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Ev].collect().toSeq)
+    val latest = scala.collection.mutable.Map[String, org.apache.spark.sql.Row]()
+    val q = Streaming.tumbling(mem.toDF)
+      .writeStream.outputMode(OutputMode.Complete())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        Streaming.topkOfWindows(df).collect()
+          .foreach(r => latest(s"${r.get(0)}#${r.get(1)}") = r)
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = latest.values.map(_.toString).toArray.sorted
+    assert(streamed.sameElements(batch),
+      s"streaming (${streamed.length}) != batch (${batch.length})")
+  }
+
   test("watermark drops events later than the delay (append mode)") {
     val s = spark
     import s.implicits._
