@@ -42,6 +42,38 @@ object Graph {
     * Node ids: customers → 2·custkey, suppliers → 2·suppkey+1 (both
     * engines derive node_type/node_key back out by parity).
     */
+  /** The iteration core, reusable on any directed edge list with
+    * columns (src, dst) — ScaleProbe drives it on synthetic
+    * million-node graphs. Returns (node, deg, rank_micro). Caches the
+    * degree-annotated edge list (the only corpus-sized state); the
+    * caller's final materialization owns the cache lifecycle
+    * (Verify/Bench clearCache between keys, §SCALING).
+    */
+  def pagerank(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    // degree via a src-partitioned window, NOT a groupBy + self-join:
+    // the edge pipeline (the only corpus-sized input) is derived
+    // exactly once, then cached; `nodes` is node-sized and derived
+    // FROM the cache rather than re-running the upstream scan
+    val withDeg = edges.select($"src", $"dst",
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"src"))
+        .as("deg")).cache()
+    val nodes = withDeg.select($"src", $"deg").dropDuplicates("src")
+
+    var ranks = nodes.select($"src".as("node"), lit(1000000000000L).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = withDeg.join(ranks, $"src" === $"node")
+        .select($"dst", expr("r DIV deg").as("contrib"))
+        .groupBy($"dst").agg(sum($"contrib").as("m"))
+        .select($"dst".as("node"),
+          (lit(150000000000L) + expr("(85 * m) DIV 100")).as("r"))
+    }
+    ranks.join(nodes, $"node" === $"src")
+      .select($"node", $"deg", $"r".as("rank_micro"))
+  }
+
   def qGraphPagerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
@@ -50,30 +82,12 @@ object Graph {
       .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
       .distinct()
     val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
-    // degree via a src-partitioned window, NOT a groupBy + self-join:
-    // the edge pipeline (the only corpus-sized input) is derived
-    // exactly once, then cached; `nodes` is node-sized and derived
-    // FROM the cache rather than re-running the orders ⋈ lineitem scan
-    val withDeg = edges.select($"src", $"dst",
-      count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"src"))
-        .as("deg")).cache()
-    val nodes = withDeg.select($"src", $"deg").dropDuplicates("src")
-
-    var ranks = nodes.select($"src".as("node"), lit(1000000000000L).as("r"))
-    for (_ <- 1 to 5) {
-      ranks = withDeg.join(ranks, $"src" === $"node")
-        .select($"dst", expr("r DIV deg").as("contrib"))
-        .groupBy($"dst").agg(sum($"contrib").as("m"))
-        .select($"dst".as("node"),
-          (lit(150000000000L) + expr("(85 * m) DIV 100")).as("r"))
-    }
-    ranks.join(nodes, $"node" === $"src")
+    pagerank(edges)
       .select(
         when($"node" % 2 === 0, "customer").otherwise("supplier")
           .as("node_type"),
         expr("node DIV 2").as("node_key"),
-        $"deg", $"r".as("rank_micro"))
+        $"deg", $"rank_micro")
       .orderBy($"rank_micro".desc, $"node_type", $"node_key")
       .limit(20)
   }

@@ -86,6 +86,21 @@ object ScaleProbe {
       print(s"  ($n components) ")
     }
 
+    // PageRank at 1M nodes / 5M directed edges with hash-derived
+    // targets plus ten deliberate hot hubs (every 10th edge points at
+    // node id%10, so hub in-degree ~500k). Checks the Pregel-step
+    // shape holds when degree is badly skewed: the contribution sum
+    // is a combinable agg, so hub heat collapses map-side instead of
+    // landing on one reducer.
+    val prEdges = spark.range(0, 5000000L).select(
+      ($"id" % 1000000L).as("src"),
+      when($"id" % 10 === 0, $"id" % 10L)
+        .otherwise(pmod($"id" * 2654435761L, lit(1000000L))).as("dst"))
+    timed("pagerank 5 iters, 1M nodes / 5M edges (hot hubs)") {
+      val n = ops.Graph.pagerank(prEdges).count()
+      print(s"  ($n ranked nodes) ")
+    }
+
     // similarity cost split at sf0.1: pair-join + dot alone vs the
     // full top-k (adds the rank window) — tells whether the O(n²)
     // loop or the ranking dominates
