@@ -127,6 +127,47 @@ object Scalars {
       .orderBy($"week")
   }
 
+  /** 15-minute OHLC bars per event type — the canonical time-series
+    * downsample (resample-to-bars). High/low/count are plain
+    * combinable aggregates; open/close are the value at the first/
+    * last (ts, event_id) of the bar — a deterministic TOTAL order
+    * (event_id is unique), so ties cannot pick arbitrary rows
+    * (§5.3). Cents throughout; doubles never enter.
+    *
+    * Scale shape: ONE shuffle — the first/last window partitions by
+    * (event_type, bar_start) and the group-by that follows uses the
+    * same keys, so the aggregation reuses the window's hash
+    * partitioning without a second exchange. Bars are epoch-aligned
+    * on both engines (Spark `window` aligns to the epoch; DuckDB
+    * `time_bucket`'s 2000-01-01 origin is a whole multiple of 15 min
+    * from it).
+    */
+  def ohlc(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = events
+      .select($"event_type", $"ts", $"event_id", cents($"value").as("v_c"),
+        window($"ts", "15 minutes").getField("start").as("bar_start"))
+    val w = Window.partitionBy($"event_type", $"bar_start")
+      .orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base
+      .withColumn("o_c", first($"v_c").over(w))
+      .withColumn("c_c", last($"v_c").over(w))
+      .groupBy($"event_type", $"bar_start")
+      .agg(count(lit(1)).as("n"),
+        max($"o_c").as("open_c"),
+        max($"v_c").as("high_c"),
+        min($"v_c").as("low_c"),
+        max($"c_c").as("close_c"))
+  }
+
+  def qTsOhlc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ohlc(t(s, dir, "events")).orderBy($"event_type", $"bar_start")
+  }
+
   def qMathFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "events")
@@ -343,6 +384,7 @@ object Scalars {
     "q_date_arith" -> (qDateArith _),
     "q_ts_funcs" -> (qTsFuncs _),
     "q_ts_retention" -> (qTsRetention _),
+    "q_ts_ohlc" -> (qTsOhlc _),
     "q_math_funcs" -> (qMathFuncs _),
     "q_cond_funcs" -> (qCondFuncs _),
     "q_cast_funcs" -> (qCastFuncs _),
@@ -436,6 +478,26 @@ object Scalars {
         |FROM active a LEFT JOIN active b
         |  ON a.user_id = b.user_id AND b.week = a.week + 7
         |GROUP BY a.week ORDER BY a.week""".stripMargin,
+
+    "q_ts_ohlc" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |    time_bucket(INTERVAL '15 minutes', ts) AS bar_start,
+        |    ts, event_id, CAST(round(value*100) AS BIGINT) AS v_c
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    first_value(v_c) OVER (PARTITION BY event_type, bar_start
+        |      ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING) AS o_c,
+        |    last_value(v_c) OVER (PARTITION BY event_type, bar_start
+        |      ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING) AS c_c
+        |  FROM base)
+        |SELECT event_type, bar_start, count(*) AS n,
+        |  max(o_c) AS open_c, max(v_c) AS high_c,
+        |  min(v_c) AS low_c, max(c_c) AS close_c
+        |FROM w GROUP BY 1, 2 ORDER BY event_type, bar_start""".stripMargin,
 
     "q_math_funcs" ->
       """SELECT event_id, x,

@@ -29,7 +29,7 @@ object PlanAudit {
     "q_text_lang_keywords", "q_agg_moments",
     // round-4b additions
     "q_text_contamination", "q_sample_stratified", "q_text_perplexity",
-    "q_graph_pagerank", "q_stream_topk")
+    "q_graph_pagerank", "q_stream_topk", "q_ts_ohlc")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
