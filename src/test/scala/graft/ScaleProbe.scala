@@ -86,6 +86,18 @@ object ScaleProbe {
       print(s"  ($n components) ")
     }
 
+    // Misra-Gries heavy hitters over 5M rows, 1M distinct keys where
+    // ten keys own half the stream: state stays at 64 (item, count)
+    // pairs per task vs an exact group-by's 1M-key shuffle
+    val mgRows = spark.range(0, 5000000L).select(
+      when($"id" % 2 === 0, concat(lit("hot"), expr("(id DIV 2) % 10")))
+        .otherwise(concat(lit("c"), $"id")).as("item")).as[String]
+    timed("misra-gries k=64, 5M rows / ~2.5M distinct") {
+      val summary = mgRows.select(new graft.functions.MisraGries(64).toColumn).head()
+      val hot = summary.count(_._1.startsWith("hot"))
+      print(s"  (${summary.size} kept, all 10 hot present: ${hot == 10}) ")
+    }
+
     // PageRank at 1M nodes / 5M directed edges with hash-derived
     // targets plus ten deliberate hot hubs (every 10th edge points at
     // node id%10, so hub in-degree ~500k). Checks the Pregel-step
