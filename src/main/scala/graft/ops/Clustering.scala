@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import core._
+
+/** Embedding clustering (round 4 addition to SURVEY §2.11) — the
+  * k-means build step behind semantic dedup / cluster-balanced
+  * curation of training corpora (cluster, then prune or rebalance
+  * per cluster).
+  */
+object Clustering {
+
+  /** Squared L2 distance as the ORDER-IDENTICAL left-to-right fold
+    * both engines run over identical doubles (`functions.aggregate`
+    * ↔ DuckDB `list_reduce(list_prepend(0.0, …))`) — the similarity-
+    * family rule (LlmOps scaladoc): raw doubles may drive ranking
+    * when the fold order is pinned, so argmin needs no pre-rounding.
+    */
+  private def dist2(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Deterministic Lloyd k-means: md5-seeded initial centroids (the
+    * q_sim_ann_ivf seeding), `iters` unrolled iterations over any
+    * (vec_id, emb: array<double>) frame; returns (final centroids as
+    * (cent_id, c_emb), final assignment as (cent_id, emb)).
+    * ClusteringSpec drives it on crafted blobs.
+    *
+    * Cross-engine exactness, piece by piece (§5.3):
+    *  - assignment argmin ranks the raw d² fold (order-identical, see
+    *    [[dist2]]) with cent_id tiebreak;
+    *  - centroid recompute is the q_agg_vector_centroid pattern —
+    *    per-dim DECIMAL(20,8) sums (exact, order-independent), ONE
+    *    `round(sum/n, 8)` at the end (HALF_UP ↔ DuckDB round on
+    *    DOUBLE, CLAUDE.md rule) — so the centroid that re-enters the
+    *    next iteration's distance is the same double in both engines;
+    *  - empty clusters simply drop (no rows to recompute from) —
+    *    identical on both sides.
+    *
+    * Scale shape per iteration: centroids are k·dims scalars —
+    * broadcast; the candidate scoring is a broadcast nested-loop over
+    * k=8 rows (no corpus shuffle); the argmin is a combinable
+    * min(struct) groupBy — 8 candidate rows per vec collapse to 1
+    * map-side before the vec_id exchange; the recompute group-by has
+    * k·dims = 512 groups, fully map-side combined. 3 iterations
+    * unroll into one declarative plan, no driver-side data.
+    */
+  def kmeans(e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val s = e.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val seedW = Window.orderBy($"seed_rank", $"vec_id")
+    var cents = e
+      .withColumn("seed_rank", md5(concat(lit("km"), $"vec_id".cast("string"))))
+      .orderBy($"seed_rank", $"vec_id").limit(k)
+      .withColumn("cent_id", row_number().over(seedW))
+      .select($"cent_id", $"emb".as("c_emb"))
+
+    var assigned: DataFrame = null
+    for (i <- 1 to iters) {
+      assigned = e.crossJoin(broadcast(cents))
+        .withColumn("d2", dist2($"emb", $"c_emb"))
+        .groupBy($"vec_id")
+        .agg(min(struct($"d2", $"cent_id", $"emb")).as("w"))
+        .select($"w.cent_id".as("cent_id"), $"w.emb".as("emb"))
+      // the final assignment feeds BOTH outputs (centroid recompute
+      // and sizes); plans are trees, so without materialization the
+      // whole iteration chain would execute twice. Same build-step
+      // cache as qSimAnnIvf's `assigned` (at scale: the persisted
+      // cluster index); Verify/Bench clearCache between keys.
+      if (i == iters) assigned = assigned.cache()
+      cents = assigned
+        .select($"cent_id", posexplode(
+          expr("transform(emb, x -> CAST(round(x, 8) AS DECIMAL(20, 8)))"))
+          .as(Seq("pos", "v")))
+        .groupBy($"cent_id", $"pos")
+        .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+        .select($"cent_id", $"pos",
+          round($"sv".cast("double") / $"n", 8).as("c"))
+        .groupBy($"cent_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+          .as("c_emb"))
+    }
+    (cents, assigned)
+  }
+
+  /** The registered key: k = 8, 3 iterations over the embeddings
+    * fixture; output = per-(cluster, dim) centroid plus cluster size.
+    */
+  def qMlKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val (cents, assigned) = kmeans(e, 8, 3)
+    val sizes = assigned.groupBy($"cent_id").agg(count(lit(1)).as("n_members"))
+    cents
+      .select($"cent_id", posexplode($"c_emb").as(Seq("pos", "c")))
+      .select($"cent_id", ($"pos" + 1).as("dim"), $"c")
+      .join(broadcast(sizes), Seq("cent_id"))
+      .select($"cent_id", $"n_members", $"dim", $"c")
+      .orderBy($"cent_id", $"dim")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_kmeans" -> (qMlKmeans _))
+
+  private def iterSql(prev: String, a: String, c: String): String =
+    s"""$a AS (
+       |  SELECT cent_id, vec_id, emb FROM (
+       |    SELECT vec_id, emb, cent_id, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+       |    FROM (
+       |      SELECT n.vec_id, n.emb, c.cent_id,
+       |        list_reduce(list_prepend(0.0, list_zip(n.emb, c.c_emb)
+       |          .apply(p -> (p[1]-p[2])*(p[1]-p[2]))),
+       |          (acc, v) -> acc + v) AS d2
+       |      FROM e n CROSS JOIN $prev c))
+       |  WHERE rn = 1),
+       |${c}d AS (
+       |  SELECT cent_id, dim, round(CAST(sum(v) AS DOUBLE) / count(*), 8)
+       |    AS c
+       |  FROM (
+       |    SELECT cent_id,
+       |      CAST(generate_subscripts(emb, 1) AS BIGINT) AS dim,
+       |      CAST(round(unnest(emb), 8) AS DECIMAL(20, 8)) AS v
+       |    FROM $a)
+       |  GROUP BY 1, 2),
+       |$c AS (
+       |  SELECT cent_id, list(c ORDER BY dim) AS c_emb
+       |  FROM ${c}d GROUP BY 1)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_ml_kmeans" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |c0 AS (
+         |  SELECT crn AS cent_id, emb AS c_emb FROM (
+         |    SELECT *, row_number() OVER (
+         |      ORDER BY md5(concat('km', CAST(vec_id AS VARCHAR))), vec_id)
+         |      AS crn
+         |    FROM e)
+         |  WHERE crn <= 8),
+         |${iterSql("c0", "a1", "c1")},
+         |${iterSql("c1", "a2", "c2")},
+         |${iterSql("c2", "a3", "c3")},
+         |sizes AS (SELECT cent_id, count(*) AS n_members FROM a3 GROUP BY 1)
+         |SELECT d.cent_id, s.n_members, d.dim, d.c
+         |FROM c3d d JOIN sizes s USING (cent_id)
+         |ORDER BY d.cent_id, d.dim""".stripMargin)
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Clustering
+
+class ClusteringSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("q_ml_kmeans: 8 clusters x 64 dims, sizes sum to corpus size") {
+    val out = Clustering.qMlKmeans(spark, sf)
+    val n = ops.core.t(spark, sf, "embeddings").count()
+    assert(out.count() == 8 * 64)
+    assert(out.select($"cent_id").distinct().count() == 8)
+    val sizeSum = out.filter($"dim" === 1)
+      .agg(sum($"n_members")).head().getLong(0)
+    assert(sizeSum == n, s"cluster sizes sum $sizeSum != corpus $n")
+  }
+
+  test("kmeans recovers two well-separated blobs exactly") {
+    // 40 points at distance ~0.01 around (0,0) and (10,10): any seeds
+    // split them after 3 iterations; each final cluster is pure
+    val pts = spark.range(0, 80).select($"id".as("vec_id"),
+      array(
+        when($"id" % 2 === 0, lit(0.0)).otherwise(lit(10.0))
+          + ($"id" % 5).cast("double") / 500.0,
+        when($"id" % 2 === 0, lit(0.0)).otherwise(lit(10.0))
+          + ($"id" % 7).cast("double") / 700.0).as("emb"))
+    val (cents, assigned) = Clustering.kmeans(pts, 2, 3)
+    assert(cents.count() == 2)
+    // purity: within one cluster, all members share a blob (first
+    // coordinate < 5 or >= 5)
+    val purity = assigned
+      .select($"cent_id", (element_at($"emb", 1) < 5.0).as("low"))
+      .groupBy($"cent_id")
+      .agg(countDistinct($"low").as("blobs"))
+      .agg(max($"blobs")).head().getLong(0)
+    assert(purity == 1L, "a cluster mixes the two blobs")
+    // and the centroids sit in different blobs
+    val cs = cents.select(element_at($"c_emb", 1)).as[Double].collect().sorted
+    assert(cs(0) < 5.0 && cs(1) > 5.0)
+  }
+}

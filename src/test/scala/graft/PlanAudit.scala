@@ -29,7 +29,7 @@ object PlanAudit {
     "q_text_lang_keywords", "q_agg_moments",
     // round-4b additions
     "q_text_contamination", "q_sample_stratified", "q_text_perplexity",
-    "q_graph_pagerank", "q_stream_topk", "q_ts_ohlc")
+    "q_graph_pagerank", "q_stream_topk", "q_ts_ohlc", "q_ml_kmeans")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
@@ -44,7 +44,12 @@ object PlanAudit {
     val out = new StringBuilder
     out ++= "# PLANS — formatted physical plans of representative queries\n\n"
     out ++= "Regenerate with `sbt \"Test/runMain graft.PlanAudit\"` " +
-      "(sf0.01, local[4], AQE-final plans after execution).\n"
+      "(sf0.01, local[4], AQE-final plans after execution).\n\n" +
+      "Counting caveat for cached/iterative plans (q_graph_pagerank, " +
+      "q_ml_kmeans): `toString` re-prints an InMemoryRelation's child " +
+      "plan at every reference, so operator counts tally each cached " +
+      "subtree once PER PRINT, not per execution — the cached pipeline " +
+      "runs once and every other reference is an InMemoryTableScan.\n"
 
     for (name <- representative) {
       val df = SparkEntry.queries(name)(spark, sf)

@@ -60,7 +60,7 @@ class RegistrySpec extends SparkSuite {
     "q_dedup_embed_lsh", "q_pipeline_e2e",
     "q_text_repetition", "q_dedup_chunk", "q_text_lang_keywords",
     "q_text_contamination", "q_sample_stratified", "q_text_perplexity",
-    "q_graph_pagerank")
+    "q_graph_pagerank", "q_ml_kmeans")
 
   /** Approximate / engine-specific-hash ops — deliberately no oracle. */
   private val noOracle = Set("q_agg_approx_hll", "q_agg_approx_quantile",
@@ -97,7 +97,7 @@ class RegistrySpec extends SparkSuite {
     val maps = Seq(ops.Relational.queries, ops.Windows.queries,
       ops.Aggregates.queries, ops.Scalars.queries, ops.Streaming.queries,
       ops.LlmOps.queries, ops.TrainingOps.queries, ops.Pipeline.queries,
-      ops.Corpus.queries, ops.Graph.queries)
+      ops.Corpus.queries, ops.Graph.queries, ops.Clustering.queries)
     val total = maps.map(_.size).sum
     assert(total == SparkEntry.queries.size,
       "a key is defined in more than one registry")
