@@ -26,8 +26,8 @@ object Clustering {
   /** Deterministic Lloyd k-means: md5-seeded initial centroids (the
     * q_sim_ann_ivf seeding), `iters` unrolled iterations over any
     * (vec_id, emb: array<double>) frame; returns (final centroids as
-    * (cent_id, c_emb), final assignment as (cent_id, emb)).
-    * ClusteringSpec drives it on crafted blobs.
+    * (cent_id, c_emb), final assignment as (vec_id, cent_id, d2,
+    * emb)). ClusteringSpec drives it on crafted blobs.
     *
     * Cross-engine exactness, piece by piece (§5.3):
     *  - assignment argmin ranks the raw d² fold (order-identical, see
@@ -66,7 +66,8 @@ object Clustering {
         .withColumn("d2", dist2($"emb", $"c_emb"))
         .groupBy($"vec_id")
         .agg(min(struct($"d2", $"cent_id", $"emb")).as("w"))
-        .select($"w.cent_id".as("cent_id"), $"w.emb".as("emb"))
+        .select($"vec_id", $"w.cent_id".as("cent_id"),
+          $"w.d2".as("d2"), $"w.emb".as("emb"))
       // the final assignment feeds BOTH outputs (centroid recompute
       // and sizes); plans are trees, so without materialization the
       // whole iteration chain would execute twice. Same build-step
@@ -106,13 +107,42 @@ object Clustering {
       .orderBy($"cent_id", $"dim")
   }
 
+  /** Cluster-balanced pruning — keep the 10 most-central vectors per
+    * k-means cluster (the curation step after the build: prune each
+    * semantic region to its most representative members instead of
+    * truncating the corpus globally). Ranks the RAW d² (the
+    * similarity-family rule: the fold is order-identical across
+    * engines) with vec_id tiebreak; d² rounds only on output.
+    *
+    * Scale shape: rn ≤ 10 over a cent_id window compiles to
+    * WindowGroupLimit — every task pre-prunes to its local top-10 per
+    * cluster, so at most 10·tasks rows per cluster reach the final
+    * per-cluster exchange regardless of corpus size (k itself scales
+    * with the corpus in practice; it is a parameter here).
+    */
+  def qMlClusterPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val (_, assigned) = kmeans(e, 8, 3)
+    val w = Window.partitionBy($"cent_id").orderBy($"d2".asc, $"vec_id".asc)
+    assigned
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10)
+      .select($"cent_id", $"rn", $"vec_id", r6($"d2").as("d2"))
+      .orderBy($"cent_id", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ml_kmeans" -> (qMlKmeans _))
+    "q_ml_kmeans" -> (qMlKmeans _),
+    "q_ml_cluster_prune" -> (qMlClusterPrune _))
 
   private def iterSql(prev: String, a: String, c: String): String =
     s"""$a AS (
-       |  SELECT cent_id, vec_id, emb FROM (
-       |    SELECT vec_id, emb, cent_id, row_number() OVER (
+       |  SELECT cent_id, vec_id, d2, emb FROM (
+       |    SELECT vec_id, emb, cent_id, d2, row_number() OVER (
        |      PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
        |    FROM (
        |      SELECT n.vec_id, n.emb, c.cent_id,
@@ -134,22 +164,33 @@ object Clustering {
        |  SELECT cent_id, list(c ORDER BY dim) AS c_emb
        |  FROM ${c}d GROUP BY 1)""".stripMargin
 
+  private val kmeansCtes: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |c0 AS (
+       |  SELECT crn AS cent_id, emb AS c_emb FROM (
+       |    SELECT *, row_number() OVER (
+       |      ORDER BY md5(concat('km', CAST(vec_id AS VARCHAR))), vec_id)
+       |      AS crn
+       |    FROM e)
+       |  WHERE crn <= 8),
+       |${iterSql("c0", "a1", "c1")},
+       |${iterSql("c1", "a2", "c2")},
+       |${iterSql("c2", "a3", "c3")}""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_ml_kmeans" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |c0 AS (
-         |  SELECT crn AS cent_id, emb AS c_emb FROM (
-         |    SELECT *, row_number() OVER (
-         |      ORDER BY md5(concat('km', CAST(vec_id AS VARCHAR))), vec_id)
-         |      AS crn
-         |    FROM e)
-         |  WHERE crn <= 8),
-         |${iterSql("c0", "a1", "c1")},
-         |${iterSql("c1", "a2", "c2")},
-         |${iterSql("c2", "a3", "c3")},
+      s"""$kmeansCtes,
          |sizes AS (SELECT cent_id, count(*) AS n_members FROM a3 GROUP BY 1)
          |SELECT d.cent_id, s.n_members, d.dim, d.c
          |FROM c3d d JOIN sizes s USING (cent_id)
-         |ORDER BY d.cent_id, d.dim""".stripMargin)
+         |ORDER BY d.cent_id, d.dim""".stripMargin,
+
+    "q_ml_cluster_prune" ->
+      s"""$kmeansCtes
+         |SELECT cent_id, rn, vec_id, round(d2, 6) AS d2 FROM (
+         |  SELECT cent_id, vec_id, d2, row_number() OVER (
+         |    PARTITION BY cent_id ORDER BY d2, vec_id) AS rn
+         |  FROM a3)
+         |WHERE rn <= 10 ORDER BY cent_id, rn""".stripMargin)
 }

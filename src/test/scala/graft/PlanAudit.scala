@@ -29,7 +29,8 @@ object PlanAudit {
     "q_text_lang_keywords", "q_agg_moments",
     // round-4b additions
     "q_text_contamination", "q_sample_stratified", "q_text_perplexity",
-    "q_graph_pagerank", "q_stream_topk", "q_ts_ohlc", "q_ml_kmeans")
+    "q_graph_pagerank", "q_stream_topk", "q_ts_ohlc", "q_ml_kmeans",
+    "q_ml_cluster_prune")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")

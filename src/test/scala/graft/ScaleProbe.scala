@@ -98,6 +98,20 @@ object ScaleProbe {
       print(s"  (${summary.size} kept, all 10 hot present: ${hot == 10}) ")
     }
 
+    // k-means at 1M synthetic 16-dim vectors (hash-derived, no
+    // rand()): per iteration = broadcast scoring + one combinable
+    // vec-keyed exchange + a 128-group recompute — linear in rows
+    val vecs = spark.range(0, 1000000L).select($"id".as("vec_id"),
+      expr("transform(sequence(1, 16), d -> " +
+        "CAST(pmod(id * 2654435761 + d * 40503, 1000) AS DOUBLE) / 1000.0)")
+        .as("emb"))
+    timed("kmeans k=8 x 3 iters, 1M x 16-dim vectors") {
+      val (cents, assigned) = ops.Clustering.kmeans(vecs, 8, 3)
+      val n = assigned.count()
+      print(s"  (${cents.count()} centroids over $n vecs) ")
+      assigned.unpersist()
+    }
+
     // PageRank at 1M nodes / 5M directed edges with hash-derived
     // targets plus ten deliberate hot hubs (every 10th edge points at
     // node id%10, so hub in-degree ~500k). Checks the Pregel-step
