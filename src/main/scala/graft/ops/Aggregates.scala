@@ -304,6 +304,23 @@ object Aggregates {
       .orderBy($"event_type")
   }
 
+  /** Spark 4.1's built-in `approx_top_k` sketch (the engine-native
+    * heavy-hitters path; the custom mergeable alternative is
+    * `functions/MisraGries.scala`). Declared no-oracle like the other
+    * sketches: DuckDB cannot replay the sketch. On the fixtures the
+    * tracked-item capacity exceeds the event_type cardinality, so the
+    * estimates are exact — AggregatesSpec pins them equal to the
+    * exact group-by counts, which also makes the key deterministic.
+    */
+  def qAggApproxTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .agg(expr("approx_top_k(event_type, 3, 100)").as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.item".as("event_type"), $"e.count".as("est_n"))
+      .orderBy($"est_n".desc, $"event_type")
+  }
+
   /** Exponentially time-decayed engagement score per user: each
     * event's cents value is weighted by 2^(−age/7d), age measured
     * back from the corpus max timestamp — the recency-weighted
@@ -508,7 +525,8 @@ object Aggregates {
     "q_agg_corr" -> (qAggCorr _),
     "q_agg_moments" -> (qAggMoments _),
     "q_agg_approx_hll" -> (qAggApproxHll _),
-    "q_agg_approx_quantile" -> (qAggApproxQuantile _)
+    "q_agg_approx_quantile" -> (qAggApproxQuantile _),
+    "q_agg_approx_topk" -> (qAggApproxTopk _)
   )
 
   private val qtyC = "CAST(round(l_quantity*100) AS BIGINT)"

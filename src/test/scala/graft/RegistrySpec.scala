@@ -21,6 +21,7 @@ class RegistrySpec extends SparkSuite {
     "q_agg_global", "q_agg_groupby", "q_agg_distinct", "q_agg_multidistinct",
     "q_agg_having", "q_agg_rollup", "q_agg_cube", "q_agg_groupingsets",
     "q_agg_stats", "q_agg_collect", "q_agg_approx_hll", "q_agg_approx_quantile",
+    "q_agg_approx_topk",
     "q_agg_percentile", "q_agg_bool", "q_agg_histogram", "q_agg_try_arith",
     "q_agg_argmax", "q_agg_bitmap_distinct", "q_agg_outliers", "q_agg_mode",
     "q_agg_entropy", "q_agg_decay", "q_agg_regr_slope", "q_agg_corr",
@@ -64,7 +65,7 @@ class RegistrySpec extends SparkSuite {
 
   /** Approximate / engine-specific-hash ops — deliberately no oracle. */
   private val noOracle = Set("q_agg_approx_hll", "q_agg_approx_quantile",
-    "q_dedup_minhash", "q_dedup_simhash")
+    "q_agg_approx_topk", "q_dedup_minhash", "q_dedup_simhash")
 
   test("every SURVEY §2 key is registered in SparkEntry.queries") {
     val missing = surveyKeys.filterNot(SparkEntry.queries.contains)

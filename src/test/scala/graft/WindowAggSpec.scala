@@ -107,6 +107,17 @@ class WindowAggSpec extends SparkSuite {
     }
   }
 
+  test("approx_top_k is exact when capacity exceeds cardinality") {
+    import spark.implicits._
+    val exact = core.t(spark, sf, "events")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"event_type").limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sk = Aggregates.qAggApproxTopk(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sk == exact, s"sketch $sk != exact $exact")
+  }
+
   test("percentile_approx p95 lands between p90 and max") {
     import spark.implicits._
     val ev = core.t(spark, sf, "events")
