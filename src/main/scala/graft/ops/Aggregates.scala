@@ -307,15 +307,18 @@ object Aggregates {
   /** Spark 4.1's built-in `approx_top_k` sketch (the engine-native
     * heavy-hitters path; the custom mergeable alternative is
     * `functions/MisraGries.scala`). Declared no-oracle like the other
-    * sketches: DuckDB cannot replay the sketch. On the fixtures the
-    * tracked-item capacity exceeds the event_type cardinality, so the
-    * estimates are exact — AggregatesSpec pins them equal to the
-    * exact group-by counts, which also makes the key deterministic.
+    * sketches: DuckDB cannot replay the sketch. Determinism: k = 5 =
+    * the event_type cardinality and capacity ≫ cardinality, so EVERY
+    * item is returned with its exact count — no selection boundary
+    * exists for a count tie to flip (a k < cardinality sketch picks
+    * arbitrarily among boundary ties, which no trailing sort can
+    * repair). WindowAggSpec pins the output equal to the exact
+    * group-by.
     */
   def qAggApproxTopk(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "events")
-      .agg(expr("approx_top_k(event_type, 3, 100)").as("tk"))
+      .agg(expr("approx_top_k(event_type, 5, 100)").as("tk"))
       .select(explode($"tk").as("e"))
       .select($"e.item".as("event_type"), $"e.count".as("est_n"))
       .orderBy($"est_n".desc, $"event_type")

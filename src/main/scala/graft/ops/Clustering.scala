@@ -48,7 +48,8 @@ object Clustering {
     * k·dims = 512 groups, fully map-side combined. 3 iterations
     * unroll into one declarative plan, no driver-side data.
     */
-  def kmeans(e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+  def kmeans(e: DataFrame, k: Int, iters: Int,
+      cacheFinal: Boolean = true): (DataFrame, DataFrame) = {
     val s = e.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -68,12 +69,15 @@ object Clustering {
         .agg(min(struct($"d2", $"cent_id", $"emb")).as("w"))
         .select($"vec_id", $"w.cent_id".as("cent_id"),
           $"w.d2".as("d2"), $"w.emb".as("emb"))
-      // the final assignment feeds BOTH outputs (centroid recompute
-      // and sizes); plans are trees, so without materialization the
-      // whole iteration chain would execute twice. Same build-step
-      // cache as qSimAnnIvf's `assigned` (at scale: the persisted
-      // cluster index); Verify/Bench clearCache between keys.
-      if (i == iters) assigned = assigned.cache()
+      // cacheFinal: when the caller consumes BOTH outputs (qMlKmeans
+      // reads final centroids AND sizes), plans are trees, so without
+      // materialization the whole iteration chain would execute
+      // twice. Same build-step cache as qSimAnnIvf's `assigned` (at
+      // scale: the persisted cluster index); Verify/Bench clearCache
+      // between keys. Single-consumer callers (qMlClusterPrune
+      // discards the centroids) pass cacheFinal = false and pay
+      // nothing.
+      if (i == iters && cacheFinal) assigned = assigned.cache()
       cents = assigned
         .select($"cent_id", posexplode(
           expr("transform(emb, x -> CAST(round(x, 8) AS DECIMAL(20, 8)))"))
@@ -126,7 +130,7 @@ object Clustering {
     val e = t(s, dir, "embeddings")
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-    val (_, assigned) = kmeans(e, 8, 3)
+    val (_, assigned) = kmeans(e, 8, 3, cacheFinal = false)
     val w = Window.partitionBy($"cent_id").orderBy($"d2".asc, $"vec_id".asc)
     assigned
       .withColumn("rn", row_number().over(w))

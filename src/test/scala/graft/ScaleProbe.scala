@@ -86,9 +86,10 @@ object ScaleProbe {
       print(s"  ($n components) ")
     }
 
-    // Misra-Gries heavy hitters over 5M rows, 1M distinct keys where
-    // ten keys own half the stream: state stays at 64 (item, count)
-    // pairs per task vs an exact group-by's 1M-key shuffle
+    // Misra-Gries heavy hitters over 5M rows, ~2.5M distinct keys
+    // where ten keys own half the stream: state stays at 64
+    // (item, count) pairs per task vs an exact group-by's
+    // ~2.5M-key shuffle
     val mgRows = spark.range(0, 5000000L).select(
       when($"id" % 2 === 0, concat(lit("hot"), expr("(id DIV 2) % 10")))
         .otherwise(concat(lit("c"), $"id")).as("item")).as[String]
@@ -113,19 +114,23 @@ object ScaleProbe {
     }
 
     // PageRank at 1M nodes / 5M directed edges with hash-derived
-    // targets plus ten deliberate hot hubs (every 10th edge points at
-    // node id%10, so hub in-degree ~500k). Checks the Pregel-step
-    // shape holds when degree is badly skewed: the contribution sum
-    // is a combinable agg, so hub heat collapses map-side instead of
-    // landing on one reducer.
+    // targets plus ten deliberate hot hubs (every 10th edge's target
+    // cycles nodes 0-9, so hub in-degree ~50k vs the ~5 background).
+    // Checks the Pregel-step shape holds when degree is badly skewed:
+    // the contribution sum is a combinable agg, so hub heat collapses
+    // map-side instead of landing on one reducer.
     val prEdges = spark.range(0, 5000000L).select(
       ($"id" % 1000000L).as("src"),
-      when($"id" % 10 === 0, $"id" % 10L)
+      when($"id" % 10 === 0, expr("(id DIV 10) % 10"))
         .otherwise(pmod($"id" * 2654435761L, lit(1000000L))).as("dst"))
     timed("pagerank 5 iters, 1M nodes / 5M edges (hot hubs)") {
       val n = ops.Graph.pagerank(prEdges).count()
       print(s"  ($n ranked nodes) ")
     }
+    // pagerank caches its edge+degree frame internally with no handle
+    // returned — clear it so the probes that follow aren't measured
+    // under a resident 5M-edge cache
+    spark.catalog.clearCache()
 
     // similarity cost split at sf0.1: pair-join + dot alone vs the
     // full top-k (adds the rank window) — tells whether the O(n²)

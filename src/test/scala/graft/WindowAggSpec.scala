@@ -111,7 +111,7 @@ class WindowAggSpec extends SparkSuite {
     import spark.implicits._
     val exact = core.t(spark, sf, "events")
       .groupBy($"event_type").agg(count(lit(1)).as("n"))
-      .orderBy($"n".desc, $"event_type").limit(3)
+      .orderBy($"n".desc, $"event_type").limit(5)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val sk = Aggregates.qAggApproxTopk(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
