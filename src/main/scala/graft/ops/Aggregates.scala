@@ -230,6 +230,24 @@ object Aggregates {
     * built-in `mode()`, which picks an arbitrary value on frequency
     * ties in both engines; rank on (count desc, value asc) instead.
     */
+  /** Ordered string aggregation (SQL:2016 LISTAGG, Spark 4.0+ ↔
+    * DuckDB `string_agg(… ORDER BY …)`): the sorted doc_id roster per
+    * (lang, source) block. WITHIN GROUP (ORDER BY doc_id) makes the
+    * concatenation order a total order on a unique key, so the string
+    * is deterministic on both engines — an UNORDERED listagg is
+    * partition-order-dependent and banned (§5.3, same class as
+    * collect_list without sort_array).
+    */
+  def qAggListagg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("listagg(CAST(doc_id AS STRING), ',') WITHIN GROUP (ORDER BY doc_id)")
+          .as("doc_ids"))
+      .orderBy($"lang", $"source")
+  }
+
   def qAggMode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val counts = t(s, dir, "orders")
@@ -521,6 +539,7 @@ object Aggregates {
     "q_agg_bitmap_distinct" -> (qAggBitmapDistinct _),
     "q_agg_outliers" -> (qAggOutliers _),
     "q_agg_mode" -> (qAggMode _),
+    "q_agg_listagg" -> (qAggListagg _),
     "q_agg_entropy" -> (qAggEntropy _),
     "q_agg_try_arith" -> (qAggTryArith _),
     "q_agg_decay" -> (qAggDecay _),
@@ -693,6 +712,12 @@ object Aggregates {
         |      / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0, 6)
         |  END AS kurtosis_excess
         |FROM m ORDER BY event_type""".stripMargin,
+
+    "q_agg_listagg" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |    AS doc_ids
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
 
     "q_agg_regr_slope" ->
       """WITH e AS (
