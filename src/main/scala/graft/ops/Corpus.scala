@@ -221,15 +221,96 @@ object Corpus {
 
   // ------------------------------------------------------------- registries
 
+  /** BPE merge training, the real thing at miniature scale: learn the
+    * first THREE byte-pair merges from the corpus word-frequency
+    * table (word-freq weighting is exactly how BPE/WordPiece trainers
+    * run). Per merge step: count adjacent symbol pairs weighted by
+    * word freq → pick the most frequent pair (tiebreak: pair asc) →
+    * apply the merge to every word's symbol sequence. Symbols live in
+    * a '|'-separated string ('|' never appears in corpus tokens,
+    * asserted in CorpusSpec); the merge application is plain
+    * `replace`, whose leftmost non-overlapping semantics are
+    * identical in Spark and DuckDB (probe: 'a|a|a' → 'aa|a').
+    *
+    * Scale shape: the ONLY corpus-sized work is the word-frequency
+    * group-by (combinable), cached once; the merge loop runs on the
+    * vocabulary table (tiny by Heaps' law vs the corpus), each step
+    * one explode + group-by + 1-row broadcast. 3 steps unroll into
+    * one declarative plan; the oracle replays them as unrolled CTEs.
+    */
+  def qTextBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wf = t(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .withColumn("sym", expr(
+        "array_join(transform(sequence(1, length(word)), i -> substr(word, i, 1)), '|')"))
+      .select($"freq", $"sym")
+      .cache()
+
+    var cur = wf
+    var merges: DataFrame = null
+    for (step <- 1 to 3) {
+      val pairs = cur
+        .select($"freq", split($"sym", "\\|").as("a"))
+        .filter(size($"a") >= 2)
+        .select($"freq", explode(expr(
+          "transform(sequence(1, size(a) - 1), i -> concat(element_at(a, i), '|', element_at(a, i + 1)))"))
+          .as("pair"))
+        .groupBy($"pair").agg(sum($"freq").as("n"))
+      val best = pairs.orderBy($"n".desc, $"pair".asc).limit(1)
+      val row = best.select(lit(step).as("step"), $"pair", $"n")
+      merges = if (merges == null) row else merges.union(row)
+      cur = cur.crossJoin(broadcast(best.select($"pair".as("bp"))))
+        .select($"freq",
+          expr("replace(sym, bp, replace(bp, '|', ''))").as("sym"))
+    }
+    merges.orderBy($"step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_repetition" -> (qTextRepetition _),
     "q_dedup_chunk" -> (qDedupChunk _),
     "q_text_lang_keywords" -> (qTextLangKeywords _),
     "q_text_contamination" -> (qTextContamination _),
     "q_sample_stratified" -> (qSampleStratified _),
-    "q_text_perplexity" -> (qTextPerplexity _))
+    "q_text_perplexity" -> (qTextPerplexity _),
+    "q_text_bpe" -> (qTextBpe _))
+
+  /** One BPE merge step as oracle CTEs: pair counts from sPrev,
+    * best pair bN, merged symbols sN.
+    */
+  private def bpeStep(sPrev: String, p: String, b: String, sNext: String): String =
+    s"""$p AS (
+       |  SELECT pr, CAST(sum(freq) AS BIGINT) AS n FROM (
+       |    SELECT freq, unnest(list_transform(generate_series(1, len(a) - 1),
+       |      i -> concat(a[i], '|', a[i + 1]))) AS pr
+       |    FROM (SELECT freq, string_split(sym, '|') AS a FROM $sPrev)
+       |    WHERE len(a) >= 2)
+       |  GROUP BY pr),
+       |$b AS (SELECT pr, n FROM $p ORDER BY n DESC, pr LIMIT 1),
+       |$sNext AS (
+       |  SELECT freq, replace(sym, b.pr, replace(b.pr, '|', '')) AS sym
+       |  FROM $sPrev, $b b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_text_bpe" ->
+      s"""WITH s0 AS (
+         |  SELECT count(*) AS freq,
+         |    array_to_string(list_transform(generate_series(1, length(word)),
+         |      i -> substr(word, i, 1)), '|') AS sym
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+         |        FROM documents)
+         |  GROUP BY word),
+         |${bpeStep("s0", "p1", "b1", "s1")},
+         |${bpeStep("s1", "p2", "b2", "s2")},
+         |${bpeStep("s2", "p3", "b3", "s3")}
+         |SELECT step, pair, n FROM (
+         |  SELECT CAST(1 AS INTEGER) AS step, pr AS pair, n FROM b1
+         |  UNION ALL SELECT CAST(2 AS INTEGER), pr, n FROM b2
+         |  UNION ALL SELECT CAST(3 AS INTEGER), pr, n FROM b3)
+         |ORDER BY step""".stripMargin,
+
     "q_text_lang_keywords" ->
       """WITH tok AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok

@@ -153,6 +153,26 @@ class CorpusSpec extends SparkSuite {
       s"avg_nll below the -ln(p_max) = $bound floor")
   }
 
+  test("bpe: separator never occurs in corpus tokens; merges are valid") {
+    import spark.implicits._
+    // the '|' symbol-separator assumption qTextBpe's scaladoc declares
+    val withSep = ops.core.t(spark, sf, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w".contains("|")).count()
+    assert(withSep == 0, "corpus token contains the '|' separator")
+
+    val m = ops.Corpus.qTextBpe(spark, sf).collect()
+    assert(m.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // each learned merge joins exactly two symbols and was seen
+    m.foreach { r =>
+      assert(r.getString(1).split("\\|").length == 2, r.getString(1))
+      assert(r.getLong(2) > 0)
+    }
+    // a merged symbol may itself be merged later, but the same pair
+    // cannot be learned twice (its occurrences were consumed)
+    assert(m.map(_.getString(1)).distinct.length == 3)
+  }
+
   test("sql-text top-3: at most 3 rows per segment, ranks 1..3") {
     val df = ops.Relational.qSqlText(spark, sf).cache()
     try {
