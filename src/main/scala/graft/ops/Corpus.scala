@@ -238,7 +238,11 @@ object Corpus {
     * one explode + group-by + 1-row broadcast. 3 steps unroll into
     * one declarative plan; the oracle replays them as unrolled CTEs.
     */
-  def qTextBpe(s: SparkSession, dir: String): DataFrame = {
+  /** The trainer loop shared by q_text_bpe (reports the merges) and
+    * q_text_bpe_apply (tokenizes with them): three 1-row (pair, n)
+    * frames, in learning order.
+    */
+  private def bpeMerges(s: SparkSession, dir: String): Seq[DataFrame] = {
     import s.implicits._
     val wf = t(s, dir, "documents")
       .select(explode(split($"text", " ")).as("word"))
@@ -249,8 +253,8 @@ object Corpus {
       .cache()
 
     var cur = wf
-    var merges: DataFrame = null
-    for (step <- 1 to 3) {
+    val out = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to 3) {
       val pairs = cur
         .select($"freq", split($"sym", "\\|").as("a"))
         .filter(size($"a") >= 2)
@@ -259,13 +263,50 @@ object Corpus {
           .as("pair"))
         .groupBy($"pair").agg(sum($"freq").as("n"))
       val best = pairs.orderBy($"n".desc, $"pair".asc).limit(1)
-      val row = best.select(lit(step).as("step"), $"pair", $"n")
-      merges = if (merges == null) row else merges.union(row)
+      out += best
       cur = cur.crossJoin(broadcast(best.select($"pair".as("bp"))))
         .select($"freq",
           expr("replace(sym, bp, replace(bp, '|', ''))").as("sym"))
     }
-    merges.orderBy($"step")
+    out.result()
+  }
+
+  def qTextBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeMerges(s, dir).zipWithIndex
+      .map { case (b, i) => b.select(lit(i + 1).as("step"), $"pair", $"n") }
+      .reduce(_ union _)
+      .orderBy($"step")
+  }
+
+  /** Tokenize every document with the learned merges — the token-
+    * budget computation a pipeline runs after training the tokenizer.
+    * Merges apply in learning order (merge 2 may reference merge 1's
+    * joined symbol), each via the same leftmost non-overlapping
+    * `replace` the trainer used, so per-word subword counts equal the
+    * trainer's final symbol sequences by construction. Map-only over
+    * the corpus: the three 1-row merge frames broadcast as scalars;
+    * the entire tokenization is one per-row array fold, zero shuffles
+    * beyond the trainer's own vocabulary-sized work.
+    */
+  def qTextBpeApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = bpeMerges(s, dir)
+    val bps = m(0).select($"pair".as("bp1"))
+      .crossJoin(m(1).select($"pair".as("bp2")))
+      .crossJoin(m(2).select($"pair".as("bp3")))
+    t(s, dir, "documents").crossJoin(broadcast(bps))
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_ws"),
+        expr("""aggregate(transform(split(text, ' '), w ->
+            CAST(size(split(replace(replace(replace(
+              array_join(transform(sequence(1, length(w)), i -> substr(w, i, 1)), '|'),
+              bp1, replace(bp1, '|', '')),
+              bp2, replace(bp2, '|', '')),
+              bp3, replace(bp3, '|', '')),
+              '[|]')) AS BIGINT)), 0L, (acc, x) -> acc + x)""")
+          .as("n_subwords"))
+      .orderBy($"doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -275,7 +316,8 @@ object Corpus {
     "q_text_contamination" -> (qTextContamination _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_text_perplexity" -> (qTextPerplexity _),
-    "q_text_bpe" -> (qTextBpe _))
+    "q_text_bpe" -> (qTextBpe _),
+    "q_text_bpe_apply" -> (qTextBpeApply _))
 
   /** One BPE merge step as oracle CTEs: pair counts from sPrev,
     * best pair bN, merged symbols sN.
@@ -310,6 +352,30 @@ object Corpus {
          |  UNION ALL SELECT CAST(2 AS INTEGER), pr, n FROM b2
          |  UNION ALL SELECT CAST(3 AS INTEGER), pr, n FROM b3)
          |ORDER BY step""".stripMargin,
+
+    "q_text_bpe_apply" ->
+      s"""WITH s0 AS (
+         |  SELECT count(*) AS freq,
+         |    array_to_string(list_transform(generate_series(1, length(word)),
+         |      i -> substr(word, i, 1)), '|') AS sym
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+         |        FROM documents)
+         |  GROUP BY word),
+         |${bpeStep("s0", "p1", "b1", "s1")},
+         |${bpeStep("s1", "p2", "b2", "s2")},
+         |${bpeStep("s2", "p3", "b3", "s3")}
+         |SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+         |  CAST(list_sum(list_transform(string_split(text, ' '), w ->
+         |    len(string_split(replace(replace(replace(
+         |      array_to_string(list_transform(generate_series(1, length(w)),
+         |        i -> substr(w, i, 1)), '|'),
+         |      b1.pr, replace(b1.pr, '|', '')),
+         |      b2.pr, replace(b2.pr, '|', '')),
+         |      b3.pr, replace(b3.pr, '|', '')),
+         |      '|')))) AS BIGINT) AS n_subwords
+         |FROM documents, b1, b2, b3
+         |ORDER BY doc_id""".stripMargin,
 
     "q_text_lang_keywords" ->
       """WITH tok AS (

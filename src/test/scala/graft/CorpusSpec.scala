@@ -173,6 +173,21 @@ class CorpusSpec extends SparkSuite {
     assert(m.map(_.getString(1)).distinct.length == 3)
   }
 
+  test("bpe apply: word count <= subwords <= char count per doc") {
+    import spark.implicits._
+    val joined = ops.Corpus.qTextBpeApply(spark, sf)
+      .join(ops.core.t(spark, sf, "documents")
+        .select($"doc_id", $"text"), "doc_id")
+      .select($"n_ws", $"n_subwords",
+        (length($"text") - length(regexp_replace($"text", " ", "")) + 1)
+          .as("n_ws_check"),
+        length(regexp_replace($"text", " ", "")).cast("long").as("n_chars"))
+    assert(joined.filter($"n_ws" =!= $"n_ws_check").count() == 0)
+    // each word is >= 1 subword; merging can only shrink toward words
+    assert(joined.filter($"n_subwords" < $"n_ws" ||
+      $"n_subwords" > $"n_chars").count() == 0)
+  }
+
   test("sql-text top-3: at most 3 rows per segment, ranks 1..3") {
     val df = ops.Relational.qSqlText(spark, sf).cache()
     try {

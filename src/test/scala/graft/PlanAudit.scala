@@ -30,7 +30,7 @@ object PlanAudit {
     // round-4b additions
     "q_text_contamination", "q_sample_stratified", "q_text_perplexity",
     "q_graph_pagerank", "q_stream_topk", "q_ts_ohlc", "q_ml_kmeans",
-    "q_ml_cluster_prune", "q_text_bpe")
+    "q_ml_cluster_prune", "q_text_bpe", "q_text_bpe_apply")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
@@ -47,7 +47,7 @@ object PlanAudit {
     out ++= "Regenerate with `sbt \"Test/runMain graft.PlanAudit\"` " +
       "(sf0.01, local[4], AQE-final plans after execution).\n\n" +
       "Counting caveat for cached/iterative plans (q_graph_pagerank, " +
-      "q_ml_kmeans): `toString` re-prints an InMemoryRelation's child " +
+      "q_ml_kmeans, q_text_bpe): `toString` re-prints an InMemoryRelation's child " +
       "plan at every reference, so operator counts tally each cached " +
       "subtree once PER PRINT, not per execution — the cached pipeline " +
       "runs once and every other reference is an InMemoryTableScan.\n"

@@ -62,7 +62,7 @@ class RegistrySpec extends SparkSuite {
     "q_dedup_embed_lsh", "q_pipeline_e2e",
     "q_text_repetition", "q_dedup_chunk", "q_text_lang_keywords",
     "q_text_contamination", "q_sample_stratified", "q_text_perplexity",
-    "q_text_bpe",
+    "q_text_bpe", "q_text_bpe_apply",
     "q_graph_pagerank", "q_ml_kmeans", "q_ml_cluster_prune")
 
   /** Approximate / engine-specific-hash ops — deliberately no oracle. */
