@@ -226,10 +226,6 @@ object Aggregates {
       .orderBy($"user_id")
   }
 
-  /** Deterministic mode (most frequent value) per group — NOT the
-    * built-in `mode()`, which picks an arbitrary value on frequency
-    * ties in both engines; rank on (count desc, value asc) instead.
-    */
   /** Ordered string aggregation (SQL:2016 LISTAGG, Spark 4.0+ ↔
     * DuckDB `string_agg(… ORDER BY …)`): the sorted doc_id roster per
     * (lang, source) block. WITHIN GROUP (ORDER BY doc_id) makes the
@@ -248,6 +244,10 @@ object Aggregates {
       .orderBy($"lang", $"source")
   }
 
+  /** Deterministic mode (most frequent value) per group — NOT the
+    * built-in `mode()`, which picks an arbitrary value on frequency
+    * ties in both engines; rank on (count desc, value asc) instead.
+    */
   def qAggMode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val counts = t(s, dir, "orders")

@@ -221,34 +221,41 @@ object Corpus {
 
   // ------------------------------------------------------------- registries
 
-  /** BPE merge training, the real thing at miniature scale: learn the
-    * first THREE byte-pair merges from the corpus word-frequency
-    * table (word-freq weighting is exactly how BPE/WordPiece trainers
-    * run). Per merge step: count adjacent symbol pairs weighted by
-    * word freq → pick the most frequent pair (tiebreak: pair asc) →
-    * apply the merge to every word's symbol sequence. Symbols live in
-    * a '|'-separated string ('|' never appears in corpus tokens,
-    * asserted in CorpusSpec); the merge application is plain
-    * `replace`, whose leftmost non-overlapping semantics are
-    * identical in Spark and DuckDB (probe: 'a|a|a' → 'aa|a').
-    *
-    * Scale shape: the ONLY corpus-sized work is the word-frequency
-    * group-by (combinable), cached once; the merge loop runs on the
-    * vocabulary table (tiny by Heaps' law vs the corpus), each step
-    * one explode + group-by + 1-row broadcast. 3 steps unroll into
-    * one declarative plan; the oracle replays them as unrolled CTEs.
+  /** Per-word symbolization shared by trainer and apply (ONE
+    * definition on each engine — the "subword counts equal the
+    * trainer's sequences" claim depends on them staying identical):
+    * every symbol is wrapped in its OWN delimiters, `ath` →
+    * `|a||t||h|`. Boundary-exactness: a pair search string
+    * `|a||t|` can only match two complete adjacent symbols — it
+    * cannot match inside `|a||th|` (prefix/suffix fusions are
+    * impossible), and adjacent occurrences share no characters, so
+    * leftmost non-overlapping `replace` (identical in Spark and
+    * DuckDB) applies every occurrence in one pass.
     */
+  private def symbolize(col: String): String =
+    s"concat('|', array_join(transform(sequence(1, length($col)), " +
+      s"i -> substr($col, i, 1)), '||'), '|')"
+
+  private def symbolizeSql(col: String): String =
+    s"concat('|', array_to_string(list_transform(generate_series(1, length($col)), " +
+      s"i -> substr($col, i, 1)), '||'), '|')"
+
   /** The trainer loop shared by q_text_bpe (reports the merges) and
     * q_text_bpe_apply (tokenizes with them): three 1-row (pair, n)
-    * frames, in learning order.
+    * frames in learning order, each cached (they are re-read by every
+    * later step's lineage AND by the caller; 1 row each). `words` =
+    * one row per token occurrence, column `word`; empty tokens are
+    * dropped — Spark `sequence(1, 0)` is `[1, 0]` (descending step)
+    * while DuckDB `generate_series(1, 0)` is empty, so an empty word
+    * would symbolize differently across engines.
     */
-  private def bpeMerges(s: SparkSession, dir: String): Seq[DataFrame] = {
+  private[graft] def bpeMergesFrom(words: DataFrame): Seq[DataFrame] = {
+    val s = words.sparkSession
     import s.implicits._
-    val wf = t(s, dir, "documents")
-      .select(explode(split($"text", " ")).as("word"))
+    val wf = words
+      .filter(length($"word") > 0)
       .groupBy($"word").agg(count(lit(1)).as("freq"))
-      .withColumn("sym", expr(
-        "array_join(transform(sequence(1, length(word)), i -> substr(word, i, 1)), '|')"))
+      .withColumn("sym", expr(symbolize("word")))
       .select($"freq", $"sym")
       .cache()
 
@@ -256,25 +263,49 @@ object Corpus {
     val out = Seq.newBuilder[DataFrame]
     for (_ <- 1 to 3) {
       val pairs = cur
-        .select($"freq", split($"sym", "\\|").as("a"))
+        .select($"freq", expr("split(trim(BOTH '|' FROM sym), '[|][|]')").as("a"))
         .filter(size($"a") >= 2)
         .select($"freq", explode(expr(
-          "transform(sequence(1, size(a) - 1), i -> concat(element_at(a, i), '|', element_at(a, i + 1)))"))
+          "transform(sequence(1, size(a) - 1), i -> concat('|', element_at(a, i), '||', element_at(a, i + 1), '|'))"))
           .as("pair"))
         .groupBy($"pair").agg(sum($"freq").as("n"))
-      val best = pairs.orderBy($"n".desc, $"pair".asc).limit(1)
+      val best = pairs.orderBy($"n".desc, $"pair".asc).limit(1).cache()
       out += best
       cur = cur.crossJoin(broadcast(best.select($"pair".as("bp"))))
         .select($"freq",
-          expr("replace(sym, bp, replace(bp, '|', ''))").as("sym"))
+          expr("replace(sym, bp, replace(bp, '||', ''))").as("sym"))
     }
     out.result()
   }
 
+  private def bpeMerges(s: SparkSession, dir: String): Seq[DataFrame] = {
+    import s.implicits._
+    bpeMergesFrom(t(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("word")))
+  }
+
+  /** BPE merge training at miniature scale: learn the first THREE
+    * byte-pair merges from the corpus word-frequency table (word-freq
+    * weighting is exactly how BPE/WordPiece trainers run). Per merge
+    * step: count adjacent symbol pairs weighted by word freq → pick
+    * the most frequent pair (tiebreak: pair asc) → apply the merge to
+    * every word's symbol sequence via [[symbolize]]'s boundary-exact
+    * delimited representation (CorpusSpec pins a crafted corpus where
+    * a naive single-delimiter encoding fuses across symbol
+    * boundaries). Output pairs print as `a+b`.
+    *
+    * Scale shape: the ONLY corpus-sized work is the word-frequency
+    * group-by (combinable), cached once; the merge loop runs on the
+    * vocabulary table (tiny by Heaps' law vs the corpus), each step
+    * one explode + group-by + cached 1-row broadcast. 3 steps unroll
+    * into one declarative plan; the oracle replays them as unrolled
+    * CTEs.
+    */
   def qTextBpe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     bpeMerges(s, dir).zipWithIndex
-      .map { case (b, i) => b.select(lit(i + 1).as("step"), $"pair", $"n") }
+      .map { case (b, i) => b.select(lit(i + 1).as("step"),
+        expr("replace(trim(BOTH '|' FROM pair), '||', '+')").as("pair"), $"n") }
       .reduce(_ union _)
       .orderBy($"step")
   }
@@ -282,7 +313,7 @@ object Corpus {
   /** Tokenize every document with the learned merges — the token-
     * budget computation a pipeline runs after training the tokenizer.
     * Merges apply in learning order (merge 2 may reference merge 1's
-    * joined symbol), each via the same leftmost non-overlapping
+    * joined symbol) through the same [[symbolize]] representation and
     * `replace` the trainer used, so per-word subword counts equal the
     * trainer's final symbol sequences by construction. Map-only over
     * the corpus: the three 1-row merge frames broadcast as scalars;
@@ -298,13 +329,13 @@ object Corpus {
     t(s, dir, "documents").crossJoin(broadcast(bps))
       .select($"doc_id",
         size(split($"text", " ")).cast("long").as("n_ws"),
-        expr("""aggregate(transform(split(text, ' '), w ->
-            CAST(size(split(replace(replace(replace(
-              array_join(transform(sequence(1, length(w)), i -> substr(w, i, 1)), '|'),
-              bp1, replace(bp1, '|', '')),
-              bp2, replace(bp2, '|', '')),
-              bp3, replace(bp3, '|', '')),
-              '[|]')) AS BIGINT)), 0L, (acc, x) -> acc + x)""")
+        expr(s"""aggregate(transform(split(text, ' '), w ->
+            IF(length(w) = 0, 0L, CAST(size(split(trim(BOTH '|' FROM
+              replace(replace(replace(${symbolize("w")},
+                bp1, replace(bp1, '||', '')),
+                bp2, replace(bp2, '||', '')),
+                bp3, replace(bp3, '||', ''))),
+              '[|][|]')) AS BIGINT))), 0L, (acc, x) -> acc + x)""")
           .as("n_subwords"))
       .orderBy($"doc_id")
   }
@@ -326,28 +357,28 @@ object Corpus {
     s"""$p AS (
        |  SELECT pr, CAST(sum(freq) AS BIGINT) AS n FROM (
        |    SELECT freq, unnest(list_transform(generate_series(1, len(a) - 1),
-       |      i -> concat(a[i], '|', a[i + 1]))) AS pr
-       |    FROM (SELECT freq, string_split(sym, '|') AS a FROM $sPrev)
+       |      i -> concat('|', a[i], '||', a[i + 1], '|'))) AS pr
+       |    FROM (SELECT freq, string_split(trim(sym, '|'), '||') AS a
+       |          FROM $sPrev)
        |    WHERE len(a) >= 2)
        |  GROUP BY pr),
        |$b AS (SELECT pr, n FROM $p ORDER BY n DESC, pr LIMIT 1),
        |$sNext AS (
-       |  SELECT freq, replace(sym, b.pr, replace(b.pr, '|', '')) AS sym
+       |  SELECT freq, replace(sym, b.pr, replace(b.pr, '||', '')) AS sym
        |  FROM $sPrev, $b b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_text_bpe" ->
       s"""WITH s0 AS (
-         |  SELECT count(*) AS freq,
-         |    array_to_string(list_transform(generate_series(1, length(word)),
-         |      i -> substr(word, i, 1)), '|') AS sym
+         |  SELECT count(*) AS freq, ${symbolizeSql("word")} AS sym
          |  FROM (SELECT unnest(string_split(text, ' ')) AS word
          |        FROM documents)
+         |  WHERE length(word) > 0
          |  GROUP BY word),
          |${bpeStep("s0", "p1", "b1", "s1")},
          |${bpeStep("s1", "p2", "b2", "s2")},
          |${bpeStep("s2", "p3", "b3", "s3")}
-         |SELECT step, pair, n FROM (
+         |SELECT step, replace(trim(pair, '|'), '||', '+') AS pair, n FROM (
          |  SELECT CAST(1 AS INTEGER) AS step, pr AS pair, n FROM b1
          |  UNION ALL SELECT CAST(2 AS INTEGER), pr, n FROM b2
          |  UNION ALL SELECT CAST(3 AS INTEGER), pr, n FROM b3)
@@ -355,11 +386,10 @@ object Corpus {
 
     "q_text_bpe_apply" ->
       s"""WITH s0 AS (
-         |  SELECT count(*) AS freq,
-         |    array_to_string(list_transform(generate_series(1, length(word)),
-         |      i -> substr(word, i, 1)), '|') AS sym
+         |  SELECT count(*) AS freq, ${symbolizeSql("word")} AS sym
          |  FROM (SELECT unnest(string_split(text, ' ')) AS word
          |        FROM documents)
+         |  WHERE length(word) > 0
          |  GROUP BY word),
          |${bpeStep("s0", "p1", "b1", "s1")},
          |${bpeStep("s1", "p2", "b2", "s2")},
@@ -367,13 +397,13 @@ object Corpus {
          |SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
          |  CAST(list_sum(list_transform(string_split(text, ' '), w ->
-         |    len(string_split(replace(replace(replace(
-         |      array_to_string(list_transform(generate_series(1, length(w)),
-         |        i -> substr(w, i, 1)), '|'),
-         |      b1.pr, replace(b1.pr, '|', '')),
-         |      b2.pr, replace(b2.pr, '|', '')),
-         |      b3.pr, replace(b3.pr, '|', '')),
-         |      '|')))) AS BIGINT) AS n_subwords
+         |    CASE WHEN length(w) = 0 THEN 0 ELSE
+         |      len(string_split(trim(replace(replace(replace(
+         |        ${symbolizeSql("w")},
+         |        b1.pr, replace(b1.pr, '||', '')),
+         |        b2.pr, replace(b2.pr, '||', '')),
+         |        b3.pr, replace(b3.pr, '||', '')), '|'), '||'))
+         |    END)) AS BIGINT) AS n_subwords
          |FROM documents, b1, b2, b3
          |ORDER BY doc_id""".stripMargin,
 

@@ -165,12 +165,30 @@ class CorpusSpec extends SparkSuite {
     assert(m.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
     // each learned merge joins exactly two symbols and was seen
     m.foreach { r =>
-      assert(r.getString(1).split("\\|").length == 2, r.getString(1))
+      assert(r.getString(1).split("\\+").length == 2, r.getString(1))
       assert(r.getLong(2) > 0)
     }
     // a merged symbol may itself be merged later, but the same pair
     // cannot be learned twice (its occurrences were consumed)
     assert(m.map(_.getString(1)).distinct.length == 3)
+  }
+
+  test("bpe merges are boundary-exact (no fusion across symbols)") {
+    import spark.implicits._
+    // crafted corpus: ath x7, at x8, th x20.
+    //   merge 1 = (t, h)  n = 7 + 20 = 27   -> ath becomes [a, th]
+    //   merge 2 = (a, t)  n = 8 (beats (a, th) at 7)
+    //   merge 3 = (a, th) n = 7 — EXISTS ONLY IF 'a|th' survived
+    // merge 2 unfused: a naive single-delimiter encoding would match
+    // 'a|t' inside 'a|th' when applying merge 2, fusing the unlearned
+    // symbol 'ath' and leaving NO pair for merge 3.
+    val words = Seq.fill(7)("ath") ++ Seq.fill(8)("at") ++
+      Seq.fill(20)("th")
+    val m = ops.Corpus.bpeMergesFrom(words.toDF("word"))
+      .map(_.collect()(0)).map(r => (r.getString(0), r.getLong(1)))
+    assert(m(0) == (("|t||h|", 27L)), s"merge1 was ${m(0)}")
+    assert(m(1) == (("|a||t|", 8L)), s"merge2 was ${m(1)}")
+    assert(m(2) == (("|a||th|", 7L)), s"merge3 was ${m(2)}")
   }
 
   test("bpe apply: word count <= subwords <= char count per doc") {

@@ -47,7 +47,7 @@ object PlanAudit {
     out ++= "Regenerate with `sbt \"Test/runMain graft.PlanAudit\"` " +
       "(sf0.01, local[4], AQE-final plans after execution).\n\n" +
       "Counting caveat for cached/iterative plans (q_graph_pagerank, " +
-      "q_ml_kmeans, q_text_bpe): `toString` re-prints an InMemoryRelation's child " +
+      "q_ml_kmeans, q_text_bpe, q_text_bpe_apply): `toString` re-prints an InMemoryRelation's child " +
       "plan at every reference, so operator counts tally each cached " +
       "subtree once PER PRINT, not per execution — the cached pipeline " +
       "runs once and every other reference is an InMemoryTableScan.\n"
