@@ -226,6 +226,33 @@ object Aggregates {
       .orderBy($"user_id")
   }
 
+  /** ANALYZE-style table profile: row count, null count and exact
+    * distinct count for every events column, one output row per
+    * column. The data-quality snapshot every ingest gate runs.
+    *
+    * Scale shape: ONE scan — all 6 column profiles aggregate in a
+    * single pass (Spark plans the multi-distinct via one Expand, the
+    * same machinery as q_agg_multidistinct; at 100 TB swap the exact
+    * distincts for approx_count_distinct and the Expand disappears —
+    * the exact form is the oracle-checkable reference). The 1-row
+    * aggregate then unpivots driver-side-free via `stack` (6 rows).
+    */
+  def qProfileTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__nd")))
+    t(s, dir, "events")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, " + cols.map(c =>
+          s"'$c', ${c}__nn, ${c}__nd").mkString(", ") +
+          ") AS (col_name, n_null, n_distinct)")
+      .select($"col_name", $"n_rows", $"n_null", $"n_distinct")
+      .orderBy($"col_name")
+  }
+
   /** Ordered string aggregation (SQL:2016 LISTAGG, Spark 4.0+ ↔
     * DuckDB `string_agg(… ORDER BY …)`): the sorted doc_id roster per
     * (lang, source) block. WITHIN GROUP (ORDER BY doc_id) makes the
@@ -540,6 +567,7 @@ object Aggregates {
     "q_agg_outliers" -> (qAggOutliers _),
     "q_agg_mode" -> (qAggMode _),
     "q_agg_listagg" -> (qAggListagg _),
+    "q_profile_table" -> (qProfileTable _),
     "q_agg_entropy" -> (qAggEntropy _),
     "q_agg_try_arith" -> (qAggTryArith _),
     "q_agg_decay" -> (qAggDecay _),
@@ -712,6 +740,15 @@ object Aggregates {
         |      / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0, 6)
         |  END AS kurtosis_excess
         |FROM m ORDER BY event_type""".stripMargin,
+
+    "q_profile_table" ->
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        .map(c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_null,
+             |  count(DISTINCT $c) AS n_distinct FROM events""".stripMargin)
+        .mkString("\n", "\nUNION ALL\n", "\nORDER BY col_name"),
 
     "q_agg_listagg" ->
       """SELECT lang, source, count(*) AS n_docs,

@@ -221,6 +221,41 @@ object Corpus {
 
   // ------------------------------------------------------------- registries
 
+  /** Distribution-drift monitor: KL(lang ‖ corpus) of the token
+    * distribution, per language — "how far has this slice drifted
+    * from the global mix", the check recurring ingests run to catch
+    * source composition shifts. KL = (1/n_l)·Σ_w c_lw·ln((c_lw·n_g)/
+    * (n_l·c_w)) — every ln argument is an exact integer ratio, each
+    * term pre-rounded to 12-dp DECIMAL before the sum (the
+    * entropy/perplexity discipline: order-independent sums, one
+    * documented libm assumption).
+    *
+    * Scale shape: one explode feeds every aggregate; the per-lang
+    * token table is the only corpus-sized shuffle (combinable); the
+    * global vocabulary and per-lang totals are vocabulary-/lang-sized
+    * and broadcast back.
+    */
+  def qDriftKl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byLang = t(s, dir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("c_lw"))
+    val langTotals = byLang.groupBy($"lang").agg(sum($"c_lw").as("n_l"))
+    val global = byLang.groupBy($"tok").agg(sum($"c_lw").as("c_w"))
+    val totalAll = global.agg(sum($"c_w").as("n_g"))
+    byLang.join(broadcast(global), "tok")
+      .join(broadcast(langTotals), "lang")
+      .crossJoin(broadcast(totalAll))
+      .withColumn("term", expr(
+        """CAST(round(ln((c_lw * n_g) / CAST(n_l * c_w AS DOUBLE)), 12)
+          |  AS DECIMAL(26, 12)) * CAST(c_lw AS DECIMAL(8, 0))""".stripMargin))
+      .groupBy($"lang")
+      .agg(max($"n_l").as("n_tokens"), sum($"term").as("sk"))
+      .select($"lang", $"n_tokens",
+        r6($"sk".cast("double") / $"n_tokens".cast("double")).as("kl"))
+      .orderBy($"lang")
+  }
+
   /** Per-word symbolization shared by trainer and apply (ONE
     * definition on each engine — the "subword counts equal the
     * trainer's sequences" claim depends on them staying identical):
@@ -348,7 +383,8 @@ object Corpus {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_text_perplexity" -> (qTextPerplexity _),
     "q_text_bpe" -> (qTextBpe _),
-    "q_text_bpe_apply" -> (qTextBpeApply _))
+    "q_text_bpe_apply" -> (qTextBpeApply _),
+    "q_drift_kl" -> (qDriftKl _))
 
   /** One BPE merge step as oracle CTEs: pair counts from sPrev,
     * best pair bN, merged symbols sN.
@@ -368,6 +404,25 @@ object Corpus {
        |  FROM $sPrev, $b b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_drift_kl" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |bl AS (SELECT lang, tok, count(*) AS c_lw FROM tok GROUP BY 1, 2),
+        |lt AS (SELECT lang, CAST(sum(c_lw) AS BIGINT) AS n_l
+        |       FROM bl GROUP BY 1),
+        |g AS (SELECT tok, CAST(sum(c_lw) AS BIGINT) AS c_w
+        |      FROM bl GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_g FROM g)
+        |SELECT bl.lang, max(lt.n_l) AS n_tokens,
+        |  round(CAST(sum(
+        |    CAST(round(ln((bl.c_lw * tot.n_g)
+        |        / CAST(lt.n_l * g.c_w AS DOUBLE)), 12) AS DECIMAL(26, 12))
+        |    * CAST(bl.c_lw AS DECIMAL(8, 0))) AS DOUBLE)
+        |    / CAST(max(lt.n_l) AS DOUBLE), 6) AS kl
+        |FROM bl JOIN g USING (tok) JOIN lt USING (lang) CROSS JOIN tot
+        |GROUP BY bl.lang ORDER BY lang""".stripMargin,
+
     "q_text_bpe" ->
       s"""WITH s0 AS (
          |  SELECT count(*) AS freq, ${symbolizeSql("word")} AS sym

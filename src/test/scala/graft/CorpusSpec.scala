@@ -206,6 +206,32 @@ class CorpusSpec extends SparkSuite {
       $"n_subwords" > $"n_chars").count() == 0)
   }
 
+  test("drift kl is non-negative (Gibbs) and zero only if dist matches") {
+    import spark.implicits._
+    val kl = ops.Corpus.qDriftKl(spark, sf).collect()
+    // Gibbs' inequality modulo the 12-dp term rounding: allow that
+    // rounding's worst-case slack (vocabulary * 5e-13 / n_tokens)
+    kl.foreach { r =>
+      assert(r.getDouble(2) >= -1e-9, s"${r.getString(0)}: KL ${r.getDouble(2)}")
+    }
+    assert(kl.length == 5)
+  }
+
+  test("profile: n_null + n_distinct constraints hold per column") {
+    import spark.implicits._
+    val p = ops.Aggregates.qProfileTable(spark, sf).collect()
+    assert(p.length == 6)
+    p.foreach { r =>
+      val (n, nn, nd) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nn >= 0 && nn <= n)
+      assert(nd >= (if (nn == n) 0 else 1) && nd <= n - nn,
+        s"${r.getString(0)}: distinct $nd vs non-null ${n - nn}")
+    }
+    // event_id is the unique key: fully distinct, never null
+    val eid = p.find(_.getString(0) == "event_id").get
+    assert(eid.getLong(2) == 0 && eid.getLong(3) == eid.getLong(1))
+  }
+
   test("sql-text top-3: at most 3 rows per segment, ranks 1..3") {
     val df = ops.Relational.qSqlText(spark, sf).cache()
     try {

@@ -30,7 +30,8 @@ object PlanAudit {
     // round-4b additions
     "q_text_contamination", "q_sample_stratified", "q_text_perplexity",
     "q_graph_pagerank", "q_stream_topk", "q_ts_ohlc", "q_ml_kmeans",
-    "q_ml_cluster_prune", "q_text_bpe", "q_text_bpe_apply")
+    "q_ml_cluster_prune", "q_text_bpe", "q_text_bpe_apply",
+    "q_profile_table", "q_drift_kl")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")

@@ -24,7 +24,7 @@ class RegistrySpec extends SparkSuite {
     "q_agg_approx_topk",
     "q_agg_percentile", "q_agg_bool", "q_agg_histogram", "q_agg_try_arith",
     "q_agg_argmax", "q_agg_bitmap_distinct", "q_agg_outliers", "q_agg_mode",
-    "q_agg_listagg",
+    "q_agg_listagg", "q_profile_table",
     "q_agg_entropy", "q_agg_decay", "q_agg_regr_slope", "q_agg_corr",
     "q_agg_moments",
     // §2.5 windows
@@ -62,7 +62,7 @@ class RegistrySpec extends SparkSuite {
     "q_dedup_embed_lsh", "q_pipeline_e2e",
     "q_text_repetition", "q_dedup_chunk", "q_text_lang_keywords",
     "q_text_contamination", "q_sample_stratified", "q_text_perplexity",
-    "q_text_bpe", "q_text_bpe_apply",
+    "q_text_bpe", "q_text_bpe_apply", "q_drift_kl",
     "q_graph_pagerank", "q_ml_kmeans", "q_ml_cluster_prune")
 
   /** Approximate / engine-specific-hash ops — deliberately no oracle. */
