@@ -309,6 +309,91 @@ object LlmOps {
       .orderBy($"lang")
   }
 
+  /** Int8 vector quantization — the index-compression step ANN
+    * deployments run before serving (4 bytes → 1 byte per dim):
+    * per-dimension min/max scaling to codes 0..255, reporting each
+    * vector's code checksum and reconstruction error.
+    *
+    * Determinism: codes are `round((x−mn)·255/(mx−mn))` — one
+    * HALF_UP double round on identical doubles (mins/maxes are exact
+    * aggregates of the same values) ⇒ identical integers; the
+    * reconstruction error folds over dims IN INDEX ORDER on both
+    * engines (the [[graft.functions.DotProduct]] rule), rounding only
+    * at output. Constant dims (mx = mn) code to 0 on both sides.
+    *
+    * Scale shape: per-dim stats are one combinable aggregate into
+    * dims-many groups, reassembled into two arrays and broadcast as a
+    * single row; quantization itself is map-only — zero corpus
+    * shuffles, so the op scales with the scan.
+    */
+  def qEmbedQuantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val stats = e
+      .select(posexplode($"emb").as(Seq("pos", "x")))
+      .groupBy($"pos").agg(min($"x").as("mn"), max($"x").as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)")
+          .as("mns"),
+        expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)")
+          .as("mxs"))
+    e.crossJoin(broadcast(stats))
+      .withColumn("codes", expr(
+        """transform(sequence(1, size(emb)), i ->
+          |  IF(element_at(mxs, i) = element_at(mns, i), 0L,
+          |    CAST(round((element_at(emb, i) - element_at(mns, i)) * 255.0
+          |      / (element_at(mxs, i) - element_at(mns, i)), 0)
+          |      AS BIGINT)))""".stripMargin))
+      .withColumn("deltas", expr(
+        """transform(sequence(1, size(emb)), i ->
+          |  element_at(emb, i) - (element_at(mns, i)
+          |    + IF(element_at(mxs, i) = element_at(mns, i), CAST(0.0 AS DOUBLE),
+          |        element_at(codes, i)
+          |          * (element_at(mxs, i) - element_at(mns, i)) / 255.0)))"""
+          .stripMargin))
+      .select($"vec_id",
+        expr("aggregate(codes, 0L, (acc, q) -> acc + q)").as("sum_codes"),
+        expr("aggregate(transform(deltas, d -> d * d), CAST(0.0 AS DOUBLE), " +
+          "(acc, v) -> acc + v)").as("raw_err"))
+      .select($"vec_id", $"sum_codes", r6($"raw_err").as("sq_err"))
+      .orderBy($"vec_id")
+  }
+
+  val quantizeOracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |d AS (
+      |  SELECT CAST(generate_subscripts(emb, 1) AS BIGINT) AS pos,
+      |    unnest(emb) AS x
+      |  FROM e),
+      |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM d GROUP BY 1),
+      |arrs AS (
+      |  SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+      |  FROM st),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(generate_series(1, len(emb)), i ->
+      |      CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT)
+      |           ELSE CAST(round((emb[i] - mns[i]) * 255.0
+      |                  / (mxs[i] - mns[i]), 0) AS BIGINT) END) AS codes,
+      |    emb, mns, mxs
+      |  FROM e CROSS JOIN arrs),
+      |dd AS (
+      |  SELECT vec_id,
+      |    CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+      |    list_transform(generate_series(1, len(emb)), i ->
+      |      emb[i] - (mns[i] + CASE WHEN mxs[i] = mns[i]
+      |        THEN CAST(0.0 AS DOUBLE)
+      |        ELSE codes[i] * (mxs[i] - mns[i]) / 255.0 END)) AS deltas
+      |  FROM q)
+      |SELECT vec_id, sum_codes,
+      |  round(list_reduce(list_prepend(0.0,
+      |    list_transform(deltas, d -> d * d)), (acc, v) -> acc + v), 6)
+      |    AS sq_err
+      |FROM dd ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_wordcount" -> (qTextWordcount _),
     "q_text_tfidf" -> (qTextTfidf _),
@@ -319,7 +404,8 @@ object LlmOps {
     "q_sim_cosine_topk" -> (qSimCosineTopk _),
     "q_sim_knn_label" -> (qSimKnnLabel _),
     "q_multimodal_join" -> (qMultimodalJoin _),
-    "q_agg_vector_centroid" -> (qAggVectorCentroid _)
+    "q_agg_vector_centroid" -> (qAggVectorCentroid _),
+    "q_embed_quantize" -> (qEmbedQuantize _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -370,6 +456,8 @@ object LlmOps {
         |    ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1 ORDER BY lang, n_chars""".stripMargin,
+
+    "q_embed_quantize" -> quantizeOracleSql,
 
     "q_agg_vector_centroid" ->
       """WITH x AS (

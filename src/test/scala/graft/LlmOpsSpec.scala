@@ -239,4 +239,16 @@ class LlmOpsSpec extends SparkSuite {
     val q = TrainingOps.qTextQuality(spark, sf)
     assert(q.filter($"quality" < 0 || $"quality" > 1).count() == 0)
   }
+
+  test("quantize: codes bounded by 255*dims, error bounded by scale") {
+    import spark.implicits._
+    val q = LlmOps.qEmbedQuantize(spark, sf)
+    val dims = 64
+    // every code is in 0..255, so the checksum is in [0, 255*dims]
+    assert(q.filter($"sum_codes" < 0 || $"sum_codes" > 255L * dims)
+      .count() == 0)
+    // per-dim error <= (scale/2)^2 with scale = range/255; ranges on
+    // these embeddings are <= ~2, so the total is far under dims*1e-4
+    assert(q.filter($"sq_err" < 0 || $"sq_err" > dims * 1e-4).count() == 0)
+  }
 }
