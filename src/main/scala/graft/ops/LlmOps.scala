@@ -17,11 +17,20 @@ import core._
   * in both engines (codegen'd `graft_dot` ↔ DuckDB `list_reduce` —
   * bit-equality pinned by DotProductSpec and the three-scale-factor
   * oracle diff). Rounding applies to output columns only.
+  *
+  * Zero-norm rule (whole similarity family, here and TrainingOps):
+  * cosine divisions go through `try_divide`, so an all-zero embedding
+  * yields NULL — matching DuckDB's `x / 0.0` — instead of an ANSI
+  * DIVIDE_BY_ZERO crash; NULL ranks last under every `DESC` rank and
+  * fails every `>= τ` threshold in BOTH engines.
   */
 object LlmOps {
 
-  /** doc_id, word (split on single space — the corpus contract). */
-  private def words(s: SparkSession, dir: String): DataFrame = {
+  /** doc_id, word (split on single space — the corpus contract).
+    * THE tokenization definition: TrainingOps reuses it so the
+    * contract can never silently fork between operator families.
+    */
+  private[graft] def words(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
       .select($"doc_id", $"lang", explode(split($"text", " ")).as("word"))
@@ -222,8 +231,8 @@ object LlmOps {
     val w = Window.partitionBy($"a_id").orderBy($"rawcos".desc, $"b_id".asc)
     a.join(broadcast(b), $"a_id" =!= $"b_id")
       .withColumn("rawcos",
-        graft.functions.DotProduct.dot($"a_emb", $"b_emb")
-          / ($"a_nrm" * $"b_nrm"))
+        try_divide(graft.functions.DotProduct.dot($"a_emb", $"b_emb"),
+          $"a_nrm" * $"b_nrm"))
       // project the d-dimensional vectors away BEFORE the rank
       // window: the window's hash exchange otherwise shuffles every
       // (pair, a_emb, b_emb) row — ~d×16 bytes of dead weight per

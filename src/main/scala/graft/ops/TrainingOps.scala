@@ -14,11 +14,8 @@ import core._
   */
 object TrainingOps {
 
-  private def words(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    t(s, dir, "documents")
-      .select($"doc_id", $"lang", explode(split($"text", " ")).as("word"))
-  }
+  private def words(s: SparkSession, dir: String): DataFrame =
+    LlmOps.words(s, dir)
 
   /** N-gram-frequency language ID: build per-language profiles (top-5
     * most frequent words) from the corpus itself, then classify each
@@ -321,8 +318,8 @@ object TrainingOps {
     val b = e.select($"vec_id".as("b_id"), $"emb".as("b_emb"), $"nrm".as("b_nrm"))
     a.join(broadcast(b), $"a_id" < $"b_id")
       .withColumn("rawcos",
-        graft.functions.DotProduct.dot($"a_emb", $"b_emb")
-          / ($"a_nrm" * $"b_nrm"))
+        try_divide(graft.functions.DotProduct.dot($"a_emb", $"b_emb"),
+          $"a_nrm" * $"b_nrm"))
       // filter on the raw cosine (bit-identical across engines —
       // same fold order), round only survivors
       .filter($"rawcos" >= 0.5)
@@ -371,7 +368,7 @@ object TrainingOps {
     val a = e.select($"vec_id".as("a_id"), $"emb".as("a_emb"), $"nrm".as("a_nrm"))
     val b = e.select($"vec_id".as("b_id"), $"emb".as("b_emb"), $"nrm".as("b_nrm"))
     cand.join(a, "a_id").join(b, "b_id")
-      .withColumn("rawcos", dot($"a_emb", $"b_emb") / ($"a_nrm" * $"b_nrm"))
+      .withColumn("rawcos", try_divide(dot($"a_emb", $"b_emb"), $"a_nrm" * $"b_nrm"))
       // threshold on the raw cosine (bit-identical fold across
       // engines); round survivors only — module convention
       .filter($"rawcos" >= 0.5)
@@ -398,8 +395,8 @@ object TrainingOps {
     val w = Window.partitionBy($"a_id").orderBy($"rawcos".desc, $"b_id".asc)
     a.join(b, $"bucket" === $"bk2" && $"a_id" =!= $"b_id")
       .withColumn("rawcos",
-        graft.functions.DotProduct.dot($"a_emb", $"b_emb")
-          / ($"a_nrm" * $"b_nrm"))
+        try_divide(graft.functions.DotProduct.dot($"a_emb", $"b_emb"),
+          $"a_nrm" * $"b_nrm"))
       // drop the vectors before the rank window's exchange (see
       // LlmOps.cosineTopk)
       .select($"a_id", $"b_id", $"rawcos", $"bucket")
@@ -441,7 +438,7 @@ object TrainingOps {
     // materializing it is the standard IVF build step (at scale: the
     // persisted index), not an optimization trick
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("c_cos", dot($"emb", $"c_emb") / ($"nrm" * $"c_nrm"))
+      .withColumn("c_cos", try_divide(dot($"emb", $"c_emb"), $"nrm" * $"c_nrm"))
       .select($"vec_id", $"label", $"emb", $"nrm", $"cent_id", $"c_cos")
       .withColumn("arn", row_number().over(assignW))
       .filter($"arn" === 1)
@@ -454,7 +451,7 @@ object TrainingOps {
     val w = Window.partitionBy($"a_id").orderBy($"rawcos".desc, $"b_id".asc)
     a.join(b, $"cent_id" === $"c2" && $"a_id" =!= $"b_id")
       .withColumn("rawcos",
-        dot($"a_emb", $"b_emb") / ($"a_nrm" * $"b_nrm"))
+        try_divide(dot($"a_emb", $"b_emb"), $"a_nrm" * $"b_nrm"))
       .select($"a_id", $"b_id", $"rawcos", $"cent_id")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
@@ -475,8 +472,11 @@ object TrainingOps {
         size(split($"text", " ")).cast("long").as("ws_tokens"),
         size(regexp_extract_all($"text", lit(pat), lit(0))).cast("long")
           .as("bpe_tokens"),
-        ($"n_chars" / size(regexp_extract_all($"text", lit(pat), lit(0)))
-          .cast("double")).as("chars_per_token"))
+        // try_divide: a zero-token doc must yield NULL (DuckDB's /0
+        // result), not an ANSI DIVIDE_BY_ZERO crash
+        try_divide($"n_chars",
+          size(regexp_extract_all($"text", lit(pat), lit(0))).cast("double"))
+          .as("chars_per_token"))
       .withColumn("chars_per_token", r6($"chars_per_token"))
       .orderBy($"doc_id")
   }
@@ -821,7 +821,7 @@ object TrainingOps {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS md5_hex,
         |  sha256(text) AS sha256_hex,
-        |  hex(substring(text, 1, 4)) AS head_hex
+        |  substring(hex(encode(text)), 1, 8) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
