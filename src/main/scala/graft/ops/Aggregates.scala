@@ -48,14 +48,17 @@ object Aggregates {
 
   /** Explicit GROUPING SETS ((a,b),(a),()) via the SQL front end. */
   def qAggGroupingsets(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    // dir-tagged view name: concurrent invocations on different
+    // fixture dirs must not clobber each other (Relational.scala:106)
+    val tag = (dir.hashCode & 0x7fffffff).toHexString
+    t(s, dir, "lineitem").createOrReplaceTempView(s"gs_lineitem_$tag")
     s.sql(s"""
       SELECT coalesce(l_returnflag, '$All') AS flag_s,
              coalesce(l_linestatus, '$All') AS status_s,
              grouping_id(l_returnflag, l_linestatus) AS gid,
              count(1) AS n,
              sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c
-      FROM gs_lineitem
+      FROM gs_lineitem_$tag
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
       ORDER BY gid, flag_s, status_s""")
   }
@@ -82,18 +85,29 @@ object Aggregates {
         sum(($"x" * $"x").cast(dec)).cast("double").as("sxx"),
         sum(($"y".cast(dec) * $"y".cast(dec))).cast("double").as("syy"),
         sum(($"x".cast(dec) * $"y".cast(dec))).cast("double").as("sxy"))
-    agg.select($"l_returnflag",
-        r4(sqrt(($"n" * $"sxx" - $"sx" * $"sx") / ($"n" * ($"n" - 1))) / 100.0)
+    // degenerate-group guards (mirrored as CASE WHEN in the oracle):
+    // n = 1 makes the sample terms 0/0 — Spark IEEE NaN vs DuckDB
+    // x/0.0 = NULL; a tiny-negative m2 residue (possible once the
+    // double products round independently past 2^53) would make
+    // DuckDB sqrt() ABORT while Spark returns NaN. Both engines
+    // compare the identical doubles, so the guards fire identically
+    // and the degenerate answer is NULL on both sides.
+    agg
+      .withColumn("m2x", $"n" * $"sxx" - $"sx" * $"sx")
+      .withColumn("m2y", $"n" * $"syy" - $"sy" * $"sy")
+      .withColumn("mxy", $"n" * $"sxy" - $"sx" * $"sy")
+      .select($"l_returnflag",
+        when($"n" > 1 && $"m2x" >= 0,
+          r4(sqrt($"m2x" / ($"n" * ($"n" - 1))) / 100.0))
           .as("stddev_samp_qty"),
-        r4(sqrt(($"n" * $"sxx" - $"sx" * $"sx")) / $"n" / 100.0)
+        when($"m2x" >= 0, r4(sqrt($"m2x") / $"n" / 100.0))
           .as("stddev_pop_qty"),
-        r4((($"n" * $"sxx" - $"sx" * $"sx") / ($"n" * ($"n" - 1))) / 10000.0)
+        when($"n" > 1, r4(($"m2x" / ($"n" * ($"n" - 1))) / 10000.0))
           .as("var_samp_qty"),
-        r4((($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * ($"n" - 1))) / 10000.0)
+        when($"n" > 1, r4(($"mxy" / ($"n" * ($"n" - 1))) / 10000.0))
           .as("covar_samp"),
-        r6(($"n" * $"sxy" - $"sx" * $"sy") /
-           (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
-            sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("corr_qty_price"))
+        when($"m2x" > 0 && $"m2y" > 0,
+          r6($"mxy" / (sqrt($"m2x") * sqrt($"m2y")))).as("corr_qty_price"))
       .orderBy($"l_returnflag")
   }
 
@@ -579,7 +593,7 @@ object Aggregates {
     "q_agg_approx_topk" -> (qAggApproxTopk _)
   )
 
-  private val qtyC = "CAST(round(l_quantity*100) AS BIGINT)"
+  private val qtyC = centsSql("l_quantity")
 
   val oracle: Map[String, String] = Map(
     "q_agg_rollup" ->
@@ -626,12 +640,22 @@ object Aggregates {
         |           * CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag,
-        |  round(sqrt((n*sxx - sx*sx) / (n*(n-1))) / 100.0, 4) AS stddev_samp_qty,
-        |  round(sqrt(n*sxx - sx*sx) / n / 100.0, 4) AS stddev_pop_qty,
-        |  round(((n*sxx - sx*sx) / (n*(n-1))) / 10000.0, 4) AS var_samp_qty,
-        |  round(((n*sxy - sx*sy) / (n*(n-1))) / 10000.0, 4) AS covar_samp,
-        |  round((n*sxy - sx*sy) /
-        |        (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr_qty_price
+        |  CASE WHEN n > 1 AND (n*sxx - sx*sx) >= 0 THEN
+        |    round(sqrt((n*sxx - sx*sx) / (n*(n-1))) / 100.0, 4)
+        |  END AS stddev_samp_qty,
+        |  CASE WHEN (n*sxx - sx*sx) >= 0 THEN
+        |    round(sqrt(n*sxx - sx*sx) / n / 100.0, 4)
+        |  END AS stddev_pop_qty,
+        |  CASE WHEN n > 1 THEN
+        |    round(((n*sxx - sx*sx) / (n*(n-1))) / 10000.0, 4)
+        |  END AS var_samp_qty,
+        |  CASE WHEN n > 1 THEN
+        |    round(((n*sxy - sx*sy) / (n*(n-1))) / 10000.0, 4)
+        |  END AS covar_samp,
+        |  CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+        |    round((n*sxy - sx*sy) /
+        |          (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)
+        |  END AS corr_qty_price
         |FROM s ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_collect" ->

@@ -29,8 +29,13 @@ object Relational {
   def qScanPruned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "lineitem")
-      .select($"l_orderkey", $"l_quantity", $"l_shipdate")
-      .orderBy($"l_orderkey", $"l_quantity", $"l_shipdate")
+      // l_linenumber completes the unique tiebreak (tied rows are
+      // content-identical, but the §5.3 rule is total order); it is
+      // read for the sort and dropped from the output — the scan
+      // still prunes 16 columns to 4
+      .select($"l_orderkey", $"l_quantity", $"l_shipdate", $"l_linenumber")
+      .orderBy($"l_orderkey", $"l_quantity", $"l_shipdate", $"l_linenumber")
+      .drop("l_linenumber")
   }
 
   /** count(*) per table, unioned — the metadata/statistics path. */
@@ -601,10 +606,10 @@ object Relational {
   )
 
   private val centsSql = Map(
-    "qty" -> "CAST(round(l_quantity*100) AS BIGINT)",
-    "price" -> "CAST(round(l_extendedprice*100) AS BIGINT)",
-    "disc" -> "CAST(round(l_discount*100) AS BIGINT)",
-    "tax" -> "CAST(round(l_tax*100) AS BIGINT)")
+    "qty" -> core.centsSql("l_quantity"),
+    "price" -> core.centsSql("l_extendedprice"),
+    "disc" -> core.centsSql("l_discount"),
+    "tax" -> core.centsSql("l_tax"))
 
   val oracle: Map[String, String] = Map(
     "q_sql_text" ->
@@ -639,7 +644,7 @@ object Relational {
 
     "q_scan_pruned" ->
       """SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem
-        |ORDER BY l_orderkey, l_quantity, l_shipdate""".stripMargin,
+        |ORDER BY l_orderkey, l_quantity, l_shipdate, l_linenumber""".stripMargin,
 
     "q_scan_count" ->
       """SELECT * FROM (

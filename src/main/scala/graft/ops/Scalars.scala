@@ -224,8 +224,11 @@ object Scalars {
       .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .select($"vec_id", $"label",
         size($"emb").cast("long").as("dim"),
-        r6(element_at($"emb", 1)).as("e1"),
-        r6(element_at($"emb", 64)).as("e64"),
+        // try_element_at: a short vector must yield NULL (DuckDB's
+        // [i] semantics), not an ANSI INVALID_ARRAY_INDEX crash —
+        // same rule qMapFuncs already follows
+        r6(expr("try_element_at(emb, 1)")).as("e1"),
+        r6(expr("try_element_at(emb, 64)")).as("e64"),
         r6(expr("aggregate(slice(emb, 1, 3), 0D, (a, x) -> a + x)")).as("sum_first3"),
         size(expr("filter(emb, x -> x > 0)")).cast("long").as("n_pos"),
         r6(sqrt(expr("aggregate(emb, 0D, (a, x) -> a + x * x)"))).as("l2_norm"))

@@ -268,7 +268,7 @@ object Streaming {
     "q_events_transitions" -> (qEventsTransitions _)
   )
 
-  private val valC = "CAST(round(value*100) AS BIGINT)"
+  private val valC = core.centsSql("value")
 
   val oracle: Map[String, String] = Map(
     "q_stream_tumbling" ->

@@ -45,6 +45,12 @@ object core {
     */
   def cents(c: Column): Column = round(c * 100, 0).cast("long")
 
+  /** The DuckDB-SQL twin of [[cents]] — ONE definition so the Spark
+    * and oracle sides of the cents convention can never silently
+    * fork (file-local copies delegated here in r4b).
+    */
+  def centsSql(col: String): String = s"CAST(round($col*100) AS BIGINT)"
+
   /** Deterministic double output: round at the very end, same depth
     * as the oracle SQL. Spark `round` = HALF_UP, which MATCHES DuckDB
     * `round` on DOUBLE inputs (half-away-from-zero — verified:
