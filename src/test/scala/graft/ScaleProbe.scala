@@ -86,6 +86,19 @@ object ScaleProbe {
       print(s"  ($n components) ")
     }
 
+    // BPE trainer over 5M synthetic token occurrences (Zipf-ish:
+    // token w<i mod 1000> with hash-spread tails): the corpus-sized
+    // stage is ONE combinable word-count; the merge loop then runs on
+    // the 1000-word vocabulary regardless of corpus size
+    val bpeWords = spark.range(0, 5000000L)
+      .select(concat(lit("w"), pmod($"id" * 2654435761L, lit(1000L)))
+        .as("word"))
+    timed("bpe 3 merges, 5M tokens / 1k vocab") {
+      val m = ops.Corpus.bpeMergesFrom(bpeWords)
+      val learned = m.map(_.collect()(0).getString(0))
+      print(s"  (merges: ${learned.mkString(" ")}) ")
+    }
+
     // Misra-Gries heavy hitters over 5M rows, ~2.5M distinct keys
     // where ten keys own half the stream: state stays at 64
     // (item, count) pairs per task vs an exact group-by's
