@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout RAW: sbt's default LoggedOutput
+// prefixes every line with "[info] ", which breaks any line-oriented
+// JSON consumer of Bench/Verify output (BENCH_r0{1,2,3}.json all show
+// parsed:null because no line starts with '{').
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
