@@ -375,7 +375,83 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
+  /** Context-window sequence packing, shard-local concat-and-chop
+    * (the GPT/C4 pretraining layout): docs are concatenated in
+    * deterministic doc_id order and chopped into fixed 128-token
+    * windows; a doc whose tokens cross a window boundary is split
+    * across bins. Per shard: bins produced, docs split across a
+    * boundary, and the fill rate (packing leaves no padding waste by
+    * construction except the final partial bin per shard).
+    *
+    * Sharding IS the scale design: packing is a sequential
+    * prefix-sum, so production packers shard the corpus (content-hash
+    * on doc_id — reproducible anywhere, the q_sample_hash bucket) and
+    * pack each shard independently; waste is one partial bin per
+    * shard. The shard count (8 here) is the parallelism knob — at
+    * 100 TB you raise it so each shard fits a task, and the window
+    * below stays one-task-per-shard by construction.
+    *
+    * Determinism: pure integer token counts and integer division;
+    * fill_rate is one exact-integer-ratio division before r6.
+    */
+  def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cap = 128
+    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+    t(s, dir, "documents")
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tok"),
+        (TrainingOps.hashBucket("doc_id") % 8).as("shard"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        expr(s"(max(cum) + ${cap - 1}) DIV $cap").as("n_bins"),
+        sum(when(expr(s"(cum - 1) DIV $cap") > expr(s"(cum - n_tok) DIV $cap"),
+          1L).otherwise(0L)).as("n_straddle"))
+      .select($"shard", $"n_docs", $"n_tokens", $"n_bins", $"n_straddle",
+        r6($"n_tokens" / ($"n_bins".cast("double") * cap)).as("fill_rate"))
+      .orderBy($"shard")
+  }
+
+  /** Domain-mixture rebalancing weights: the per-source sampling rates
+    * that move the corpus toward a UNIFORM token share across sources
+    * (downsample-only — weights cap at 1, so over-represented sources
+    * shrink and under-represented ones pass through). The static
+    * mixture computation behind "rebalance the crawl before
+    * training"; post_tokens is the expected per-source budget after
+    * applying the weights.
+    *
+    * Determinism: token counts are exact integers; share and weight
+    * are single divisions of exact integers (IEEE-exact, the
+    * raw-fold/ratio rule) rounded only on output; post_tokens is pure
+    * integer min/div.
+    *
+    * Scale shape: ONE combinable source-keyed aggregation over the
+    * corpus; the totals frame is one row, broadcast back — nothing
+    * else touches corpus-sized data.
+    */
+  def qMixWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = t(s, dir, "documents")
+      .select($"source", size(split($"text", " ")).cast("long").as("n_tok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+    val tot = per.agg(sum($"n_tokens").as("tot_tok"),
+      count(lit(1)).cast("long").as("k"))
+    per.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs", $"n_tokens",
+        r6($"n_tokens" / $"tot_tok".cast("double")).as("share"),
+        r6(least(lit(1.0),
+          $"tot_tok".cast("double") / ($"k".cast("double") * $"n_tokens")))
+          .as("weight"),
+        least($"n_tokens", expr("tot_tok DIV k")).as("post_tokens"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_sequences" -> (qPackSequences _),
+    "q_mix_weights" -> (qMixWeights _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_dedup_chunk" -> (qDedupChunk _),
     "q_text_lang_keywords" -> (qTextLangKeywords _),
@@ -404,6 +480,39 @@ object Corpus {
        |  FROM $sPrev, $b b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 100 % 8 AS shard
+        |  FROM documents),
+        |w AS (SELECT *, sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id)
+        |        AS cum
+        |      FROM d)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST((max(cum) + 127) // 128 AS BIGINT) AS n_bins,
+        |  CAST(sum(CASE WHEN (cum - 1) // 128 > (cum - n_tok) // 128
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+        |  round(CAST(sum(n_tok) AS BIGINT) /
+        |    (CAST((max(cum) + 127) // 128 AS DOUBLE) * 128), 6) AS fill_rate
+        |FROM w GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q_mix_weights" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tok,
+        |               count(*) AS k FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  round(n_tokens / CAST(tot_tok AS DOUBLE), 6) AS share,
+        |  round(LEAST(1.0, CAST(tot_tok AS DOUBLE)
+        |    / (CAST(k AS DOUBLE) * n_tokens)), 6) AS weight,
+        |  CAST(LEAST(n_tokens, tot_tok // k) AS BIGINT) AS post_tokens
+        |FROM per, tot ORDER BY source""".stripMargin,
+
     "q_drift_kl" ->
       """WITH tok AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok

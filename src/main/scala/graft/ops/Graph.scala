@@ -74,15 +74,25 @@ object Graph {
       .select($"node", $"deg", $"r".as("rank_micro"))
   }
 
-  def qGraphPagerank(s: SparkSession, dir: String): DataFrame = {
+  /** The undirected customer↔supplier transaction graph, shared by
+    * every key in this family: an edge per distinct (customer,
+    * supplier) pair that transacted (orders ⋈ lineitem), both
+    * directions materialized. Node ids: customers → 2·custkey,
+    * suppliers → 2·suppkey+1 (parity recovers node_type/node_key).
+    */
+  private def custSuppEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
       .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
         $"l_orderkey" === $"o_orderkey")
       .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
       .distinct()
-    val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
-    pagerank(edges)
+    pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+  }
+
+  def qGraphPagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pagerank(custSuppEdges(s, dir))
       .select(
         when($"node" % 2 === 0, "customer").otherwise("supplier")
           .as("node_type"),
@@ -92,10 +102,48 @@ object Graph {
       .limit(20)
   }
 
+  /** Degree distribution of the transaction graph: how many nodes of
+    * each type have each counterparty count — the first diagnostic a
+    * graph practitioner reads (hub detection, power-law check) and
+    * the skew signal that decides whether downstream joins on this
+    * graph need salting (a hot hub = a hot join key).
+    *
+    * Determinism: pure integer counts, no ties to break (the
+    * histogram IS the group key). Scale shape: two combinable
+    * group-bys — degree per node (map-side combine on src), then the
+    * histogram roll-up on the node-sized frame; no windows, no
+    * self-joins.
+    */
+  def qGraphDegree(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    custSuppEdges(s, dir)
+      .groupBy($"src").agg(count(lit(1)).as("deg"))
+      .select(
+        when($"src" % 2 === 0, "customer").otherwise("supplier")
+          .as("node_type"),
+        $"deg")
+      .groupBy($"node_type", $"deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"node_type", $"deg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_graph_pagerank" -> (qGraphPagerank _))
+    "q_graph_pagerank" -> (qGraphPagerank _),
+    "q_graph_degree" -> (qGraphDegree _))
 
   val oracle: Map[String, String] = Map(
+    "q_graph_degree" ->
+      """WITH eg AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |edges AS (SELECT src, dst FROM eg
+        |          UNION ALL SELECT dst, src FROM eg),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)
+        |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |         AS node_type,
+        |       deg, count(*) AS n_nodes
+        |FROM deg GROUP BY 1, 2
+        |ORDER BY node_type, deg""".stripMargin,
+
     "q_graph_pagerank" ->
       """WITH eg AS (
         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

@@ -168,6 +168,48 @@ object Scalars {
     ohlc(t(s, dir, "events")).orderBy($"event_type", $"bar_start")
   }
 
+  /** Expanding-window 3σ anomaly detection per (event_type, day):
+    * flag an event whose value deviates > 3 population standard
+    * deviations from the PRECEDING same-type-same-day events (≥ 20
+    * warm-up rows) — the streaming-monitor z-score check run as a
+    * batch operator.
+    *
+    * Determinism (§5.3): the flag is an exact INTEGER comparison —
+    * (n·y − Σy)² > 9·(n·Σy² − (Σy)²) over cents sums in
+    * DECIMAL(38,0) ↔ HUGEINT — so no engine can disagree at the
+    * threshold boundary; the reported z = num/√den is one division
+    * and one sqrt of exact integers (both IEEE-correctly-rounded, the
+    * q_agg_corr rule), bit-identical before r4. Exact-integer inputs
+    * stay < 2⁵³ at fixture scale (the q_agg_moments headroom note).
+    *
+    * Scale shape: ONE window shuffle keyed by (event_type, day) —
+    * partitions multiply with the time range, so no task carries the
+    * whole table (the q_win_rangeframe composite-key rule); the
+    * running sums are O(1) state per row. sf0.001 has < 20 events per
+    * (type, day) cell, so the key is legitimately empty there —
+    * verified non-vacuous at sf0.01 (≈190 rows) and sf0.1 (≈1900).
+    */
+  def qTsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type", $"d")
+      .orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .select($"event_id", $"event_type", $"ts", to_date($"ts").as("d"),
+        cents($"value").as("y"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sy", sum($"y".cast("decimal(38,0)")).over(w))
+      .withColumn("syy", sum(($"y" * $"y").cast("decimal(38,0)")).over(w))
+      .withColumn("num", $"n".cast("decimal(38,0)") * $"y" - $"sy")
+      .withColumn("den", $"n".cast("decimal(38,0)") * $"syy" - $"sy" * $"sy")
+      .filter($"n" >= 20 && $"den" > 0 && $"num" * $"num" > lit(9) * $"den")
+      .select($"event_id", $"event_type", $"d", $"y".as("value_c"),
+        $"n".as("n_prev"),
+        r4($"num".cast("double") / sqrt($"den".cast("double"))).as("z"))
+      .orderBy($"event_id")
+  }
+
   def qMathFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "events")
@@ -388,6 +430,7 @@ object Scalars {
     "q_ts_funcs" -> (qTsFuncs _),
     "q_ts_retention" -> (qTsRetention _),
     "q_ts_ohlc" -> (qTsOhlc _),
+    "q_ts_anomaly" -> (qTsAnomaly _),
     "q_math_funcs" -> (qMathFuncs _),
     "q_cond_funcs" -> (qCondFuncs _),
     "q_cast_funcs" -> (qCastFuncs _),
@@ -501,6 +544,28 @@ object Scalars {
         |  max(o_c) AS open_c, max(v_c) AS high_c,
         |  min(v_c) AS low_c, max(c_c) AS close_c
         |FROM w GROUP BY 1, 2 ORDER BY event_type, bar_start""".stripMargin,
+
+    "q_ts_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, ts, CAST(ts AS DATE) AS d,
+        |    CAST(round(value*100) AS BIGINT) AS y
+        |  FROM events),
+        |w AS (
+        |  SELECT *, count(*) OVER win AS n,
+        |    sum(CAST(y AS HUGEINT)) OVER win AS sy,
+        |    sum(CAST(y AS HUGEINT) * y) OVER win AS syy
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY event_type, d ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |f AS (
+        |  SELECT *, CAST(n AS HUGEINT) * y - sy AS num,
+        |    CAST(n AS HUGEINT) * syy - sy * sy AS den
+        |  FROM w)
+        |SELECT event_id, event_type, d, y AS value_c, n AS n_prev,
+        |  round(CAST(num AS DOUBLE) / sqrt(CAST(den AS DOUBLE)), 4) AS z
+        |FROM f
+        |WHERE n >= 20 AND den > 0 AND num * num > 9 * den
+        |ORDER BY event_id""".stripMargin,
 
     "q_math_funcs" ->
       """SELECT event_id, x,

@@ -12,11 +12,42 @@ class CorpusSpec extends SparkSuite {
 
   private val newKeys = Seq("q_text_repetition", "q_dedup_chunk",
     "q_agg_decay", "q_agg_regr_slope", "q_sql_text", "q_join_salted",
-    "q_sample_stratified", "q_text_perplexity")
+    "q_sample_stratified", "q_text_perplexity",
+    "q_pack_sequences", "q_mix_weights")
 
   for (k <- newKeys) {
     test(s"$k runs and returns rows at sf0.001") {
       assert(SparkEntry.queries(k)(spark, sf).count() > 0)
+    }
+  }
+
+  test("q_pack_sequences conserves tokens; bins = ceil(tokens/cap) per shard") {
+    val df = ops.Corpus.qPackSequences(spark, sf).cache()
+    try {
+      val rows = df.collect()
+      assert(rows.length == 8)
+      val packed = rows.map(_.getAs[Long]("n_tokens")).sum
+      val corpus = ops.core.t(spark, sf, "documents")
+        .select(sum(size(split($"text", " ")).cast("long"))).head.getLong(0)
+      assert(packed == corpus, s"packed $packed of $corpus corpus tokens")
+      rows.foreach { r =>
+        // concat-and-chop leaves no padding except the final partial
+        // bin, so the bin count is exactly ceil(shard tokens / 128)
+        assert(r.getAs[Long]("n_bins") ==
+          (r.getAs[Long]("n_tokens") + 127) / 128)
+        assert(r.getAs[Double]("fill_rate") <= 1.0)
+        assert(r.getAs[Long]("n_straddle") <= r.getAs[Long]("n_docs"))
+      }
+    } finally df.unpersist()
+  }
+
+  test("q_mix_weights: shares sum to 1, weights capped, budget shrinks only") {
+    val rows = ops.Corpus.qMixWeights(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-3)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("weight") > 0 && r.getAs[Double]("weight") <= 1.0)
+      assert(r.getAs[Long]("post_tokens") <= r.getAs[Long]("n_tokens"))
     }
   }
 

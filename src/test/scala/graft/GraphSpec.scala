@@ -35,6 +35,18 @@ class GraphSpec extends SparkSuite {
     assert(rows.forall(_.getAs[Long]("deg") == 1L))
   }
 
+  test("q_graph_degree: histogram mass balances across the bipartite sides") {
+    // every distinct (customer, supplier) pair contributes one degree
+    // unit to each side, so Σ deg·n_nodes must match exactly
+    val rows = ops.Graph.qGraphDegree(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val mass = rows.groupBy(_.getAs[String]("node_type")).view
+      .mapValues(_.map(r => r.getAs[Long]("deg") * r.getAs[Long]("n_nodes")).sum)
+      .toMap
+    assert(mass("customer") == mass("supplier"),
+      s"customer degree mass ${mass("customer")} != supplier ${mass("supplier")}")
+  }
+
   test("pagerank favors the hub in a star graph") {
     // one supplier serving 5 customers vs one serving a single
     // customer: the hub must out-rank the leaf supplier

@@ -7,9 +7,24 @@ import graft.ops.{Scalars, core}
 /** SURVEY §2.8 scalar surface. */
 class ScalarsSpec extends SparkSuite {
 
-  for ((name, fn) <- Scalars.queries) {
+  // q_ts_anomaly is legitimately EMPTY at sf0.001 (< 20 events per
+  // (type, day) cell never clears the warm-up) — it gets a dedicated
+  // sf0.01 test below instead of the rows>0 sweep.
+  for ((name, fn) <- Scalars.queries if name != "q_ts_anomaly") {
     test(s"$name runs and returns rows at sf0.001") {
       assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("q_ts_anomaly: empty at sf0.001; sf0.01 flags only warmed-up 3σ rows") {
+    assert(Scalars.qTsAnomaly(spark, sf).count() == 0)
+    val rows = Scalars.qTsAnomaly(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_prev") >= 20)
+      // the gate is the exact integer z² > 9 comparison; the reported
+      // r4-rounded z can land exactly on 3.0 but never below
+      assert(math.abs(r.getAs[Double]("z")) >= 3.0)
     }
   }
 
