@@ -139,9 +139,113 @@ object Clustering {
       .orderBy($"cent_id", $"rn")
   }
 
+  /** Product quantization (the third leg of the ANN index toolchain
+    * beside IVF routing and int8 scalar quantization): split each
+    * 64-dim vector into 8 subspaces of 8 dims, build a deterministic
+    * 4-entry codebook per subspace (md5-sampled subvectors — the
+    * q_sim_ann_ivf seeding, no RNG), assign each subvector to its
+    * nearest codeword, and emit the packed 16-bit PQ code (a base-4
+    * digit per subspace) plus the total reconstruction error.
+    *
+    * Determinism (§5.3): argmin ranks the raw order-identical d² fold
+    * with cent_id tiebreak (the similarity-family rule); the per-vec
+    * error sums subspace d²s as DECIMAL(20,8) after an 8-dp round
+    * (order-independent — the kmeans centroid rule), r6 only on
+    * output; the packed code is pure integer arithmetic.
+    *
+    * Scale shape: subvector explode is map-side (×8 row fan-out, no
+    * shuffle); codebooks are 32 rows picked by rn ≤ 4 per subspace —
+    * WindowGroupLimit pre-prunes every task to its local top-4, then
+    * the tiny frame broadcasts; assignment is a broadcast join + a
+    * combinable min(struct) argmin (4 candidates collapse map-side);
+    * the final pack is one vec_id-keyed combinable agg.
+    */
+  def qEmbedPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sub = t(s, dir, "embeddings")
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .select($"vec_id", explode(sequence(lit(0), lit(7))).as("s"), $"emb")
+      .select($"vec_id", $"s", expr("slice(emb, s * 8 + 1, 8)").as("subv"))
+    val seedW = Window.partitionBy($"s")
+      .orderBy($"seed_rank", $"vec_id")
+    val books = sub
+      .withColumn("seed_rank",
+        md5(concat(lit("pq"), $"s".cast("string"), $"vec_id".cast("string"))))
+      .withColumn("cent_id", row_number().over(seedW))
+      .filter($"cent_id" <= 4)
+      .select($"s".as("cs"), $"cent_id", $"subv".as("c_sub"))
+    sub.join(broadcast(books), $"s" === $"cs")
+      .withColumn("d2", dist2($"subv", $"c_sub"))
+      .groupBy($"vec_id", $"s")
+      .agg(min(struct($"d2", $"cent_id")).as("w"))
+      .groupBy($"vec_id")
+      .agg(
+        sum(expr("CAST(w.cent_id - 1 AS BIGINT) * shiftleft(CAST(1 AS BIGINT), s * 2)"))
+          .as("code"),
+        sum(expr("CAST(round(w.d2, 8) AS DECIMAL(20, 8))")).as("errsum"))
+      .select($"vec_id", $"code",
+        r6($"errsum".cast("double")).as("recon_err"))
+      .orderBy($"vec_id")
+  }
+
+  /** SemDeDup-style semantic near-dup pairs: k-means cells as the
+    * candidate blocks (the data-adaptive counterpart to
+    * q_dedup_embed_lsh's sign-LSH blocking), exact codegen-dot cosine
+    * ≥ 0.5 within each block. Multi-probe nprobe = 2 — every vector
+    * joins its TWO nearest cells, so a pair is a candidate when their
+    * cell sets intersect; measured recall vs the all-pairs oracle at
+    * sf0.1 is 11/14 (nprobe = 1 finds 3/14 — the fixture τ = 0.5 sits
+    * at the same hardness floor the LSH scaladoc derives; production
+    * SemDeDup thresholds ≥ 0.9 co-locate pairs far more tightly).
+    * Same pair contract as the embed-dedup family (a < b, raw-cosine
+    * gate, r6 on survivors) plus the lowest cell id that generated
+    * the candidate — at 100 TB the n² pair space collapses to
+    * Σ (nprobe·cell)², and cells track the data distribution where
+    * LSH bands are data-oblivious.
+    *
+    * Determinism: top-2 cells rank the raw order-identical d² fold
+    * with cent_id tiebreak; a pair matching in both shared cells
+    * computes the identical rawcos twice, so the (a, b) group-by
+    * collapses duplicates exactly; min(cent_id) is pure integer.
+    */
+  def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.DotProduct.dot
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    // single consumer of the kmeans chain (the centroids) — no cache
+    val (cents, _) = kmeans(e, 8, 3, cacheFinal = false)
+    val probeW = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cent_id".asc)
+    // cached: the pair self-join reads the membership frame twice —
+    // plans are trees (the qMlKmeans cache note); Verify/Bench clear
+    val m = e.crossJoin(broadcast(cents))
+      .withColumn("d2", dist2($"emb", $"c_emb"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter($"rn" <= 2)
+      .select($"cent_id", $"vec_id", $"emb",
+        sqrt(dot($"emb", $"emb")).as("nrm"))
+      .cache()
+    val b = m.select($"cent_id".as("cent_b"), $"vec_id".as("b_id"),
+      $"emb".as("b_emb"), $"nrm".as("b_nrm"))
+    m.join(b, $"cent_id" === $"cent_b" && $"vec_id" < $"b_id")
+      .withColumn("rawcos",
+        try_divide(dot($"emb", $"b_emb"), $"nrm" * $"b_nrm"))
+      .filter($"rawcos" >= 0.5)
+      .groupBy($"vec_id".as("a_id"), $"b_id")
+      .agg(min($"cent_id").as("cell"), r6(max($"rawcos")).as("cos"))
+      .select($"a_id", $"b_id", $"cell", $"cos")
+      .orderBy($"a_id", $"b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ml_kmeans" -> (qMlKmeans _),
-    "q_ml_cluster_prune" -> (qMlClusterPrune _))
+    "q_ml_cluster_prune" -> (qMlClusterPrune _),
+    "q_embed_pq" -> (qEmbedPq _),
+    "q_dedup_semantic" -> (qDedupSemantic _))
 
   private def iterSql(prev: String, a: String, c: String): String =
     s"""$a AS (
@@ -183,6 +287,70 @@ object Clustering {
        |${iterSql("c2", "a3", "c3")}""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_embed_pq" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, s, list_slice(emb, s * 8 + 1, s * 8 + 8) AS subv
+        |  FROM (SELECT vec_id, emb, unnest(generate_series(0, 7)) AS s
+        |        FROM e)),
+        |books AS (
+        |  SELECT s AS cs, cent_id, subv AS c_sub FROM (
+        |    SELECT s, subv, row_number() OVER (PARTITION BY s
+        |      ORDER BY md5(concat('pq', CAST(s AS VARCHAR),
+        |                          CAST(vec_id AS VARCHAR))), vec_id)
+        |      AS cent_id
+        |    FROM sub)
+        |  WHERE cent_id <= 4),
+        |asg AS (
+        |  SELECT vec_id, s, cent_id, d2 FROM (
+        |    SELECT vec_id, s, cent_id, d2, row_number() OVER (
+        |      PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
+        |    FROM (
+        |      SELECT n.vec_id, n.s, b.cent_id,
+        |        list_reduce(list_prepend(0.0, list_zip(n.subv, b.c_sub)
+        |          .apply(p -> (p[1]-p[2])*(p[1]-p[2]))),
+        |          (acc, v) -> acc + v) AS d2
+        |      FROM sub n JOIN books b ON n.s = b.cs))
+        |  WHERE rn = 1)
+        |SELECT vec_id,
+        |  CAST(sum((cent_id - 1) * (CAST(1 AS BIGINT) << (2 * s)))
+        |    AS BIGINT) AS code,
+        |  round(CAST(sum(CAST(round(d2, 8) AS DECIMAL(20, 8))) AS DOUBLE), 6)
+        |    AS recon_err
+        |FROM asg GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_dedup_semantic" ->
+      s"""$kmeansCtes,
+         |a2p AS (
+         |  SELECT vec_id, cent_id, emb FROM (
+         |    SELECT vec_id, emb, cent_id, d2, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+         |    FROM (
+         |      SELECT n.vec_id, n.emb, c.cent_id,
+         |        list_reduce(list_prepend(0.0, list_zip(n.emb, c.c_emb)
+         |          .apply(p -> (p[1]-p[2])*(p[1]-p[2]))),
+         |          (acc, v) -> acc + v) AS d2
+         |      FROM e n CROSS JOIN c3 c))
+         |  WHERE rn <= 2),
+         |nm AS (
+         |  SELECT vec_id, cent_id, emb,
+         |    sqrt(list_reduce(list_prepend(0.0,
+         |      list_transform(emb, x -> x * x)), (a, x) -> a + x)) AS nrm
+         |  FROM a2p)
+         |SELECT a_id, b_id, CAST(min(cent_id) AS INTEGER) AS cell,
+         |  round(max(rawcos), 6) AS cos
+         |FROM (
+         |  SELECT a.cent_id, a.vec_id AS a_id, b.vec_id AS b_id,
+         |    list_reduce(list_prepend(0.0,
+         |        list_zip(a.emb, b.emb).apply(p -> p[1] * p[2])),
+         |        (acc, v) -> acc + v) / (a.nrm * b.nrm) AS rawcos
+         |  FROM nm a JOIN nm b ON a.cent_id = b.cent_id
+         |    AND a.vec_id < b.vec_id)
+         |WHERE rawcos >= 0.5
+         |GROUP BY a_id, b_id
+         |ORDER BY a_id, b_id""".stripMargin,
+
     "q_ml_kmeans" ->
       s"""$kmeansCtes,
          |sizes AS (SELECT cent_id, count(*) AS n_members FROM a3 GROUP BY 1)

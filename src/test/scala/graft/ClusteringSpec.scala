@@ -17,6 +17,36 @@ class ClusteringSpec extends SparkSuite {
     assert(sizeSum == n, s"cluster sizes sum $sizeSum != corpus $n")
   }
 
+  test("q_embed_pq: one 16-bit code per vector, nonnegative error") {
+    val out = Clustering.qEmbedPq(spark, sf).cache()
+    try {
+      val n = ops.core.t(spark, sf, "embeddings").count()
+      assert(out.count() == n)
+      assert(out.filter($"code" < 0 || $"code" > 65535).count() == 0)
+      assert(out.filter($"recon_err" < 0).count() == 0)
+      // codebooks are sampled from the data, so at least one vector
+      // (a seed) must reconstruct some subspace exactly; with 4
+      // codewords x 8 subspaces the minimum error over the corpus
+      // should be visibly below the mean
+      val (mn, av) = out.agg(min($"recon_err"), avg($"recon_err"))
+        .as[(Double, Double)].head()
+      assert(mn < av)
+    } finally out.unpersist()
+  }
+
+  test("q_dedup_semantic pairs are a subset of the all-pairs gold set") {
+    // precision 1 by construction: blocking only SKIPS pairs, never
+    // invents them, and the cosine is the identical codegen fold
+    val dir = "/root/testdata/sf0.01"
+    val sem = Clustering.qDedupSemantic(spark, dir)
+      .select($"a_id", $"b_id", $"cos")
+    val gold = ops.TrainingOps.qDedupEmbed(spark, dir)
+      .select($"a_id", $"b_id", $"cos")
+    assert(sem.count() > 0)
+    assert(sem.exceptAll(gold).count() == 0,
+      "semantic-dedup emitted a pair (or cos) absent from the gold set")
+  }
+
   test("kmeans recovers two well-separated blobs exactly") {
     // 40 points at distance ~0.01 around (0,0) and (10,10): any seeds
     // split them after 3 iterations; each final cluster is pure

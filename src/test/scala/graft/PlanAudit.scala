@@ -31,7 +31,10 @@ object PlanAudit {
     "q_text_contamination", "q_sample_stratified", "q_text_perplexity",
     "q_graph_pagerank", "q_stream_topk", "q_ts_ohlc", "q_ml_kmeans",
     "q_ml_cluster_prune", "q_text_bpe", "q_text_bpe_apply",
-    "q_profile_table", "q_drift_kl", "q_embed_quantize")
+    "q_profile_table", "q_drift_kl", "q_embed_quantize",
+    // round-4c additions
+    "q_pack_sequences", "q_mix_weights", "q_ts_anomaly", "q_graph_degree",
+    "q_embed_pq", "q_dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
