@@ -449,7 +449,37 @@ object Corpus {
       .orderBy($"source")
   }
 
+  /** RAG-ingest chunking: overlapping sliding windows of 16 tokens at
+    * stride 8 (each consecutive pair shares 8 tokens — the standard
+    * retrieval-chunk layout that keeps answers from being cut at
+    * chunk boundaries), one row per chunk with its token count and a
+    * content signature (md5 prefix — the retrieval-store primary
+    * key). Complements [[qDedupChunk]]'s disjoint dedup chunks: this
+    * is the read-side layout, that is the hygiene pass.
+    *
+    * Chunk count per doc = max(0, ⌈(n−16)/8⌉) + 1 — integer-exact in
+    * both engines (negative operands clamp identically under
+    * trunc-vs-floor division because the clamp dominates). Scale
+    * shape: pure per-row array transform + posexplode — zero
+    * shuffles; the final orderBy is presentation-only.
+    */
+  def qRagChunk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", posexplode(expr(
+        """transform(sequence(0,
+          |            CAST(greatest(0, (size(toks) - 16 + 7) DIV 8) AS INT)),
+          |          i -> slice(toks, i * 8 + 1, 16))""".stripMargin)))
+      .withColumnRenamed("pos", "chunk_idx")
+      .select($"doc_id", $"chunk_idx",
+        size($"col").cast("long").as("n_tok"),
+        substring(md5(array_join($"col", " ")), 1, 16).as("chunk_sig"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rag_chunk" -> (qRagChunk _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_mix_weights" -> (qMixWeights _),
     "q_text_repetition" -> (qTextRepetition _),
@@ -480,6 +510,18 @@ object Corpus {
        |  FROM $sPrev, $b b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_rag_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS a,
+        |    greatest(0, (len(string_split(text, ' ')) - 16 + 7) // 8) AS k
+        |  FROM documents),
+        |c AS (SELECT doc_id, a, unnest(generate_series(0, k)) AS i FROM d)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |  CAST(len(list_slice(a, i * 8 + 1, i * 8 + 16)) AS BIGINT) AS n_tok,
+        |  substring(md5(array_to_string(
+        |    list_slice(a, i * 8 + 1, i * 8 + 16), ' ')), 1, 16) AS chunk_sig
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "q_pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -210,6 +210,39 @@ object Scalars {
       .orderBy($"event_id")
   }
 
+  /** Z-order (Morton-curve) layout audit: interleave the low 16 bits
+    * of customer key and order day via the codegen
+    * [[graft.functions.ZOrder]] expression, bucket the curve into
+    * fixed ranges (z >> 20 — a stand-in for "file"), and report each
+    * bucket's row count plus min/max of BOTH dimensions — exactly the
+    * file-skipping statistics a lakehouse keeps: narrow per-bucket
+    * ranges on both dims is what makes a Z-ordered table prunable on
+    * either predicate, where a lexicographic sort prunes only the
+    * leading one. Pure integer arithmetic end to end; the oracle
+    * mirrors the magic-mask spreading as five shift/mask CTE steps
+    * (every intermediate < 2³², no sign traps).
+    *
+    * Scale shape: the z-value is a map-side codegen expression; the
+    * rollup is one combinable 256-group aggregation. At 100 TB the
+    * same expression feeds `repartitionByRange(z)` + sortWithinPartitions
+    * before the write — this key audits the layout quality.
+    */
+  def qZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.ZOrder.zorder
+    t(s, dir, "orders")
+      .select($"o_custkey",
+        datediff(to_date($"o_orderdate"), lit("1990-01-01").cast("date"))
+          .cast("long").as("dday"))
+      .withColumn("z", zorder($"o_custkey" % 65536, $"dday" % 65536))
+      .withColumn("bucket", expr("z DIV 1048576"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"o_custkey").as("min_cust"), max($"o_custkey").as("max_cust"),
+        min($"dday").as("min_day"), max($"dday").as("max_day"))
+      .orderBy($"bucket")
+  }
+
   def qMathFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "events")
@@ -431,6 +464,7 @@ object Scalars {
     "q_ts_retention" -> (qTsRetention _),
     "q_ts_ohlc" -> (qTsOhlc _),
     "q_ts_anomaly" -> (qTsAnomaly _),
+    "q_zorder_layout" -> (qZorderLayout _),
     "q_math_funcs" -> (qMathFuncs _),
     "q_cond_funcs" -> (qCondFuncs _),
     "q_cast_funcs" -> (qCastFuncs _),
@@ -566,6 +600,26 @@ object Scalars {
         |FROM f
         |WHERE n >= 20 AND den > 0 AND num * num > 9 * den
         |ORDER BY event_id""".stripMargin,
+
+    "q_zorder_layout" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS BIGINT)
+        |      AS dday
+        |  FROM orders),
+        |m AS (SELECT *, o_custkey % 65536 AS xv, dday % 65536 AS yv FROM o),
+        |s1 AS (SELECT *, (xv | (xv << 8)) & 16711935 AS xa,
+        |               (yv | (yv << 8)) & 16711935 AS ya FROM m),
+        |s2 AS (SELECT *, (xa | (xa << 4)) & 252645135 AS xb,
+        |               (ya | (ya << 4)) & 252645135 AS yb FROM s1),
+        |s3 AS (SELECT *, (xb | (xb << 2)) & 858993459 AS xc,
+        |               (yb | (yb << 2)) & 858993459 AS yc FROM s2),
+        |s4 AS (SELECT *, (xc | (xc << 1)) & 1431655765 AS xd,
+        |               (yc | (yc << 1)) & 1431655765 AS yd FROM s3)
+        |SELECT (xd | (yd << 1)) // 1048576 AS bucket, count(*) AS n,
+        |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+        |  min(dday) AS min_day, max(dday) AS max_day
+        |FROM s4 GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_math_funcs" ->
       """SELECT event_id, x,

@@ -13,12 +13,32 @@ class CorpusSpec extends SparkSuite {
   private val newKeys = Seq("q_text_repetition", "q_dedup_chunk",
     "q_agg_decay", "q_agg_regr_slope", "q_sql_text", "q_join_salted",
     "q_sample_stratified", "q_text_perplexity",
-    "q_pack_sequences", "q_mix_weights")
+    "q_pack_sequences", "q_mix_weights", "q_rag_chunk")
 
   for (k <- newKeys) {
     test(s"$k runs and returns rows at sf0.001") {
       assert(SparkEntry.queries(k)(spark, sf).count() > 0)
     }
+  }
+
+  test("q_rag_chunk: stride-8 windows tile every doc, last chunk closes it") {
+    val chunks = ops.Corpus.qRagChunk(spark, sf).cache()
+    try {
+      // per doc: chunk_idx is dense 0..K, and K*8 + len(last) == n_tok
+      // (the windows cover the token stream exactly, no gap, no spill)
+      val perDoc = chunks.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          max($"chunk_idx").as("k"),
+          max(struct($"chunk_idx", $"n_tok")).getField("n_tok").as("last_len"))
+      val docs = ops.core.t(spark, sf, "documents")
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      val bad = perDoc.join(docs, "doc_id")
+        .filter($"n_chunks" =!= $"k" + 1 ||
+          $"k" * 8 + $"last_len" =!= $"n" ||
+          ($"n" > 16 && $"last_len" <= 8)) // overlap ⇒ last window > stride
+        .count()
+      assert(bad == 0)
+    } finally chunks.unpersist()
   }
 
   test("q_pack_sequences conserves tokens; bins = ceil(tokens/cap) per shard") {

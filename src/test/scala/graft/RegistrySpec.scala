@@ -40,7 +40,7 @@ class RegistrySpec extends SparkSuite {
     // §2.8 scalars
     "q_str_basic", "q_str_split", "q_str_regexp", "q_str_like",
     "q_date_parts", "q_date_arith", "q_ts_funcs", "q_ts_retention",
-    "q_ts_ohlc", "q_ts_anomaly",
+    "q_ts_ohlc", "q_ts_anomaly", "q_zorder_layout",
     "q_math_funcs",
     "q_cond_funcs", "q_cast_funcs", "q_array_funcs", "q_array_hof",
     "q_explode", "q_explode_outer", "q_map_funcs", "q_json_extract",
@@ -64,7 +64,8 @@ class RegistrySpec extends SparkSuite {
     "q_text_contamination", "q_sample_stratified", "q_text_perplexity",
     "q_text_bpe", "q_text_bpe_apply", "q_drift_kl",
     "q_graph_pagerank", "q_graph_degree", "q_ml_kmeans", "q_ml_cluster_prune",
-    "q_pack_sequences", "q_mix_weights", "q_embed_pq", "q_dedup_semantic")
+    "q_pack_sequences", "q_mix_weights", "q_embed_pq", "q_dedup_semantic",
+    "q_rag_chunk")
 
   /** Approximate / engine-specific-hash ops — deliberately no oracle. */
   private val noOracle = Set("q_agg_approx_hll", "q_agg_approx_quantile",
