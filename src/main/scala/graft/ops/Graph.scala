@@ -126,11 +126,69 @@ object Graph {
       .orderBy($"node_type", $"deg")
   }
 
+  /** Strongest co-suppliers: for every supplier, the top-3 partners
+    * by shared distinct customers — the co-occurrence primitive
+    * behind "frequently bought together" / entity-affinity features.
+    * Integer counts with (common desc, partner asc) ranking: a total
+    * deterministic order, no rounded-score rule needed.
+    *
+    * Scale shape: pair generation is the classic self-join-on-
+    * container hot-key risk — one hub customer linked to s suppliers
+    * emits s² pairs. The cap (≤ 32 suppliers per customer, mirrored
+    * EXACTLY in the oracle — the q_dedup_ngram df-cap pattern) bounds
+    * the fan-out to Σ min(cnt, 32)²; the (s1, s2) count is a
+    * combinable group-by, and rk ≤ 3 over the sup window compiles to
+    * WindowGroupLimit (each task pre-prunes to its local top-3).
+    */
+  def qGraphCooccur(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val eg = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("s")).distinct()
+    val kept = eg
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"c")))
+      .filter($"cnt" <= 32)
+      .select($"c", $"s")
+    val common = kept
+      .join(kept.select($"c".as("c2"), $"s".as("s2")),
+        $"c" === $"c2" && $"s" < $"s2")
+      .groupBy($"s".as("s1"), $"s2")
+      .agg(count(lit(1)).as("common"))
+    val sym = common.select($"s1".as("sup"), $"s2".as("partner"), $"common")
+      .union(common.select($"s2".as("sup"), $"s1".as("partner"), $"common"))
+    val w = Window.partitionBy($"sup").orderBy($"common".desc, $"partner".asc)
+    sym.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"sup", $"rk", $"partner", $"common")
+      .orderBy($"sup", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> (qGraphPagerank _),
-    "q_graph_degree" -> (qGraphDegree _))
+    "q_graph_degree" -> (qGraphDegree _),
+    "q_graph_cooccur" -> (qGraphCooccur _))
 
   val oracle: Map[String, String] = Map(
+    "q_graph_cooccur" ->
+      """WITH eg AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |cap AS (SELECT c FROM eg GROUP BY c HAVING count(*) <= 32),
+        |e2 AS (SELECT eg.c, eg.s FROM eg JOIN cap USING (c)),
+        |pr AS (
+        |  SELECT a.s AS s1, b.s AS s2, count(*) AS common
+        |  FROM e2 a JOIN e2 b ON a.c = b.c AND a.s < b.s
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT s1 AS sup, s2 AS partner, common FROM pr
+        |        UNION ALL SELECT s2, s1, common FROM pr)
+        |SELECT sup, CAST(rk AS INTEGER) AS rk, partner, common FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY sup ORDER BY common DESC, partner) AS rk
+        |  FROM sym)
+        |WHERE rk <= 3 ORDER BY sup, rk""".stripMargin,
+
     "q_graph_degree" ->
       """WITH eg AS (
         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

@@ -47,6 +47,26 @@ class GraphSpec extends SparkSuite {
       s"customer degree mass ${mass("customer")} != supplier ${mass("supplier")}")
   }
 
+  test("q_graph_cooccur counts shared customers exactly on a crafted graph") {
+    // supplier 10 serves c1,c2,c3; 20 serves c1,c2; 30 serves c3:
+    // common(10,20)=2, common(10,30)=1, common(20,30)=0
+    val dir = java.nio.file.Files.createTempDirectory("co").toString
+    val links = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (1L, 20L), (2L, 20L), (3L, 30L))
+    links.zipWithIndex.map { case ((c, _), i) => (i.toLong, c) }
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+    links.zipWithIndex.map { case ((_, su), i) => (i.toLong, su) }
+      .toDF("l_orderkey", "l_suppkey").write.parquet(s"$dir/lineitem.parquet")
+    val rows = ops.Graph.qGraphCooccur(spark, dir).collect()
+      .map(r => (r.getAs[Long]("sup"), r.getAs[Int]("rk")) ->
+        (r.getAs[Long]("partner"), r.getAs[Long]("common"))).toMap
+    assert(rows((10L, 1)) == (20L, 2L))
+    assert(rows((10L, 2)) == (30L, 1L))
+    assert(rows((20L, 1)) == (10L, 2L))
+    assert(rows((30L, 1)) == (10L, 1L))
+    assert(rows.size == 4) // the common=0 pair must NOT appear
+  }
+
   test("pagerank favors the hub in a star graph") {
     // one supplier serving 5 customers vs one serving a single
     // customer: the hub must out-rank the leaf supplier
