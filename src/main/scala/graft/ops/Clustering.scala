@@ -142,9 +142,9 @@ object Clustering {
   /** Product quantization (the third leg of the ANN index toolchain
     * beside IVF routing and int8 scalar quantization): split each
     * 64-dim vector into 8 subspaces of 8 dims, build a deterministic
-    * 4-entry codebook per subspace (md5-sampled subvectors — the
+    * 16-entry codebook per subspace (md5-sampled subvectors — the
     * q_sim_ann_ivf seeding, no RNG), assign each subvector to its
-    * nearest codeword, and emit the packed 16-bit PQ code (a base-4
+    * nearest codeword, and emit the packed 32-bit PQ code (a 4-bit
     * digit per subspace) plus the total reconstruction error.
     *
     * Determinism (§5.3): argmin ranks the raw order-identical d² fold
@@ -154,40 +154,120 @@ object Clustering {
     * output; the packed code is pure integer arithmetic.
     *
     * Scale shape: subvector explode is map-side (×8 row fan-out, no
-    * shuffle); codebooks are 32 rows picked by rn ≤ 4 per subspace —
-    * WindowGroupLimit pre-prunes every task to its local top-4, then
+    * shuffle); codebooks are 128 rows picked by rn ≤ 16 per subspace —
+    * WindowGroupLimit pre-prunes every task to its local top-16, then
     * the tiny frame broadcasts; assignment is a broadcast join + a
-    * combinable min(struct) argmin (4 candidates collapse map-side);
-    * the final pack is one vec_id-keyed combinable agg.
+    * combinable min(struct) argmin (16 candidates collapse map-side);
+    * the final pack is one vec_id-keyed combinable agg. (Production
+    * PQ uses 256 codewords/subspace; 16 keeps the interpreted DuckDB
+    * oracle inside its time budget — the Spark plan is identical
+    * either way.)
     */
-  def qEmbedPq(s: SparkSession, dir: String): DataFrame = {
+  /** Per-(vec, subspace) slices: (vec_id, s ∈ 0..7, subv: 8 doubles). */
+  private def pqSub(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val sub = t(s, dir, "embeddings")
+    t(s, dir, "embeddings")
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
       .select($"vec_id", explode(sequence(lit(0), lit(7))).as("s"), $"emb")
       .select($"vec_id", $"s", expr("slice(emb, s * 8 + 1, 8)").as("subv"))
-    val seedW = Window.partitionBy($"s")
-      .orderBy($"seed_rank", $"vec_id")
-    val books = sub
+  }
+
+  /** The deterministic 4-entry codebook per subspace (md5-sampled —
+    * the q_sim_ann_ivf seeding): (cs, cent_id ∈ 1..4, c_sub).
+    */
+  private def pqBooks(sub: DataFrame): DataFrame = {
+    val s = sub.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val seedW = Window.partitionBy($"s").orderBy($"seed_rank", $"vec_id")
+    sub
       .withColumn("seed_rank",
         md5(concat(lit("pq"), $"s".cast("string"), $"vec_id".cast("string"))))
       .withColumn("cent_id", row_number().over(seedW))
-      .filter($"cent_id" <= 4)
+      .filter($"cent_id" <= 16)
       .select($"s".as("cs"), $"cent_id", $"subv".as("c_sub"))
+  }
+
+  /** Nearest-codeword assignment: (vec_id, s, w = (d2, cent_id)). */
+  private def pqAssign(sub: DataFrame, books: DataFrame): DataFrame = {
+    val s = sub.sparkSession
+    import s.implicits._
     sub.join(broadcast(books), $"s" === $"cs")
       .withColumn("d2", dist2($"subv", $"c_sub"))
       .groupBy($"vec_id", $"s")
       .agg(min(struct($"d2", $"cent_id")).as("w"))
+  }
+
+  def qEmbedPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sub = pqSub(s, dir)
+    pqAssign(sub, pqBooks(sub))
       .groupBy($"vec_id")
       .agg(
-        sum(expr("CAST(w.cent_id - 1 AS BIGINT) * shiftleft(CAST(1 AS BIGINT), s * 2)"))
+        sum(expr("CAST(w.cent_id - 1 AS BIGINT) * shiftleft(CAST(1 AS BIGINT), s * 4)"))
           .as("code"),
         sum(expr("CAST(round(w.d2, 8) AS DECIMAL(20, 8))")).as("errsum"))
       .select($"vec_id", $"code",
         r6($"errsum".cast("double")).as("recon_err"))
       .orderBy($"vec_id")
+  }
+
+  /** PQ-ADC approximate nearest-neighbor search — the serving-side
+    * complement of [[qEmbedPq]]'s build step and the plan a PQ index
+    * actually executes: queries (the first 10 vectors) precompute a
+    * tiny lookup table of exact subspace distances to every codeword
+    * (asymmetric distance computation — query side raw, database side
+    * quantized), the database is touched ONLY through its codes, and
+    * the approximate distance is the 8-way LUT sum. Top-3 per query,
+    * self excluded.
+    *
+    * Determinism (§5.3): each LUT entry is the order-identical d²
+    * fold rounded to DECIMAL(20,8) (the kmeans re-entry rule), the
+    * 8-subspace sum is a DECIMAL aggregate (order-independent), and
+    * ranking compares those exact decimals with vec_id tiebreak — no
+    * double-summation-order hazard anywhere.
+    *
+    * Scale shape: the LUT is |Q|·8·16 rows — broadcast; the corpus is
+    * scanned once for codes (map-only after the build's argmin), the
+    * LUT join is map-side, the (q, vec) sum is combinable, and rk ≤ 3
+    * compiles to WindowGroupLimit. This is why PQ serves at scale:
+    * the full vectors never enter the search plan.
+    *
+    * Recall honesty: the fixture embeddings are i.i.d.-random, PQ's
+    * theoretical worst case — distances concentrate, so the
+    * quantization error exceeds the nearest-vs-median neighbor gap
+    * and recall@3 vs exact L2 is 5/30 (sf0.001) and 1/30 (sf0.1).
+    * The MECHANISM is what this key certifies (ClusteringSpec pins
+    * that ADC exactly recovers cluster structure on a crafted
+    * clustered corpus, where the gap dominates the error); on real
+    * embedding manifolds PQ recall is set by codebook size, which is
+    * a parameter here (16 vs the production 256).
+    */
+  def qSimAnnPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sub = pqSub(s, dir)
+    val books = pqBooks(sub)
+    val codes = pqAssign(sub, books)
+      .select($"vec_id", $"s".as("xs"), $"w.cent_id".as("xcent"))
+    val lut = sub.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"s".as("qs"), $"subv".as("q_sub"))
+      .join(books, $"qs" === $"cs")
+      .withColumn("d", dist2($"q_sub", $"c_sub"))
+      .select($"q_id", $"qs", $"cent_id",
+        expr("CAST(round(d, 8) AS DECIMAL(20, 8))").as("ad"))
+    val w = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id".asc)
+    codes.join(broadcast(lut),
+        $"xs" === $"qs" && $"xcent" === $"cent_id")
+      .filter($"q_id" =!= $"vec_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"ad").as("adist"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"vec_id",
+        r6($"adist".cast("double")).as("adist"))
+      .orderBy($"q_id", $"rk")
   }
 
   /** SemDeDup-style semantic near-dup pairs: k-means cells as the
@@ -245,6 +325,7 @@ object Clustering {
     "q_ml_kmeans" -> (qMlKmeans _),
     "q_ml_cluster_prune" -> (qMlClusterPrune _),
     "q_embed_pq" -> (qEmbedPq _),
+    "q_sim_ann_pq" -> (qSimAnnPq _),
     "q_dedup_semantic" -> (qDedupSemantic _))
 
   private def iterSql(prev: String, a: String, c: String): String =
@@ -286,39 +367,67 @@ object Clustering {
        |${iterSql("c1", "a2", "c2")},
        |${iterSql("c2", "a3", "c3")}""".stripMargin
 
+  /** The PQ build CTEs (subvectors, codebooks, nearest-codeword
+    * assignment), shared by q_embed_pq and q_sim_ann_pq.
+    */
+  private val pqCtes: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, s, list_slice(emb, s * 8 + 1, s * 8 + 8) AS subv
+      |  FROM (SELECT vec_id, emb, unnest(generate_series(0, 7)) AS s
+      |        FROM e)),
+      |books AS (
+      |  SELECT s AS cs, cent_id, subv AS c_sub FROM (
+      |    SELECT s, subv, row_number() OVER (PARTITION BY s
+      |      ORDER BY md5(concat('pq', CAST(s AS VARCHAR),
+      |                          CAST(vec_id AS VARCHAR))), vec_id)
+      |      AS cent_id
+      |    FROM sub)
+      |  WHERE cent_id <= 16),
+      |asg AS (
+      |  SELECT vec_id, s, cent_id, d2 FROM (
+      |    SELECT vec_id, s, cent_id, d2, row_number() OVER (
+      |      PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
+      |    FROM (
+      |      SELECT n.vec_id, n.s, b.cent_id,
+      |        list_reduce(list_prepend(0.0, list_zip(n.subv, b.c_sub)
+      |          .apply(p -> (p[1]-p[2])*(p[1]-p[2]))),
+      |          (acc, v) -> acc + v) AS d2
+      |      FROM sub n JOIN books b ON n.s = b.cs))
+      |  WHERE rn = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_embed_pq" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |sub AS (
-        |  SELECT vec_id, s, list_slice(emb, s * 8 + 1, s * 8 + 8) AS subv
-        |  FROM (SELECT vec_id, emb, unnest(generate_series(0, 7)) AS s
-        |        FROM e)),
-        |books AS (
-        |  SELECT s AS cs, cent_id, subv AS c_sub FROM (
-        |    SELECT s, subv, row_number() OVER (PARTITION BY s
-        |      ORDER BY md5(concat('pq', CAST(s AS VARCHAR),
-        |                          CAST(vec_id AS VARCHAR))), vec_id)
-        |      AS cent_id
-        |    FROM sub)
-        |  WHERE cent_id <= 4),
-        |asg AS (
-        |  SELECT vec_id, s, cent_id, d2 FROM (
-        |    SELECT vec_id, s, cent_id, d2, row_number() OVER (
-        |      PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
-        |    FROM (
-        |      SELECT n.vec_id, n.s, b.cent_id,
-        |        list_reduce(list_prepend(0.0, list_zip(n.subv, b.c_sub)
-        |          .apply(p -> (p[1]-p[2])*(p[1]-p[2]))),
-        |          (acc, v) -> acc + v) AS d2
-        |      FROM sub n JOIN books b ON n.s = b.cs))
-        |  WHERE rn = 1)
-        |SELECT vec_id,
-        |  CAST(sum((cent_id - 1) * (CAST(1 AS BIGINT) << (2 * s)))
-        |    AS BIGINT) AS code,
-        |  round(CAST(sum(CAST(round(d2, 8) AS DECIMAL(20, 8))) AS DOUBLE), 6)
-        |    AS recon_err
-        |FROM asg GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+      s"""$pqCtes
+         |SELECT vec_id,
+         |  CAST(sum((cent_id - 1) * (CAST(1 AS BIGINT) << (4 * s)))
+         |    AS BIGINT) AS code,
+         |  round(CAST(sum(CAST(round(d2, 8) AS DECIMAL(20, 8))) AS DOUBLE), 6)
+         |    AS recon_err
+         |FROM asg GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_sim_ann_pq" ->
+      s"""$pqCtes,
+         |lut AS (
+         |  SELECT q.vec_id AS q_id, q.s AS qs, b.cent_id,
+         |    CAST(round(list_reduce(list_prepend(0.0,
+         |        list_zip(q.subv, b.c_sub)
+         |          .apply(p -> (p[1]-p[2])*(p[1]-p[2]))),
+         |        (acc, v) -> acc + v), 8) AS DECIMAL(20, 8)) AS ad
+         |  FROM sub q JOIN books b ON q.s = b.cs
+         |  WHERE q.vec_id < 10),
+         |sc AS (
+         |  SELECT l.q_id, a.vec_id, sum(l.ad) AS adist
+         |  FROM asg a JOIN lut l ON a.s = l.qs AND a.cent_id = l.cent_id
+         |  WHERE l.q_id <> a.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id,
+         |  round(CAST(adist AS DOUBLE), 6) AS adist
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+         |      FROM sc)
+         |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
 
     "q_dedup_semantic" ->
       s"""$kmeansCtes,

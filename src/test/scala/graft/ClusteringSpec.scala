@@ -17,12 +17,12 @@ class ClusteringSpec extends SparkSuite {
     assert(sizeSum == n, s"cluster sizes sum $sizeSum != corpus $n")
   }
 
-  test("q_embed_pq: one 16-bit code per vector, nonnegative error") {
+  test("q_embed_pq: one 32-bit code per vector, nonnegative error") {
     val out = Clustering.qEmbedPq(spark, sf).cache()
     try {
       val n = ops.core.t(spark, sf, "embeddings").count()
       assert(out.count() == n)
-      assert(out.filter($"code" < 0 || $"code" > 65535).count() == 0)
+      assert(out.filter($"code" < 0 || $"code" > 0xFFFFFFFFL).count() == 0)
       assert(out.filter($"recon_err" < 0).count() == 0)
       // codebooks are sampled from the data, so at least one vector
       // (a seed) must reconstruct some subspace exactly; with 4
@@ -32,6 +32,27 @@ class ClusteringSpec extends SparkSuite {
         .as[(Double, Double)].head()
       assert(mn < av)
     } finally out.unpersist()
+  }
+
+  test("q_sim_ann_pq: ADC recovers cluster structure on a crafted corpus") {
+    // 4 tight clusters 10 apart in every dim, jitter ≤ 0.01: the
+    // inter-cluster gap (64·100) dwarfs the quantization error, so
+    // every ADC top-3 partner must share the query's cluster — the
+    // asymmetric-distance mechanism itself, isolated from the
+    // random-fixture recall caveat in the scaladoc
+    val dir = java.nio.file.Files.createTempDirectory("pq").toString
+    (0L until 40L).map { v =>
+      val c = (v % 4).toDouble
+      (v, (0 until 64).map(j =>
+        (c * 10.0 + ((v * 13 + j * 7) % 10) / 1000.0).toFloat).toArray)
+    }.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val out = Clustering.qSimAnnPq(spark, dir).collect()
+    assert(out.length == 30)
+    out.foreach { r =>
+      assert(r.getAs[Long]("q_id") % 4 == r.getAs[Long]("vec_id") % 4,
+        s"ADC crossed clusters: $r")
+      assert(r.getAs[Long]("q_id") != r.getAs[Long]("vec_id"))
+    }
   }
 
   test("q_dedup_semantic pairs are a subset of the all-pairs gold set") {
