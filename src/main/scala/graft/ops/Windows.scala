@@ -126,6 +126,33 @@ object Windows {
   }
 
   /** Running revenue per customer (rows unbounded preceding). */
+  /** SCD type-2 history build: turn each user's purchase change-log
+    * into validity intervals — `valid_from` = the event's timestamp,
+    * `valid_to` = the NEXT purchase's timestamp (NULL while current),
+    * `is_current` on the open row. The slowly-changing-dimension
+    * pattern every warehouse load runs; distinct from q_win_lag_lead
+    * (which exercises the functions — this is the semantic shape,
+    * interval construction + current-row flag).
+    *
+    * Determinism: (ts, event_id) is a total order per user (unique
+    * event_id breaks timestamp ties identically in both engines).
+    * Scale shape: ONE window shuffle keyed by user_id — millions of
+    * small partitions, the shape that scales linearly with users.
+    */
+  def qScd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    core.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", core.cents($"value").as("value_c"))
+      .withColumn("seq", row_number().over(w))
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .select($"user_id", $"seq", $"value_c",
+        $"ts".as("valid_from"), $"valid_to",
+        $"valid_to".isNull.as("is_current"))
+      .orderBy($"user_id", $"seq")
+  }
+
   def qWinRunsum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"o_custkey")
@@ -312,6 +339,7 @@ object Windows {
     "q_win_rank" -> (qWinRank _),
     "q_win_ntile" -> (qWinNtile _),
     "q_win_lag_lead" -> (qWinLagLead _),
+    "q_scd2_intervals" -> (qScd2Intervals _),
     "q_win_runsum" -> (qWinRunsum _),
     "q_win_moving" -> (qWinMoving _),
     "q_win_rangeframe" -> (qWinRangeframe _),
@@ -321,6 +349,19 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scd2_intervals" ->
+      """SELECT user_id, CAST(seq AS INTEGER) AS seq, value_c,
+        |  valid_from, valid_to, (valid_to IS NULL) AS is_current
+        |FROM (
+        |  SELECT user_id, ts AS valid_from, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS value_c,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS seq,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS valid_to
+        |  FROM events WHERE event_type = 'purchase')
+        |ORDER BY user_id, seq""".stripMargin,
+
     "q_win_streak" ->
       """WITH numbered AS (
         |  SELECT user_id, event_id, event_type,

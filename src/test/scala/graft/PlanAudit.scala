@@ -34,7 +34,8 @@ object PlanAudit {
     "q_profile_table", "q_drift_kl", "q_embed_quantize",
     // round-4c additions
     "q_pack_sequences", "q_mix_weights", "q_ts_anomaly", "q_graph_degree",
-    "q_embed_pq", "q_dedup_semantic")
+    "q_embed_pq", "q_dedup_semantic", "q_rag_chunk", "q_zorder_layout",
+    "q_graph_cooccur", "q_sim_ann_pq")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")

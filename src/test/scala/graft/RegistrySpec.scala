@@ -31,7 +31,7 @@ class RegistrySpec extends SparkSuite {
     "q_win_rownumber", "q_win_rank", "q_win_ntile", "q_win_lag_lead",
     "q_win_runsum", "q_win_moving", "q_win_rangeframe", "q_win_firstlast",
     "q_win_distribution", "q_win_topk_group", "q_win_sessionize",
-    "q_win_gap_fill", "q_win_streak",
+    "q_win_gap_fill", "q_win_streak", "q_scd2_intervals",
     // §2.6 sort/limit
     "q_sort_multi", "q_topk_global", "q_limit_offset",
     // §2.7 set ops

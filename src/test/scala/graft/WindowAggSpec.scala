@@ -13,6 +13,26 @@ class WindowAggSpec extends SparkSuite {
     }
   }
 
+  test("q_scd2_intervals: intervals tile, exactly one current row per user") {
+    import spark.implicits._
+    val df = ops.Windows.qScd2Intervals(spark, sf).cache()
+    try {
+      // one open interval per user
+      val multiCurrent = df.filter($"is_current")
+        .groupBy($"user_id").count().filter($"count" =!= 1).count()
+      assert(multiCurrent == 0)
+      // each closed interval's valid_to must equal the next row's
+      // valid_from (no gap, no overlap)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"seq")
+      val broken = df
+        .withColumn("next_from", org.apache.spark.sql.functions.lead($"valid_from", 1).over(w))
+        .filter($"valid_to".isNotNull && $"valid_to" =!= $"next_from")
+        .count()
+      assert(broken == 0)
+    } finally df.unpersist()
+  }
+
   test("q_win_topk_group keeps at most 3 rows per customer") {
     val df = Windows.qWinTopkGroup(spark, sf)
     val maxPerCust = df.groupBy("o_custkey").count()
