@@ -165,12 +165,71 @@ object Graph {
       .orderBy($"sup", $"rk")
   }
 
+  /** k-hop reachability (bounded BFS): hop distance of every node
+    * within ≤ 3 hops of the seed set (suppliers 0–2) over the
+    * transaction graph — the neighborhood-expansion primitive behind
+    * "blast radius" / related-entity queries. Pure integer min-dist
+    * propagation, deterministic by construction.
+    *
+    * Scale shape: each of the 3 unrolled rounds is ONE equi-join of
+    * the frontier against the cached edge list + ONE combinable
+    * min-aggregate — the Pregel step again (pagerank's shape, with
+    * min instead of sum); a node reached twice collapses map-side.
+    * Unbounded-depth BFS would switch to the localCheckpoint loop of
+    * q_dedup_components; the bounded form unrolls into one plan.
+    */
+  def qGraphKhop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = custSuppEdges(s, dir).cache()
+    val seeds = edges.select($"src".as("node")).distinct()
+      .filter($"node" % 2 === 1 && expr("node DIV 2") < 3)
+    var d = seeds.select($"node", lit(0).cast("int").as("dist"))
+    for (_ <- 1 to 3) {
+      d = d.union(
+          edges.join(d, $"src" === $"node")
+            .select($"dst".as("node"), ($"dist" + 1).as("dist")))
+        .groupBy($"node").agg(min($"dist").as("dist"))
+    }
+    d.select(
+        when($"node" % 2 === 0, "customer").otherwise("supplier")
+          .as("node_type"),
+        expr("node DIV 2").as("node_key"), $"dist")
+      .orderBy($"dist", $"node_type", $"node_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_graph_degree" -> (qGraphDegree _),
-    "q_graph_cooccur" -> (qGraphCooccur _))
+    "q_graph_cooccur" -> (qGraphCooccur _),
+    "q_graph_khop" -> (qGraphKhop _))
+
+  /** One BFS relaxation round as an oracle CTE. */
+  private def khopStep(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT node, CAST(min(dist) AS INTEGER) AS dist FROM (
+       |    SELECT node, dist FROM $prev
+       |    UNION ALL
+       |    SELECT e.dst AS node, p.dist + 1 AS dist
+       |    FROM edges e JOIN $prev p ON e.src = p.node)
+       |  GROUP BY node)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_graph_khop" ->
+      s"""WITH eg AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |edges AS (SELECT src, dst FROM eg
+         |          UNION ALL SELECT dst, src FROM eg),
+         |d0 AS (SELECT DISTINCT src AS node, CAST(0 AS INTEGER) AS dist
+         |       FROM edges WHERE src % 2 = 1 AND src // 2 < 3),
+         |${khopStep("d0", "d1")},
+         |${khopStep("d1", "d2")},
+         |${khopStep("d2", "d3")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |         AS node_type,
+         |       node // 2 AS node_key, dist
+         |FROM d3 ORDER BY dist, node_type, node_key""".stripMargin,
+
     "q_graph_cooccur" ->
       """WITH eg AS (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s

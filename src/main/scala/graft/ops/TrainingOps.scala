@@ -499,6 +499,27 @@ object TrainingOps {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic FIXED-SIZE corpus sample: rank every row by a
+    * content hash and keep the first 100 — the "give me exactly N
+    * reproducible rows, uniformly spread" primitive (a debugging /
+    * eval-slice staple), complementing [[qSampleHash]]'s fixed-RATE
+    * Bernoulli buckets. Same row set on any cluster, any partitioning,
+    * any engine; doc_id breaks (impossible-in-practice) hash ties.
+    *
+    * Scale shape: ORDER BY + LIMIT fuses to TakeOrderedAndProject —
+    * every task keeps its local top-100, one tiny merge at the
+    * driver; no global sort ever materializes.
+    */
+  def qSampleFixed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id",
+        md5(concat(lit("fix"), $"doc_id".cast("string"))).as("hk"),
+        $"lang", $"source", $"n_chars")
+      .orderBy($"hk", $"doc_id")
+      .limit(100)
+  }
+
   /** Deterministic 90/10 train/val split with per-language shares. */
   def qSplitTrainVal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -544,6 +565,7 @@ object TrainingOps {
     "q_sim_ann_lsh" -> (qSimAnnLsh _),
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
     "q_sample_hash" -> (qSampleHash _),
+    "q_sample_fixed" -> (qSampleFixed _),
     "q_split_train_val" -> (qSplitTrainVal _),
     "q_multimodal_binary" -> (qMultimodalBinary _)
   )
@@ -793,6 +815,12 @@ object TrainingOps {
         |  SELECT *, row_number() OVER (PARTITION BY a_id
         |    ORDER BY rawcos DESC, b_id ASC) AS rn FROM pairs)
         |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+
+    "q_sample_fixed" ->
+      """SELECT doc_id, md5('fix' || CAST(doc_id AS VARCHAR)) AS hk,
+        |  lang, source, n_chars
+        |FROM documents
+        |ORDER BY hk, doc_id LIMIT 100""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT doc_id,

@@ -67,6 +67,22 @@ class GraphSpec extends SparkSuite {
     assert(rows.size == 4) // the common=0 pair must NOT appear
   }
 
+  test("q_graph_khop: exact hop distances on a crafted chain, islands absent") {
+    // s0 (seed) — c100 — s5 — c200, plus an unreachable island c300—s7
+    val dir = java.nio.file.Files.createTempDirectory("kh").toString
+    val links = Seq((100L, 0L), (100L, 5L), (200L, 5L), (300L, 7L))
+    links.zipWithIndex.map { case ((c, _), i) => (i.toLong, c) }
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+    links.zipWithIndex.map { case ((_, su), i) => (i.toLong, su) }
+      .toDF("l_orderkey", "l_suppkey").write.parquet(s"$dir/lineitem.parquet")
+    val got = ops.Graph.qGraphKhop(spark, dir).collect()
+      .map(r => (r.getAs[String]("node_type"), r.getAs[Long]("node_key")) ->
+        r.getAs[Int]("dist")).toMap
+    assert(got == Map(
+      ("supplier", 0L) -> 0, ("customer", 100L) -> 1,
+      ("supplier", 5L) -> 2, ("customer", 200L) -> 3))
+  }
+
   test("pagerank favors the hub in a star graph") {
     // one supplier serving 5 customers vs one serving a single
     // customer: the hub must out-rank the leaf supplier
