@@ -545,6 +545,49 @@ object Relational {
       ORDER BY segment, rk""")
   }
 
+  /** Recursive CTE through the SQL-text surface (Spark 4 `WITH
+    * RECURSIVE`): bounded transitive reachability (min hop ≤ 2) from
+    * the seed suppliers over the transaction graph — the same answer
+    * [[Graph.qGraphKhop]] computes with hand-unrolled DataFrame
+    * rounds, now expressed as ONE recursive SQL query that Catalyst
+    * executes natively (and the same formulation the DuckDB oracle
+    * family has used since q_dedup_components). The depth bound makes
+    * the recursion terminate on this cyclic graph, and is 2 (not
+    * khop's 3) BY DESIGN: recursive UNION ALL re-expands every path,
+    * not every node — without khop's per-round min-collapse a third
+    * hop on this dense graph multiplies paths into the tens of
+    * millions. That asymmetry (paths vs frontier) is exactly why the
+    * DataFrame iteration stays the scale path and the recursive form
+    * is the expressiveness surface.
+    */
+  def qSqlRecursive(s: SparkSession, dir: String): DataFrame = {
+    val tag = (dir.hashCode & 0x7fffffff).toHexString
+    t(s, dir, "orders").createOrReplaceTempView(s"sqlr_orders_$tag")
+    t(s, dir, "lineitem").createOrReplaceTempView(s"sqlr_lineitem_$tag")
+    s.sql(s"""
+      WITH RECURSIVE walk(node, dist) AS (
+        SELECT DISTINCT l.l_suppkey * 2 + 1 AS node, 0 AS dist
+        FROM sqlr_lineitem_$tag l WHERE l.l_suppkey < 3
+        UNION ALL
+        SELECT CASE WHEN w.node % 2 = 1 THEN e.cust * 2
+                    ELSE e.supp * 2 + 1 END AS node,
+               w.dist + 1 AS dist
+        FROM walk w
+        JOIN (SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+              FROM sqlr_orders_$tag o
+              JOIN sqlr_lineitem_$tag l ON l.l_orderkey = o.o_orderkey) e
+          ON w.node = CASE WHEN w.node % 2 = 1 THEN e.supp * 2 + 1
+                           ELSE e.cust * 2 END
+        WHERE w.dist < 2)
+      SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+             node DIV 2 AS node_key,
+             CAST(MIN(dist) AS INTEGER) AS dist
+      FROM walk
+      GROUP BY 1, 2
+      ORDER BY dist, node_type, node_key""")
+  }
+
   /** Hot-key-safe join: [[Skew.saltedJoin]] registered as a t2 key —
     * the oracle is the PLAIN join, so the correctness gate itself
     * proves salting is semantics-preserving (dim replicated k ways,
@@ -567,6 +610,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_text" -> (qSqlText _),
+    "q_sql_recursive" -> (qSqlRecursive _),
     "q_join_salted" -> (qJoinSalted _),
     "q_scan_full" -> (qScanFull _),
     "q_scan_pruned" -> (qScanPruned _),
@@ -612,6 +656,26 @@ object Relational {
     "tax" -> core.centsSql("l_tax"))
 
   val oracle: Map[String, String] = Map(
+    "q_sql_recursive" ->
+      """WITH RECURSIVE walk(node, dist) AS (
+        |  SELECT DISTINCT l_suppkey * 2 + 1 AS node, 0 AS dist
+        |  FROM lineitem WHERE l_suppkey < 3
+        |  UNION ALL
+        |  SELECT CASE WHEN w.node % 2 = 1 THEN e.cust * 2
+        |              ELSE e.supp * 2 + 1 END AS node,
+        |         w.dist + 1 AS dist
+        |  FROM walk w
+        |  JOIN (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        |        FROM orders JOIN lineitem ON l_orderkey = o_orderkey) e
+        |    ON w.node = CASE WHEN w.node % 2 = 1 THEN e.supp * 2 + 1
+        |                     ELSE e.cust * 2 END
+        |  WHERE w.dist < 2)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |         AS node_type,
+        |       node // 2 AS node_key, CAST(min(dist) AS INTEGER) AS dist
+        |FROM walk GROUP BY 1, 2
+        |ORDER BY dist, node_type, node_key""".stripMargin,
+
     "q_sql_text" ->
       """WITH rev AS (
         |  SELECT c.c_mktsegment AS segment, c.c_custkey AS custkey,

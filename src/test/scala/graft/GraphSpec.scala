@@ -83,6 +83,16 @@ class GraphSpec extends SparkSuite {
       ("supplier", 5L) -> 2, ("customer", 200L) -> 3))
   }
 
+  test("q_sql_recursive agrees with the DataFrame khop within its bound") {
+    // the recursive-CTE surface and the hand-unrolled BFS must tell
+    // the same story: khop rows with dist <= 2 == the recursive result
+    val viaSql = ops.Relational.qSqlRecursive(spark, sf)
+    val viaDf = ops.Graph.qGraphKhop(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("dist") <= 2)
+    assert(viaSql.exceptAll(viaDf).count() == 0)
+    assert(viaDf.exceptAll(viaSql).count() == 0)
+  }
+
   test("pagerank favors the hub in a star graph") {
     // one supplier serving 5 customers vs one serving a single
     // customer: the hub must out-rank the leaf supplier

@@ -11,7 +11,7 @@ class RegistrySpec extends SparkSuite {
     "q_scan_full", "q_scan_pruned", "q_scan_count", "q_scan_pushdown",
     // §2.2 project/filter
     "q_project_arith", "q_filter_pred", "q_filter_null3vl", "q_filter_subquery",
-    "q_sql_text",
+    "q_sql_text", "q_sql_recursive",
     // §2.3 joins
     "q_join_inner", "q_join_broadcast", "q_join_merge_large", "q_join_left",
     "q_join_right", "q_join_full", "q_join_semi", "q_join_anti",

@@ -195,6 +195,48 @@ object ScaleProbe {
       aggTopk.exceptAll(winTopk).count()
     println(s"aggregator-vs-window row diff: $diff (must be 0)")
 
+    // round-4c: sequence packing at 5M docs across 64 shards — the
+    // shard count is the parallelism knob; the probe confirms the
+    // per-shard window prefix-sum scales linearly and shards pack
+    // independently (bins == ceil(shard tokens / cap) for every shard)
+    val docs5m = spark.range(0, 5000000).select($"id".as("doc_id"),
+      (($"id" * 37 % 97) + 4).as("n_tok"),
+      pmod(hash($"id"), lit(64)).cast("long").as("shard"))
+    timed("pack 5M docs / 64 shards") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"shard").orderBy($"doc_id")
+      val out = docs5m.withColumn("cum", sum($"n_tok").over(w))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+          expr("(max(cum) + 2047) DIV 2048").as("n_bins"))
+        .filter(expr("n_bins != (n_tokens + 2047) DIV 2048"))
+        .count()
+      print(s"  ($out shards violate bins=ceil(tokens/cap); must be 0) ")
+    }
+
+    // round-4c: Z-order layout effectiveness at 5M rows — per-"file"
+    // (4096-row bucket) min/max span on BOTH dims under a Z-order
+    // sort vs a lexicographic (x, y) sort. The lexicographic layout
+    // prunes only x; z-order must give bounded spans on x AND y.
+    import graft.functions.ZOrder.zorder
+    val pts = spark.range(0, 5000000).select(
+      pmod(hash($"id" * 7 + 1), lit(65536)).cast("long").as("x"),
+      pmod(hash($"id" * 13 + 3), lit(65536)).cast("long").as("y"))
+    def spans(withFid: org.apache.spark.sql.DataFrame, label: String): Unit =
+      timed(s"layout spans: $label") {
+        val r = withFid.groupBy($"fid")
+          .agg((max($"x") - min($"x")).as("sx"),
+            (max($"y") - min($"y")).as("sy"))
+          .agg(avg($"sx"), avg($"sy")).head()
+        print(f"  (avg file span x=${r.getDouble(0)}%.0f y=${r.getDouble(1)}%.0f of 65535) ")
+      }
+    // files = equal-width ranges of the sort key (how a range-
+    // partitioned write splits), 4096 of them in both layouts
+    spans(pts.withColumn("fid", (zorder($"x", $"y") / 1048576L).cast("long")),
+      "z-order")
+    spans(pts.withColumn("fid", (($"x" * 65536L + $"y") / 1048576L).cast("long")),
+      "lexicographic")
+
     spark.stop()
   }
 }
