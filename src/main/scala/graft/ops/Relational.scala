@@ -561,23 +561,33 @@ object Relational {
     * is the expressiveness surface.
     */
   def qSqlRecursive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val tag = (dir.hashCode & 0x7fffffff).toHexString
-    t(s, dir, "orders").createOrReplaceTempView(s"sqlr_orders_$tag")
-    t(s, dir, "lineitem").createOrReplaceTempView(s"sqlr_lineitem_$tag")
+    // two cost traps, both found by measurement (17 s at sf0.1):
+    //  - the recursion re-evaluates every referenced view ONCE PER
+    //    STEP (no mid-loop materialization point), so the
+    //    orders⋈lineitem edge derivation is cached (Verify/Bench
+    //    clear caches between keys — core.scala contract);
+    //  - a join condition whose CASE touches BOTH sides is not
+    //    separable into equi-keys and degrades to a nested loop —
+    //    doubling the edge list (src, dst) up front keeps every
+    //    recursive step a plain equi-join on src.
+    val pairs = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .distinct()
+    pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+      .cache()
+      .createOrReplaceTempView(s"sqlr_edges_$tag")
     s.sql(s"""
       WITH RECURSIVE walk(node, dist) AS (
-        SELECT DISTINCT l.l_suppkey * 2 + 1 AS node, 0 AS dist
-        FROM sqlr_lineitem_$tag l WHERE l.l_suppkey < 3
+        SELECT DISTINCT src AS node, 0 AS dist
+        FROM sqlr_edges_$tag WHERE src % 2 = 1 AND src DIV 2 < 3
         UNION ALL
-        SELECT CASE WHEN w.node % 2 = 1 THEN e.cust * 2
-                    ELSE e.supp * 2 + 1 END AS node,
-               w.dist + 1 AS dist
+        SELECT e.dst AS node, w.dist + 1 AS dist
         FROM walk w
-        JOIN (SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
-              FROM sqlr_orders_$tag o
-              JOIN sqlr_lineitem_$tag l ON l.l_orderkey = o.o_orderkey) e
-          ON w.node = CASE WHEN w.node % 2 = 1 THEN e.supp * 2 + 1
-                           ELSE e.cust * 2 END
+        JOIN sqlr_edges_$tag e ON w.node = e.src
         WHERE w.dist < 2)
       SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
                AS node_type,
@@ -657,18 +667,18 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q_sql_recursive" ->
-      """WITH RECURSIVE walk(node, dist) AS (
-        |  SELECT DISTINCT l_suppkey * 2 + 1 AS node, 0 AS dist
-        |  FROM lineitem WHERE l_suppkey < 3
+      """WITH RECURSIVE eg AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |edges AS (SELECT src, dst FROM eg
+        |          UNION ALL SELECT dst, src FROM eg),
+        |walk(node, dist) AS (
+        |  SELECT DISTINCT src AS node, 0 AS dist
+        |  FROM edges WHERE src % 2 = 1 AND src // 2 < 3
         |  UNION ALL
-        |  SELECT CASE WHEN w.node % 2 = 1 THEN e.cust * 2
-        |              ELSE e.supp * 2 + 1 END AS node,
-        |         w.dist + 1 AS dist
+        |  SELECT e.dst AS node, w.dist + 1 AS dist
         |  FROM walk w
-        |  JOIN (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
-        |        FROM orders JOIN lineitem ON l_orderkey = o_orderkey) e
-        |    ON w.node = CASE WHEN w.node % 2 = 1 THEN e.supp * 2 + 1
-        |                     ELSE e.cust * 2 END
+        |  JOIN edges e ON w.node = e.src
         |  WHERE w.dist < 2)
         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
         |         AS node_type,
