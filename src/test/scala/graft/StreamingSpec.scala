@@ -47,6 +47,44 @@ class StreamingSpec extends SparkSuite {
       s"streaming (${streamed.length}) != batch (${batch.length})")
   }
 
+  test("streaming OHLC bars == batch OHLC on same data (min_by/max_by)") {
+    // the streaming twin of q_ts_ohlc: first/last-in-bar cannot use
+    // window functions under streaming, but min_by/max_by over the
+    // (ts, event_id) total order is the same deterministic pick and
+    // IS a combinable streaming aggregate
+    val s = spark
+    import s.implicits._
+    val batch = graft.ops.Scalars.ohlc(core.t(spark, sf, "events"))
+      .collect().map(_.toString).sorted
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(core.t(spark, sf, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Ev].collect().toSeq)
+    val sink = freshSink()
+    val q = mem.toDF
+      .select($"event_type", $"ts", $"event_id",
+        core.cents($"value").as("v_c"),
+        window($"ts", "15 minutes").getField("start").as("bar_start"))
+      .groupBy($"event_type", $"bar_start")
+      .agg(count(lit(1)).as("n"),
+        min_by($"v_c", struct($"ts", $"event_id")).as("open_c"),
+        max($"v_c").as("high_c"),
+        min($"v_c").as("low_c"),
+        max_by($"v_c", struct($"ts", $"event_id")).as("close_c"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(sink).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table(sink)
+      .select($"event_type", $"bar_start", $"n", $"open_c",
+        $"high_c", $"low_c", $"close_c")
+      .collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch),
+      s"streaming OHLC (${streamed.length}) != batch (${batch.length})")
+  }
+
   test("streaming topk: rank-in-foreachBatch == batch rank on same data") {
     // agg runs IN the stream (update mode), the rank runs per
     // micro-batch in the sink via the SAME topkOfWindows function the
