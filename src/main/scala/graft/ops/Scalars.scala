@@ -210,6 +210,53 @@ object Scalars {
       .orderBy($"event_id")
   }
 
+  /** Linear-interpolation gap imputation — the second imputation mode
+    * beside [[Windows.qWinGapFill]]'s forward fill: a dropped reading
+    * (value = 0, the fixture's ln(0) convention) is rebuilt from the
+    * time-weighted average of the surrounding non-null readings,
+    * prev + (next − prev)·(t − tp)/(tn − tp); boundary gaps take the
+    * single available side; all-null users stay null.
+    *
+    * Determinism (§5.3): every input to the lerp is an exact integer
+    * below 2⁵³ (cents ≤ 5.6e4; intra-user timestamp gaps ≤ 30 d =
+    * 2.6e12 µs), so each cast is exact and the four IEEE ops
+    * (sub, div, mul, add) are correctly rounded in the same order in
+    * both engines — bit-identical before the r4 (the q_agg_corr
+    * rule, without decimals).
+    *
+    * Scale shape: two frames over ONE user-keyed sort (preceding +
+    * following), same single-shuffle class as every per-user window.
+    */
+  def qTsInterp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wn = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    t(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts",
+        unix_micros($"ts").as("t"), cents($"value").as("v_c"))
+      .withColumn("v_null",
+        when($"v_c" === 0L, lit(null).cast("long")).otherwise($"v_c"))
+      .withColumn("tv", when($"v_null".isNotNull, $"t"))
+      .withColumn("prev_v", last($"v_null", ignoreNulls = true).over(wp))
+      .withColumn("prev_t", last($"tv", ignoreNulls = true).over(wp))
+      .withColumn("next_v", first($"v_null", ignoreNulls = true).over(wn))
+      .withColumn("next_t", first($"tv", ignoreNulls = true).over(wn))
+      .select($"user_id", $"event_id", $"v_c",
+        r4(when($"v_null".isNotNull, $"v_null".cast("double"))
+          .when($"prev_v".isNotNull && $"next_v".isNotNull,
+            $"prev_v".cast("double") +
+              ($"next_v" - $"prev_v").cast("double") *
+              (($"t" - $"prev_t").cast("double") /
+                ($"next_t" - $"prev_t").cast("double")))
+          .when($"prev_v".isNotNull, $"prev_v".cast("double"))
+          .when($"next_v".isNotNull, $"next_v".cast("double")))
+          .as("v_interp"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** Z-order (Morton-curve) layout audit: interleave the low 16 bits
     * of customer key and order day via the codegen
     * [[graft.functions.ZOrder]] expression, bucket the curve into
@@ -464,6 +511,7 @@ object Scalars {
     "q_ts_retention" -> (qTsRetention _),
     "q_ts_ohlc" -> (qTsOhlc _),
     "q_ts_anomaly" -> (qTsAnomaly _),
+    "q_ts_interp" -> (qTsInterp _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_math_funcs" -> (qMathFuncs _),
     "q_cond_funcs" -> (qCondFuncs _),
@@ -600,6 +648,40 @@ object Scalars {
         |FROM f
         |WHERE n >= 20 AND den > 0 AND num * num > 9 * den
         |ORDER BY event_id""".stripMargin,
+
+    "q_ts_interp" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |    CAST(round(value*100) AS BIGINT) AS v_c
+        |  FROM events),
+        |n AS (SELECT *, CASE WHEN v_c = 0 THEN NULL ELSE v_c END AS v_null
+        |      FROM e),
+        |w AS (
+        |  SELECT *,
+        |    last_value(v_null IGNORE NULLS) OVER wp AS prev_v,
+        |    last_value(CASE WHEN v_null IS NOT NULL THEN t END IGNORE NULLS)
+        |      OVER wp AS prev_t,
+        |    first_value(v_null IGNORE NULLS) OVER wn AS next_v,
+        |    first_value(CASE WHEN v_null IS NOT NULL THEN t END IGNORE NULLS)
+        |      OVER wn AS next_t
+        |  FROM n
+        |  WINDOW
+        |    wp AS (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    wn AS (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id, v_c,
+        |  round(CASE
+        |    WHEN v_null IS NOT NULL THEN CAST(v_null AS DOUBLE)
+        |    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+        |      CAST(prev_v AS DOUBLE) + CAST(next_v - prev_v AS DOUBLE)
+        |        * (CAST(t - prev_t AS DOUBLE)
+        |           / CAST(next_t - prev_t AS DOUBLE))
+        |    WHEN prev_v IS NOT NULL THEN CAST(prev_v AS DOUBLE)
+        |    WHEN next_v IS NOT NULL THEN CAST(next_v AS DOUBLE)
+        |    END, 4) AS v_interp
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
 
     "q_zorder_layout" ->
       """WITH o AS (

@@ -40,7 +40,7 @@ class RegistrySpec extends SparkSuite {
     // §2.8 scalars
     "q_str_basic", "q_str_split", "q_str_regexp", "q_str_like",
     "q_date_parts", "q_date_arith", "q_ts_funcs", "q_ts_retention",
-    "q_ts_ohlc", "q_ts_anomaly", "q_zorder_layout",
+    "q_ts_ohlc", "q_ts_anomaly", "q_ts_interp", "q_zorder_layout",
     "q_math_funcs",
     "q_cond_funcs", "q_cast_funcs", "q_array_funcs", "q_array_hof",
     "q_explode", "q_explode_outer", "q_map_funcs", "q_json_extract",

@@ -16,6 +16,22 @@ class ScalarsSpec extends SparkSuite {
     }
   }
 
+  test("q_ts_interp: identity on live readings, bounded lerp on dropped ones") {
+    import spark.implicits._
+    // sf0.1 is the fixture that actually contains dropped (value=0)
+    // readings — the interpolation branch must be exercised
+    val df = Scalars.qTsInterp(spark, "/root/testdata/sf0.1").cache()
+    try {
+      assert(df.filter($"v_c" =!= 0L &&
+        $"v_interp" =!= $"v_c".cast("double")).count() == 0)
+      val dropped = df.filter($"v_c" === 0L)
+      assert(dropped.count() > 0)
+      // an interpolated value can never leave the fixture value range
+      assert(dropped.filter($"v_interp" < 0.0 ||
+        $"v_interp" > 60000.0).count() == 0)
+    } finally df.unpersist()
+  }
+
   test("q_ts_anomaly: empty at sf0.001; sf0.01 flags only warmed-up 3σ rows") {
     assert(Scalars.qTsAnomaly(spark, sf).count() == 0)
     val rows = Scalars.qTsAnomaly(spark, "/root/testdata/sf0.01").collect()
