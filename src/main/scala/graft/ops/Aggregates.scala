@@ -226,6 +226,42 @@ object Aggregates {
     * host's libm drifts onto a 12th-digit midpoint, re-derive the
     * term from exact integers (c, n) in both engines instead.
     */
+  /** Gini concentration coefficient of event value per type — the
+    * inequality statistic behind "is this source/segment dominated by
+    * a few heavy rows" curation audits. Sample Gini from the ranked
+    * form G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx), ranks by (value,
+    * event_id): tied values may permute within their block but
+    * Σ i·xᵢ is invariant under that permutation (equal x), so the
+    * statistic is deterministic without a rounded-rank rule. All
+    * sums are exact integers in DECIMAL(38,0) ↔ HUGEINT (cents ×
+    * rank ≤ 5.6e4·2e4 per term — far inside headroom); ONE double
+    * division before r6 (the corr rule).
+    *
+    * Scale shape: one window rank over the (type)-keyed sort + one
+    * combinable aggregation on the same keys — the OHLC exchange-
+    * reuse shape. (type, day) composite keying applies at 100 TB if
+    * a type's partition outgrows a task, at the cost of per-day
+    * instead of global coefficients.
+    */
+  def qAggGini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"x".asc, $"event_id".asc)
+    t(s, dir, "events")
+      .select($"event_type", $"event_id", cents($"value").as("x"))
+      .withColumn("i", row_number().over(w))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast("decimal(38,0)")).as("sx"),
+        sum(($"i".cast("decimal(38,0)") * $"x")).as("six"))
+      .select($"event_type", $"n",
+        $"sx".cast("long").as("sum_c"),
+        r6((lit(2) * $"six" - ($"n".cast("decimal(38,0)") + 1) * $"sx")
+          .cast("double") /
+          ($"n".cast("decimal(38,0)") * $"sx").cast("double")).as("gini"))
+      .orderBy($"event_type")
+  }
+
   def qAggEntropy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val counts = t(s, dir, "events")
@@ -583,6 +619,7 @@ object Aggregates {
     "q_agg_listagg" -> (qAggListagg _),
     "q_profile_table" -> (qProfileTable _),
     "q_agg_entropy" -> (qAggEntropy _),
+    "q_agg_gini" -> (qAggGini _),
     "q_agg_try_arith" -> (qAggTryArith _),
     "q_agg_decay" -> (qAggDecay _),
     "q_agg_regr_slope" -> (qAggRegrSlope _),
@@ -689,6 +726,20 @@ object Aggregates {
         |    AS price_per_disc,
         |  CAST(round(l_discount*100) AS BIGINT) = 0 AS is_div0
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_agg_gini" ->
+      """WITH r AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY round(value*100), event_id) AS i
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(x AS HUGEINT)) AS BIGINT) AS sum_c,
+        |  round(CAST(2 * sum(CAST(i AS HUGEINT) * x)
+        |      - (count(*) + 1) * sum(CAST(x AS HUGEINT)) AS DOUBLE)
+        |    / CAST(count(*) * sum(CAST(x AS HUGEINT)) AS DOUBLE), 6)
+        |    AS gini
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_agg_entropy" ->
       """WITH counts AS (

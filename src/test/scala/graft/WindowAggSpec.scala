@@ -13,6 +13,27 @@ class WindowAggSpec extends SparkSuite {
     }
   }
 
+  test("q_agg_gini: coefficients in [0,1); zero on a constant column") {
+    import spark.implicits._
+    val rows = ops.Aggregates.qAggGini(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, s"gini out of range: $r")
+    }
+    // algebraic fixed point: equal values ⇒ numerator cancels to 0
+    // ts written as raw nanos longs: core.events rebuilds timestamps
+    // with `ts div 1000`, the fixture's TIMESTAMP(NANOS) convention
+    val const = spark.range(0, 100).select(
+      lit("t").as("event_type"), $"id".as("event_id"),
+      lit(7.0).as("value"), ($"id" * 1000000000L).as("ts"),
+      $"id".as("user_id"), lit("{}").as("props"))
+    val dir = java.nio.file.Files.createTempDirectory("gini").toString
+    const.write.parquet(s"$dir/events.parquet")
+    val g0 = ops.Aggregates.qAggGini(spark, dir).head().getAs[Double]("gini")
+    assert(g0 == 0.0)
+  }
+
   test("q_scd2_intervals: intervals tile, exactly one current row per user") {
     import spark.implicits._
     val df = ops.Windows.qScd2Intervals(spark, sf).cache()
