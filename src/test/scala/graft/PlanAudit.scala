@@ -36,7 +36,8 @@ object PlanAudit {
     "q_pack_sequences", "q_mix_weights", "q_ts_anomaly", "q_graph_degree",
     "q_embed_pq", "q_dedup_semantic", "q_rag_chunk", "q_zorder_layout",
     "q_graph_cooccur", "q_sim_ann_pq", "q_scd2_intervals",
-    "q_sample_fixed", "q_graph_khop", "q_sql_recursive", "q_ts_interp")
+    "q_sample_fixed", "q_graph_khop", "q_sql_recursive", "q_ts_interp",
+    "q_agg_gini")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
