@@ -256,9 +256,12 @@ object Aggregates {
         sum(($"i".cast("decimal(38,0)") * $"x")).as("six"))
       .select($"event_type", $"n",
         $"sx".cast("long").as("sum_c"),
-        r6((lit(2) * $"six" - ($"n".cast("decimal(38,0)") + 1) * $"sx")
-          .cast("double") /
-          ($"n".cast("decimal(38,0)") * $"sx").cast("double")).as("gini"))
+        r6(when($"sx" === lit(0).cast("decimal(38,0)"), lit(0.0))
+          .otherwise(
+            (lit(2) * $"six" - ($"n".cast("decimal(38,0)") + 1) * $"sx")
+              .cast("double") /
+              ($"n".cast("decimal(38,0)") * $"sx").cast("double")))
+          .as("gini"))
       .orderBy($"event_type")
   }
 
@@ -735,9 +738,10 @@ object Aggregates {
         |  FROM events)
         |SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(x AS HUGEINT)) AS BIGINT) AS sum_c,
-        |  round(CAST(2 * sum(CAST(i AS HUGEINT) * x)
-        |      - (count(*) + 1) * sum(CAST(x AS HUGEINT)) AS DOUBLE)
-        |    / CAST(count(*) * sum(CAST(x AS HUGEINT)) AS DOUBLE), 6)
+        |  round(CASE WHEN sum(CAST(x AS HUGEINT)) = 0 THEN 0.0
+        |    ELSE CAST(2 * sum(CAST(i AS HUGEINT) * x)
+        |        - (count(*) + 1) * sum(CAST(x AS HUGEINT)) AS DOUBLE)
+        |      / CAST(count(*) * sum(CAST(x AS HUGEINT)) AS DOUBLE) END, 6)
         |    AS gini
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 

@@ -173,8 +173,8 @@ object Clustering {
       .select($"vec_id", $"s", expr("slice(emb, s * 8 + 1, 8)").as("subv"))
   }
 
-  /** The deterministic 4-entry codebook per subspace (md5-sampled —
-    * the q_sim_ann_ivf seeding): (cs, cent_id ∈ 1..4, c_sub).
+  /** The deterministic 16-entry codebook per subspace (md5-sampled —
+    * the q_sim_ann_ivf seeding): (cs, cent_id ∈ 1..16, c_sub).
     */
   private def pqBooks(sub: DataFrame): DataFrame = {
     val s = sub.sparkSession

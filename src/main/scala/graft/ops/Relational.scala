@@ -17,6 +17,9 @@ import core._
   */
 object Relational {
 
+  /** Monotonic suffix for qSqlRecursive's temp view names. */
+  private val sqlrSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   // ---------------------------------------------------------------- §2.1 scans
 
   /** Full scan, all columns, total order on the canonical unique pair. */
@@ -562,7 +565,11 @@ object Relational {
     */
   def qSqlRecursive(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tag = (dir.hashCode & 0x7fffffff).toHexString
+    // per-invocation unique suffix: a dir-hash collision (or two
+    // concurrent invocations on one session) must never silently
+    // rebind another run's cached edge view
+    val tag = (dir.hashCode & 0x7fffffff).toHexString +
+      "_" + sqlrSeq.incrementAndGet()
     // two cost traps, both found by measurement (17 s at sf0.1):
     //  - the recursion re-evaluates every referenced view ONCE PER
     //    STEP (no mid-loop materialization point), so the

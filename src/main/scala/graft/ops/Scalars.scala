@@ -246,7 +246,8 @@ object Scalars {
       .withColumn("next_t", first($"tv", ignoreNulls = true).over(wn))
       .select($"user_id", $"event_id", $"v_c",
         r4(when($"v_null".isNotNull, $"v_null".cast("double"))
-          .when($"prev_v".isNotNull && $"next_v".isNotNull,
+          .when($"prev_v".isNotNull && $"next_v".isNotNull &&
+              $"next_t" =!= $"prev_t",
             $"prev_v".cast("double") +
               ($"next_v" - $"prev_v").cast("double") *
               (($"t" - $"prev_t").cast("double") /
@@ -674,7 +675,8 @@ object Scalars {
         |SELECT user_id, event_id, v_c,
         |  round(CASE
         |    WHEN v_null IS NOT NULL THEN CAST(v_null AS DOUBLE)
-        |    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+        |    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+        |         AND next_t <> prev_t THEN
         |      CAST(prev_v AS DOUBLE) + CAST(next_v - prev_v AS DOUBLE)
         |        * (CAST(t - prev_t AS DOUBLE)
         |           / CAST(next_t - prev_t AS DOUBLE))

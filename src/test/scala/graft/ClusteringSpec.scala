@@ -25,7 +25,7 @@ class ClusteringSpec extends SparkSuite {
       assert(out.filter($"code" < 0 || $"code" > 0xFFFFFFFFL).count() == 0)
       assert(out.filter($"recon_err" < 0).count() == 0)
       // codebooks are sampled from the data, so at least one vector
-      // (a seed) must reconstruct some subspace exactly; with 4
+      // (a seed) must reconstruct some subspace exactly; with 16
       // codewords x 8 subspaces the minimum error over the corpus
       // should be visibly below the mean
       val (mn, av) = out.agg(min($"recon_err"), avg($"recon_err"))
