@@ -19,7 +19,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Windows.queries ++ ops.Aggregates.queries ++
     ops.Scalars.queries ++ ops.Streaming.queries ++ ops.LlmOps.queries ++
     ops.TrainingOps.queries ++ ops.Pipeline.queries ++ ops.Corpus.queries ++
-    ops.Graph.queries ++ ops.Clustering.queries
+    ops.Graph.queries ++ ops.Clustering.queries ++ ops.Storage.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -28,5 +28,5 @@ object SparkEntry {
     ops.Relational.oracle ++ ops.Windows.oracle ++ ops.Aggregates.oracle ++
     ops.Scalars.oracle ++ ops.Streaming.oracle ++ ops.LlmOps.oracle ++
     ops.TrainingOps.oracle ++ ops.Pipeline.oracle ++ ops.Corpus.oracle ++
-    ops.Graph.oracle ++ ops.Clustering.oracle
+    ops.Graph.oracle ++ ops.Clustering.oracle ++ ops.Storage.oracle
 }

@@ -9,6 +9,7 @@ class RegistrySpec extends SparkSuite {
   private val surveyKeys = Seq(
     // §2.1 scans
     "q_scan_full", "q_scan_pruned", "q_scan_count", "q_scan_pushdown",
+    "q_part_layout",
     // §2.2 project/filter
     "q_project_arith", "q_filter_pred", "q_filter_null3vl", "q_filter_subquery",
     "q_sql_text", "q_sql_recursive",
@@ -103,7 +104,8 @@ class RegistrySpec extends SparkSuite {
     val maps = Seq(ops.Relational.queries, ops.Windows.queries,
       ops.Aggregates.queries, ops.Scalars.queries, ops.Streaming.queries,
       ops.LlmOps.queries, ops.TrainingOps.queries, ops.Pipeline.queries,
-      ops.Corpus.queries, ops.Graph.queries, ops.Clustering.queries)
+      ops.Corpus.queries, ops.Graph.queries, ops.Clustering.queries,
+      ops.Storage.queries)
     val total = maps.map(_.size).sum
     assert(total == SparkEntry.queries.size,
       "a key is defined in more than one registry")

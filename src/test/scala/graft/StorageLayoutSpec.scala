@@ -38,6 +38,68 @@ class StorageLayoutSpec extends SparkSuite {
     assert(dirs.contains("lang=en") && dirs.size == 5)
   }
 
+  test("q_part_layout: hive tree has one data file per date partition") {
+    val base = ops.Storage.layoutDir(spark, sf)
+    val dirs = new java.io.File(s"$base/events_by_date").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.length == 30 && dirs.forall(_.startsWith("event_date=")),
+      s"unexpected partition dirs: ${dirs.mkString(", ")}")
+    // the pre-write repartition(event_date) means each date's rows sit
+    // in exactly one task → one parquet file per partition directory
+    dirs.foreach { d =>
+      val files = new java.io.File(s"$base/events_by_date/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"$d has ${files.length} files")
+    }
+  }
+
+  test("q_part_layout: static filter reaches PartitionFilters; dim filter prunes dynamically") {
+    val df = ops.Storage.prunedRead(spark, sf)
+    // execute THIS QueryExecution (count() would build a fresh one and
+    // leave this plan's metrics untouched)
+    df.collect()
+    val plan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    })
+    val txt = plan.toString
+    assert(txt.contains("PartitionFilters: [") && txt.contains("event_date"),
+      s"expected static partition filters in:\n$txt")
+    assert(txt.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic-partition-pruning subquery in:\n$txt")
+    // runtime effect: only the 4 peak dates' files are read (30 dates,
+    // static >= 2024-01-05 leaves 26, DPP on the peak dim leaves 4)
+    // QueryStageExec nodes are leaves from collect()'s point of view —
+    // descend into their materialized plans explicitly
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.flatMap {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case _ => Nil
+      }
+    val factScan = scans(plan)
+      .find(_.output.map(_.name).contains("event_id"))
+      .getOrElse(fail(s"no fact FileSourceScan found in:\n$txt"))
+    assert(factScan.metrics("numFiles").value == 4,
+      s"DPP should leave 4 files, read ${factScan.metrics("numFiles").value}")
+  }
+
+  test("q_part_layout: round-trip equals recomputation from the source table") {
+    val viaLayout = ops.Storage.qPartLayout(spark, sf).collect().toSeq
+    val direct = core.t(spark, sf, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .filter(col("event_date") >= lit("2024-01-05").cast("date") &&
+        datediff(col("event_date"), to_date(lit("2024-01-01"))) % 7 === 5)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(core.cents(col("value"))).as("sum_c"),
+        countDistinct(col("event_date")).as("n_days"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(viaLayout == direct)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val orders = core.t(spark, sf, "orders")
