@@ -35,17 +35,23 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val runs = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
-              false
-            }
-          val dt = (System.nanoTime() - t0) / 1e9
+          // withCaches encloses the execution so the key's tracked
+          // caches + localCheckpoint blocks are released between runs;
+          // the timed window covers only build + count (release cost
+          // stays outside it, matching the pre-r5 methodology)
+          var dt = 0.0
+          var ok = false
+          ops.core.withCaches(spark) {
+            val t0 = System.nanoTime()
+            ok = try { fn(spark, sfDir).count(); true }
+              catch { case e: Throwable =>
+                System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+                false
+              }
+            dt = (System.nanoTime() - t0) / 1e9
+          }
+          // belt-and-braces sweep for anything pinned outside the tracker
           spark.catalog.clearCache()
-          // clearCache only covers CacheManager entries; localCheckpoint
-          // blocks (iterative ops) register as persistent RDDs and would
-          // otherwise pin storage memory into later queries
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
           (dt, ok)

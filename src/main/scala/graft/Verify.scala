@@ -22,13 +22,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // withCaches releases this key's tracked caches + localCheckpoint
+      // blocks on exit; clearCache stays as a belt-and-braces sweep for
+      // anything a future op might pin outside the tracker
+      ops.core.withCaches(spark) {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
-      // drop intra-query caches between keys (see Bench) — including
-      // localCheckpoint RDD blocks, which clearCache doesn't touch
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

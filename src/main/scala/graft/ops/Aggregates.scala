@@ -361,7 +361,7 @@ object Aggregates {
     // uncached, the events scan + median percentile would run twice
     val dev = ev.join(broadcast(med), "event_type")
       .withColumn("adev", abs($"v_c" - $"med"))
-      .cache()
+      .transform(core.cached)
     val mad = dev.groupBy($"event_type")
       .agg(expr("percentile(adev, 0.5)").as("mad"))
     dev.join(broadcast(mad), "event_type")

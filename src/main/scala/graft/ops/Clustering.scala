@@ -77,7 +77,7 @@ object Clustering {
       // between keys. Single-consumer callers (qMlClusterPrune
       // discards the centroids) pass cacheFinal = false and pay
       // nothing.
-      if (i == iters && cacheFinal) assigned = assigned.cache()
+      if (i == iters && cacheFinal) assigned = assigned.transform(core.cached)
       cents = assigned
         .select($"cent_id", posexplode(
           expr("transform(emb, x -> CAST(round(x, 8) AS DECIMAL(20, 8)))"))
@@ -308,7 +308,7 @@ object Clustering {
       .filter($"rn" <= 2)
       .select($"cent_id", $"vec_id", $"emb",
         sqrt(dot($"emb", $"emb")).as("nrm"))
-      .cache()
+      .transform(core.cached)
     val b = m.select($"cent_id".as("cent_b"), $"vec_id".as("b_id"),
       $"emb".as("b_emb"), $"nrm".as("b_nrm"))
     m.join(b, $"cent_id" === $"cent_b" && $"vec_id" < $"b_id")

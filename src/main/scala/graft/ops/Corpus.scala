@@ -292,7 +292,7 @@ object Corpus {
       .groupBy($"word").agg(count(lit(1)).as("freq"))
       .withColumn("sym", expr(symbolize("word")))
       .select($"freq", $"sym")
-      .cache()
+      .transform(core.cached)
 
     var cur = wf
     val out = Seq.newBuilder[DataFrame]
@@ -304,7 +304,7 @@ object Corpus {
           "transform(sequence(1, size(a) - 1), i -> concat('|', element_at(a, i), '||', element_at(a, i + 1), '|'))"))
           .as("pair"))
         .groupBy($"pair").agg(sum($"freq").as("n"))
-      val best = pairs.orderBy($"n".desc, $"pair".asc).limit(1).cache()
+      val best = pairs.orderBy($"n".desc, $"pair".asc).limit(1).transform(core.cached)
       out += best
       cur = cur.crossJoin(broadcast(best.select($"pair".as("bp"))))
         .select($"freq",

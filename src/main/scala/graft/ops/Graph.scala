@@ -59,7 +59,7 @@ object Graph {
     val withDeg = edges.select($"src", $"dst",
       count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"src"))
-        .as("deg")).cache()
+        .as("deg")).transform(core.cached)
     val nodes = withDeg.select($"src", $"deg").dropDuplicates("src")
 
     var ranks = nodes.select($"src".as("node"), lit(1000000000000L).as("r"))
@@ -180,7 +180,7 @@ object Graph {
     */
   def qGraphKhop(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = custSuppEdges(s, dir).cache()
+    val edges = custSuppEdges(s, dir).transform(core.cached)
     val seeds = edges.select($"src".as("node")).distinct()
       .filter($"node" % 2 === 1 && expr("node DIV 2") < 3)
     var d = seeds.select($"node", lit(0).cast("int").as("dist"))

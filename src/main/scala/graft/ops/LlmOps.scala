@@ -52,7 +52,7 @@ object LlmOps {
     // cached: tf feeds both the df aggregation and the scoring join —
     // uncached, the whole explode→groupBy lineage runs twice
     val tf = words(s, dir).groupBy($"doc_id", $"word")
-      .agg(count(lit(1)).as("tf")).cache()
+      .agg(count(lit(1)).as("tf")).transform(core.cached)
     val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id")
       .orderBy($"score".desc, $"word".asc)
@@ -181,7 +181,7 @@ object LlmOps {
     */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = minhashSignatures(t(s, dir, "documents")).cache()
+    val sig = minhashSignatures(t(s, dir, "documents")).transform(core.cached)
     val cand = minhashCandidatePairs(sig)
     val eq = (0 until MinhashSeeds)
       .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))

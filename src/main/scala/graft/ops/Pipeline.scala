@@ -58,7 +58,7 @@ object Pipeline {
     val s = docs.sparkSession
     import s.implicits._
     val losers = LlmOps.minhashCandidatePairs(
-        LlmOps.minhashSignatures(docs).cache())
+        LlmOps.minhashSignatures(docs).transform(core.cached))
       .select($"b_id".as("doc_id")).distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
   }

@@ -585,7 +585,7 @@ object Relational {
       .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
       .distinct()
     pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
-      .cache()
+      .transform(core.cached)
       .createOrReplaceTempView(s"sqlr_edges_$tag")
     s.sql(s"""
       WITH RECURSIVE walk(node, dist) AS (

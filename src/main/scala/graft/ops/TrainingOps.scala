@@ -27,7 +27,7 @@ object TrainingOps {
     // cached: the exploded token table feeds both the profile build
     // and the scoring join — without this the explode runs twice
     // (6.1 s on the driver's local[32] in r1)
-    val w = words(s, dir).cache()
+    val w = words(s, dir).transform(core.cached)
     val topW = Window.partitionBy($"lang").orderBy($"cnt".desc, $"word".asc)
     val profile = w.groupBy($"lang", $"word").agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(topW))
@@ -126,7 +126,7 @@ object TrainingOps {
 
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    simhashPairsBanded(simhashSignatures(t(s, dir, "documents")).cache())
+    simhashPairsBanded(simhashSignatures(t(s, dir, "documents")).transform(core.cached))
   }
 
   /** Banded Hamming-≤4 pairs: equi-join on (lang, band, band-bits)
@@ -206,7 +206,7 @@ object TrainingOps {
     // cached: kept feeds sizes + both sides of the candidate
     // self-join — three recomputes of scan→explode→anti otherwise
     val kept = big.join(broadcast(hot), Seq("lang", "source", "bigram"),
-      "left_anti").cache()
+      "left_anti").transform(core.cached)
     val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     val inter = kept.as("a").join(kept.as("b"),
         $"a.bigram" === $"b.bigram" && $"a.lang" === $"b.lang" &&
@@ -262,7 +262,7 @@ object TrainingOps {
     val e = edges.localCheckpoint()
     val und = e
       .union(e.select($"b_id".as("a_id"), $"a_id".as("b_id")))
-      .toDF("x", "y").cache()
+      .toDF("x", "y").transform(core.cached)
     var labels = und.select($"x".as("node")).distinct()
       .withColumn("comp", $"node").localCheckpoint()
     var converged = false
@@ -443,7 +443,7 @@ object TrainingOps {
       .withColumn("arn", row_number().over(assignW))
       .filter($"arn" === 1)
       .select($"cent_id", $"vec_id", $"emb", $"nrm")
-      .cache()
+      .transform(core.cached)
     val a = assigned.select($"cent_id", $"vec_id".as("a_id"),
       $"emb".as("a_emb"), $"nrm".as("a_nrm"))
     val b = assigned.select($"cent_id".as("c2"), $"vec_id".as("b_id"),
