@@ -88,8 +88,52 @@ object Storage {
       .orderBy(col("event_type"))
   }
 
+  /** Write (once) a two-generation parquet dir: generation 1 files
+    * lack the `quality_c` column that generation 2 adds — the shape a
+    * recurring-ingest table takes the week a new scoring stage ships.
+    * Generations split deterministically on doc_id parity so the
+    * oracle can recompute from the unevolved source table.
+    */
+  def evolvedDir(s: SparkSession, dir: String): String =
+    written.computeIfAbsent(dir + "#evo", _ => {
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_schema_evo-" + dir.replaceAll("[^A-Za-z0-9.-]", "_"))
+        .getAbsolutePath
+      val docs = core.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("overwrite").parquet(base)
+      docs.filter(col("doc_id") % 2 === 1)
+        .withColumn("quality_c", (col("n_chars") % 997).cast("long"))
+        .coalesce(1).write.mode("append").parquet(base)
+      base
+    })
+
+  /** Read across the evolution boundary with `mergeSchema` (footer
+    * union — fine at fixture scale) and aggregate per lang; pre-
+    * evolution rows surface `quality_c` as NULL, which null-skipping
+    * `count`/`sum` handle exactly. 100 TB posture (pinned in
+    * SchemaEvolutionSpec): mergeSchema is an O(files) footer sweep —
+    * a production table supplies ONE explicit unified schema via
+    * `read.schema(...)`, which Spark applies by name with nulls for
+    * absent columns; both reads are asserted identical. All outputs
+    * are exact integers — no double summation across the boundary.
+    */
+  def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val evolved = s.read.option("mergeSchema", "true")
+      .parquet(evolvedDir(s, dir))
+    evolved.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("quality_c")).as("n_evolved"),
+        sum(col("quality_c")).as("sum_q"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_part_layout" -> (qPartLayout _))
+    "q_part_layout" -> (qPartLayout _),
+    "q_schema_evolution" -> (qSchemaEvolution _))
 
   val oracle: Map[String, String] = Map(
     "q_part_layout" ->
@@ -102,5 +146,16 @@ object Storage {
         |SELECT event_type, count(*) AS n,
         |  CAST(sum(v_c) AS BIGINT) AS sum_c,
         |  count(DISTINCT event_date) AS n_days
-        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_schema_evolution" ->
+      """WITH evo AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN doc_id % 2 = 1
+        |         THEN CAST(n_chars % 997 AS BIGINT) END AS quality_c
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(quality_c) AS n_evolved,
+        |  CAST(sum(quality_c) AS BIGINT) AS sum_q,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM evo GROUP BY lang ORDER BY lang""".stripMargin)
 }

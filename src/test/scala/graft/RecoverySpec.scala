@@ -47,6 +47,63 @@ class RecoverySpec extends SparkSuite {
     assert(n == 3, s"restart lost window state: got $n of 3 events")
   }
 
+  /** Stage a single-file parquet batch into the watched ingest dir —
+    * the shape a parquet-native shop's drop-directory actually takes
+    * (each arriving file is one source micro-batch candidate).
+    */
+  private def addFile(watch: String, rows: Seq[(Long, String, Double)]): Unit = {
+    val s = spark
+    import s.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    rows.toDF("user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(watch, s"${System.nanoTime()}.parquet"))
+  }
+
+  test("file-stream ingest: source offsets grow across a checkpointed restart, exactly once") {
+    val s = spark
+    import s.implicits._
+    val watch = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt").toString
+    val schema = "user_id LONG, event_type STRING, value DOUBLE"
+    def counts(sink: String) = spark.readStream.schema(schema).parquet(watch)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName(sink).start()
+
+    // batch 1: two files BEFORE the first start (one initial micro-batch)
+    addFile(watch, Seq((1L, "click", 1.0), (2L, "click", 2.0)))
+    addFile(watch, Seq((3L, "view", 4.0)))
+    val q1 = counts("ingest1")
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.table("ingest1").filter($"event_type" === "click")
+      .head().getLong(1) == 2)
+
+    // batch 2: a file added while NO query is running; the restarted
+    // query must pick it up from the committed source offsets WITHOUT
+    // re-reading (and double-counting) the first two files
+    addFile(watch, Seq((4L, "click", 8.0)))
+    val q2 = counts("ingest2")
+    q2.processAllAvailable()
+    // batch 3: a file arriving while the restarted query is live
+    addFile(watch, Seq((5L, "click", 16.0), (6L, "view", 32.0)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val out = spark.table("ingest2").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // exactly-once: any re-read of batch-1 files would double click's
+    // count to >4 / view's sum past 36; any lost file would undershoot
+    assert(out("click") == ((4L, 27.0)), s"click got ${out("click")}")
+    assert(out("view") == ((2L, 36.0)), s"view got ${out("view")}")
+  }
+
   test("rate source streams rows without any external system") {
     import spark.implicits._
     val rate = spark.readStream.format("rate")
