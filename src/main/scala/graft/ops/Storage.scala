@@ -131,9 +131,155 @@ object Storage {
       .orderBy(col("lang"))
   }
 
+  /** Write (once) bucketed copies of orders and lineitem: 8 buckets on
+    * the join key, `sortBy` the same key, `repartition(8, key)` first
+    * so each bucket is exactly ONE file (Spark trusts `sortBy` only
+    * then — multi-file buckets force a re-sort). Registered in a
+    * dedicated database whose LOCATION lives under tmpdir, so the
+    * layout works regardless of the session's warehouse conf.
+    *
+    * This is the co-located-join layout: at 100 TB, bucketing both
+    * fact tables on the join key at write time removes the per-query
+    * shuffle entirely — the join (and any aggregation keyed on the
+    * same column) runs exchange-free forever after. BucketedJoinSpec
+    * asserts the sort-merge plan has ZERO exchanges below the join.
+    */
+  def bucketedDb(s: SparkSession, dir: String): String =
+    written.computeIfAbsent(dir + "#bkt", _ => {
+      val db = "graft_bkt" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val loc = new java.io.File(
+        System.getProperty("java.io.tmpdir"), db).getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      // a previous JVM may have left the managed locations behind with
+      // no entry in THIS session's in-memory catalog — CTAS refuses an
+      // existing location, so drop both ways before writing
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      for (t <- Seq("orders_b", "lineitem_b")) {
+        s.sql(s"DROP TABLE IF EXISTS $db.$t")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$loc/$t"), true)
+      }
+      core.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .repartition(8, col("o_orderkey"))
+        .write.format("parquet").mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"$db.orders_b")
+      core.t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .repartition(8, col("l_orderkey"))
+        .write.format("parquet").mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"$db.lineitem_b")
+      db
+    })
+
+  /** Large–large equi-join + same-key aggregation over the bucketed
+    * copies: scan (bucketed, pre-sorted) → join → groupBy(l_orderkey)
+    * all inherit HashPartitioning(orderkey, 8) from the layout — the
+    * only exchange in the whole plan is the final presentation sort.
+    * Oracle recomputes from the original single-file tables, so the
+    * pass also proves the bucketed copy is content-faithful.
+    */
+  def qJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val db = bucketedDb(s, dir)
+    s.table(s"$db.lineitem_b")
+      .join(s.table(s"$db.orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(core.cents(col("l_extendedprice"))).as("rev_c"),
+        max(core.cents(col("o_totalprice"))).as("total_c"))
+      .filter(col("l_orderkey") % 100 === 0)
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** CDC MERGE (upsert + delete) applied as ONE key-shuffle: snapshot
+    * and changeset union with a version tag, `row_number` over
+    * (key, version DESC) keeps the newest image per key, deletes drop.
+    * The changeset here is derived deterministically FROM the snapshot
+    * (updates: key ≡ 0 mod 10; deletes: key ≡ 3 mod 17, winning over
+    * update; inserts: key ≡ 7 mod 100 re-keyed +10⁷) so the oracle can
+    * reconstruct it — in production it arrives as its own table and
+    * the same plan applies: this is the merge-on-read compaction shape
+    * (one sort-shuffle on the key, no driver involvement), the daily
+    * primitive of every mutable 100 TB table.
+    */
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val snap = core.t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        core.cents(col("o_totalprice")).as("total_c"))
+    val upd = snap
+      .filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") % 17 =!= 3)
+      .select(col("o_orderkey"), lit("F").as("o_orderstatus"),
+        (col("total_c") + 500).as("total_c"), lit("U").as("op"))
+    val del = snap.filter(col("o_orderkey") % 17 === 3)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("total_c"),
+        lit("D").as("op"))
+    val ins = snap.filter(col("o_orderkey") % 100 === 7)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        lit("O").as("o_orderstatus"),
+        (col("o_orderkey") % 9973 * 100).as("total_c"), lit("I").as("op"))
+    val all = snap.withColumn("op", lit("S")).withColumn("v", lit(0))
+      .unionByName(upd.union(del).union(ins).withColumn("v", lit(1)))
+    val merged = all
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_orderkey")).orderBy(col("v").desc)))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+    merged.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("total_c")).as("sum_c"),
+        sum(when(col("o_orderkey") >= 10000000L, 1L).otherwise(0L))
+          .as("n_inserted"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Small-file compaction — the other half of layout governance
+    * (`q_part_layout` writes well, this REPAIRS a table written
+    * badly): a 64-file copy of events is compacted to
+    * ceil(bytes / target) output files, target sized from the ACTUAL
+    * byte census of the small tree (fixture target 1 MiB standing in
+    * for the production 128 MiB). Returns the compacted root; the
+    * registered key aggregates from the compacted copy against an
+    * oracle on the original table, proving content fidelity.
+    */
+  def compactedDir(s: SparkSession, dir: String): String =
+    written.computeIfAbsent(dir + "#cmp", _ => {
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_compact-" + dir.replaceAll("[^A-Za-z0-9.-]", "_"))
+        .getAbsolutePath
+      core.events(s, dir).repartition(64)
+        .write.mode("overwrite").parquet(s"$base/small")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val bytes = fs
+        .listStatus(new org.apache.hadoop.fs.Path(s"$base/small"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+      val nOut = math.max(1, math.ceil(bytes / (1024.0 * 1024)).toInt)
+      s.read.parquet(s"$base/small").repartition(nOut)
+        .write.mode("overwrite").parquet(s"$base/compact")
+      base
+    })
+
+  def qCompactFiles(s: SparkSession, dir: String): DataFrame = {
+    val base = compactedDir(s, dir)
+    s.read.parquet(s"$base/compact")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(core.cents(col("value"))).as("sum_c"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_part_layout" -> (qPartLayout _),
-    "q_schema_evolution" -> (qSchemaEvolution _))
+    "q_schema_evolution" -> (qSchemaEvolution _),
+    "q_join_bucketed" -> (qJoinBucketed _),
+    "q_merge_upsert" -> (qMergeUpsert _),
+    "q_compact_files" -> (qCompactFiles _))
 
   val oracle: Map[String, String] = Map(
     "q_part_layout" ->
@@ -157,5 +303,38 @@ object Storage {
         |  count(quality_c) AS n_evolved,
         |  CAST(sum(quality_c) AS BIGINT) AS sum_q,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM evo GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM evo GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_join_bucketed" ->
+      """SELECT l_orderkey, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS rev_c,
+        |  CAST(max(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS total_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey HAVING l_orderkey % 100 = 0
+        |ORDER BY l_orderkey""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS total_c
+        |  FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderstatus, total_c FROM snap
+        |  WHERE o_orderkey % 10 <> 0 AND o_orderkey % 17 <> 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'F', total_c + 500 FROM snap
+        |  WHERE o_orderkey % 10 = 0 AND o_orderkey % 17 <> 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'O', (o_orderkey % 9973) * 100
+        |  FROM snap WHERE o_orderkey % 100 = 7)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(total_c) AS BIGINT) AS sum_c,
+        |  CAST(sum(CASE WHEN o_orderkey >= 10000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_inserted
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_compact_files" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

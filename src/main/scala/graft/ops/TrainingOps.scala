@@ -376,17 +376,38 @@ object TrainingOps {
       .orderBy($"a_id", $"b_id")
   }
 
-  /** Sign-LSH bucketed ANN: bucket key = sign pattern of the first 8
-    * components (axis-aligned hyperplanes — deterministic, no RNG);
-    * exact top-3 by cosine *within* the bucket. The scale path: the
-    * O(n²) pair join becomes an equi-join on bucket, shuffle-friendly
-    * and skew-bounded. Recall vs brute force is measured in the spec.
+  /** Sign-LSH bucket width for [[qSimAnnLsh]]: the smallest w with
+    * 2^w · target ≥ n, i.e. the bit length of ceil(n/target) − 1.
+    * A FIXED width is quadratic in disguise — Σbucket² = n²/2^w —
+    * and the r5 ScaleProbeSf1 measured exactly that (exponent 1.25 at
+    * w = 8 fixed, 64 s at 20 k vectors). Growing w with log n keeps
+    * E[bucket] ≈ target, so candidate volume stays ≈ n · target.
+    * The driver-side count is stats-class metadata (the
+    * `ntileRangePartitioned` precedent); the oracle recomputes the
+    * identical integer math from count(*) via bin()/`//`.
+    */
+  private def lshWidth(n: Long, target: Long = 64L): Int = {
+    val m = (n + target - 1) / target
+    if (m <= 1) 0
+    else math.min(64 - java.lang.Long.numberOfLeadingZeros(m - 1), 32)
+  }
+
+  /** Sign-LSH bucketed ANN: bucket key = sign pattern of the first
+    * [[lshWidth]](n) components (axis-aligned hyperplanes —
+    * deterministic, no RNG; width grows with log n so buckets stay
+    * ≈ 64 vectors at ANY n); exact top-3 by cosine *within* the
+    * bucket. The scale path: the O(n²) pair join becomes an equi-join
+    * on bucket, shuffle-friendly and skew-bounded, with Σbucket² ≈
+    * 64 · n by construction. Recall vs brute force is measured in the
+    * spec.
     */
   def qSimAnnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = LlmOps.normed(s, dir)
+    val e0 = core.cached(LlmOps.normed(s, dir))
+    val width = lshWidth(e0.count())
+    val e = e0
       .withColumn("bucket",
-        expr("""aggregate(slice(emb, 1, 8), 0L,
+        expr(s"""aggregate(slice(emb, 1, $width), 0L,
                 (acc, x) -> acc * 2 + CASE WHEN x >= 0 THEN 1 ELSE 0 END)"""))
     val a = e.select($"bucket", $"vec_id".as("a_id"), $"emb".as("a_emb"),
       $"nrm".as("a_nrm"))
@@ -407,29 +428,36 @@ object TrainingOps {
   }
 
   /** IVF-flat ANN, the second scale path beside [[qSimAnnLsh]]'s
-    * sign-LSH: 16 coarse centroids chosen deterministically (the
-    * vectors with the smallest md5(vec_id) — a hash-ranked sample, no
-    * RNG, no k-means iterations so both engines agree exactly), every
-    * vector assigned to its nearest centroid by raw cosine (argmin via
-    * deterministic rank), then exact top-3 by cosine WITHIN the cell
-    * (nprobe=1). Fully relational ⇒ fully oracle-checkable. At scale:
-    * the assignment is a broadcast join (centroid count ≪ n) and the
-    * pair space collapses from n² to Σ cell² — same shuffle shape as
-    * the LSH op, but data-adaptive cells instead of fixed hyperplanes.
+    * sign-LSH: max(16, ⌈√n⌉) coarse centroids chosen deterministically
+    * (the vectors with the smallest md5(vec_id) — a hash-ranked
+    * sample, no RNG, no k-means iterations so both engines agree
+    * exactly), every vector assigned to its nearest centroid by raw
+    * cosine (argmin via deterministic rank), then exact top-3 by
+    * cosine WITHIN the cell (nprobe=1). √n cells is the classic IVF
+    * balance point: assignment work n·√n, pair work Σcell² ≈ n·√n —
+    * a FIXED cell count is n²/c quadratic, measured as exponent 1.11
+    * trending up in the r5 ScaleProbeSf1. ⌈√n⌉ is cross-engine exact
+    * (IEEE sqrt is correctly rounded; n < 2⁵³). Fully relational ⇒
+    * fully oracle-checkable. At scale: the assignment is a broadcast
+    * join (centroid count ≪ n) and the pair space collapses from n²
+    * to Σ cell² — same shuffle shape as the LSH op, but data-adaptive
+    * cells instead of fixed hyperplanes.
     */
   def qSimAnnIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.DotProduct.dot
-    val e = LlmOps.normed(s, dir)
+    val e = core.cached(LlmOps.normed(s, dir))
+    val nCells = math.max(16L,
+      math.ceil(math.sqrt(e.count().toDouble)).toLong).toInt
     // orderBy+limit compiles to TakeOrderedAndProject — each task
-    // keeps its local top-16 and only 16·partitions rows reach the
+    // keeps its local top-√n and only √n·partitions rows reach the
     // driver-side merge, unlike a global row_number window which
-    // would funnel ALL vectors through one task; the 16-row window
+    // would funnel ALL vectors through one task; the √n-row window
     // after the limit is trivially cheap
     val seedW = Window.orderBy($"seed_rank", $"vec_id")
     val cents = e
       .withColumn("seed_rank", md5(concat(lit("ivf"), $"vec_id".cast("string"))))
-      .orderBy($"seed_rank", $"vec_id").limit(16)
+      .orderBy($"seed_rank", $"vec_id").limit(nCells)
       .withColumn("cent_id", row_number().over(seedW))
       .select($"cent_id", $"emb".as("c_emb"), $"nrm".as("c_nrm"))
     val assignW = Window.partitionBy($"vec_id")
@@ -758,11 +786,16 @@ object TrainingOps {
     "q_sim_ann_lsh" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |p AS (
+        |  SELECT CASE WHEN m <= 1 THEN 0
+        |         ELSE least(length(bin(m - 1)), 32) END AS w
+        |  FROM (SELECT (count(*) + 63) // 64 AS m FROM e) t),
         |n AS (
         |  SELECT vec_id, emb,
         |    sqrt(list_reduce(list_prepend(0.0,
         |      list_transform(emb, x -> x * x)), (a, x) -> a + x)) AS nrm,
-        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), emb[1:8]),
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_slice(emb, 1, (SELECT w FROM p))),
         |      (acc, x) -> acc * 2 + CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
         |  FROM e),
         |pairs AS (
@@ -785,13 +818,16 @@ object TrainingOps {
         |    sqrt(list_reduce(list_prepend(0.0,
         |      list_transform(emb, x -> x * x)), (a, x) -> a + x)) AS nrm
         |  FROM e),
+        |p AS (
+        |  SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c
+        |  FROM e),
         |cents AS (
         |  SELECT crn AS cent_id, emb AS c_emb, nrm AS c_nrm FROM (
         |    SELECT *, row_number() OVER (
         |      ORDER BY md5(concat('ivf', CAST(vec_id AS VARCHAR))), vec_id)
         |      AS crn
         |    FROM n)
-        |  WHERE crn <= 16),
+        |  WHERE crn <= (SELECT c FROM p)),
         |scored AS (
         |  SELECT n.vec_id, n.emb, n.nrm, c.cent_id,
         |    list_reduce(list_prepend(0.0,

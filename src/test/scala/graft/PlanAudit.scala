@@ -37,7 +37,10 @@ object PlanAudit {
     "q_embed_pq", "q_dedup_semantic", "q_rag_chunk", "q_zorder_layout",
     "q_graph_cooccur", "q_sim_ann_pq", "q_scd2_intervals",
     "q_sample_fixed", "q_graph_khop", "q_sql_recursive", "q_ts_interp",
-    "q_agg_gini")
+    "q_agg_gini",
+    // round-5 additions
+    "q_part_layout", "q_schema_evolution",
+    "q_join_bucketed", "q_merge_upsert", "q_compact_files")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")

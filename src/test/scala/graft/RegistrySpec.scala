@@ -10,6 +10,7 @@ class RegistrySpec extends SparkSuite {
     // §2.1 scans
     "q_scan_full", "q_scan_pruned", "q_scan_count", "q_scan_pushdown",
     "q_part_layout", "q_schema_evolution",
+    "q_join_bucketed", "q_merge_upsert", "q_compact_files",
     // §2.2 project/filter
     "q_project_arith", "q_filter_pred", "q_filter_null3vl", "q_filter_subquery",
     "q_sql_text", "q_sql_recursive",

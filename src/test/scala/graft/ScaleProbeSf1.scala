@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf0.1 → sf1 scaling probe for the heaviest key families
+  * (VERDICT r4 ask #7): generates synthetic fixtures with sf0.1's
+  * schema and row counts at scale S = 1 and S = 10 (≈ sf1), runs the
+  * dedup / ANN / graph keys through their REAL SparkEntry entry
+  * points on each, and prints the measured scaling exponent
+  * log10(t₁₀/t₁) per key — ~1 means linear, ~2 quadratic. Update
+  * SCALING.md's table from the output:
+  *
+  *   sbt "Test/runMain graft.ScaleProbeSf1"
+  *
+  * Generation is deterministic (hash-derived, no rand()) and mirrors
+  * the structure the ops exploit: documents arrive in near-dup
+  * clusters of 10 (53 of 54 tokens shared — the candidate-pair load
+  * is REAL, not the random-text case where blocking is vacuous) over
+  * a Zipf-ish vocabulary (1/3 of tokens from 30 hot words);
+  * embeddings are clustered (50/centre + deterministic jitter), the
+  * structure IVF/LSH/SemDeDup block on. The O(n²)-by-declared-
+  * semantics keys (q_sim_cosine_topk and friends) are intentionally
+  * absent — their scale path IS the ANN family probed here.
+  */
+object ScaleProbeSf1 {
+
+  private def synDir(spark: SparkSession, scale: Int): String = {
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_sfsyn_$scale")
+    val done = new java.io.File(base, "_DONE")
+    if (done.exists()) return base.getAbsolutePath
+    val nDocs = 5000L * scale
+    val nVecs = 2000L * scale
+    val nOrders = 150000L * scale
+    val nLines = 600000L * scale
+    val nCust = 15000L * scale
+    val nSupp = 1000L * scale
+
+    // documents: clusters of 10 share lang/source and 53/54 tokens
+    spark.range(0, nDocs).select(col("id").as("doc_id"))
+      .withColumn("base", col("doc_id") % (nDocs / 10))
+      .withColumn("lang",
+        element_at(array(Seq("de", "en", "es", "fr", "zh").map(lit): _*),
+          pmod(col("base"), lit(5)).cast("int") + 1))
+      .withColumn("source",
+        concat(lit("src"), pmod(col("base"), lit(20))))
+      .withColumn("text", concat_ws(" ",
+        concat(lit("u"), col("doc_id")) +:
+          (1 to 53).map { i =>
+            val h = pmod(hash(col("base") * 101 + lit(i * 7)), lit(3000))
+            concat(lit("w"), when(pmod(h, lit(3)) === 0,
+              pmod(h, lit(30))).otherwise(h))
+          }: _*))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "lang", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+
+    // embeddings: 64-dim float32, 50 vectors per centre + jitter.
+    // CENTERED components (±0.5 centre, ±0.01 jitter) matching the
+    // real fixtures' distribution (measured ±0.33, mean ≈ 0): with
+    // all-positive components every cosine is ≥ ~0.75 and ANY
+    // threshold-pair op is output-quadratic BY SEMANTICS — the probe
+    // must model the sparse regime where blocking is the claim.
+    spark.range(0, nVecs).select(col("id").as("vec_id"))
+      .withColumn("c", col("vec_id") % (nVecs / 50))
+      .withColumn("label", pmod(hash(col("c")), lit(10)).cast("int"))
+      .withColumn("embedding", expr(
+        "transform(sequence(1, 64), d -> CAST(" +
+          "(pmod(hash(c * 131 + d), 1000) / 1000.0 - 0.5) + " +
+          "(pmod(hash(vec_id * 17 + d), 100) / 5000.0 - 0.01) AS FLOAT))"))
+      .select("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+
+    // orders / lineitem: 4 lines per order, hash-spread cust/supp keys
+    spark.range(0, nOrders)
+      .select((col("id") + 1).as("o_orderkey"),
+        (pmod(hash(col("id") * 31), lit(nCust)) + 1).as("o_custkey"))
+      .write.mode("overwrite").parquet(s"$base/orders.parquet")
+    spark.range(0, nLines)
+      .select(expr("id DIV 4 + 1").as("l_orderkey"),
+        (pmod(hash(col("id") * 13), lit(nSupp)) + 1).as("l_suppkey"))
+      .write.mode("overwrite").parquet(s"$base/lineitem.parquet")
+
+    done.createNewFile()
+    base.getAbsolutePath
+  }
+
+  private val Keys = Seq(
+    "q_dedup_ngram", "q_dedup_minhash",
+    "q_sim_ann_lsh", "q_sim_ann_ivf",
+    "q_dedup_embed_lsh", "q_dedup_semantic",
+    "q_graph_khop", "q_graph_cooccur", "q_sql_recursive",
+    "q_text_tfidf")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(dir: String, key: String): (Double, Long) = {
+      var n = 0L
+      val t0 = System.nanoTime()
+      ops.core.withCaches(spark) {
+        n = SparkEntry.queries(key)(spark, dir).count()
+      }
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val d1 = synDir(spark, 1)
+    val d10 = synDir(spark, 10)
+    // one untimed warmup key so codegen/classload lands outside t₁
+    run(d1, "q_text_tfidf")
+    println(f"${"key"}%-20s ${"t_1x"}%8s ${"t_10x"}%8s  exponent  rows_1x/10x")
+    for (k <- Keys) {
+      val (t1, n1) = run(d1, k)
+      val (t10, n10) = run(d10, k)
+      val exp = math.log10(t10 / t1)
+      println(f"$k%-20s $t1%7.1fs $t10%7.1fs  $exp%.2f      $n1%d/$n10%d")
+    }
+    spark.stop()
+  }
+}
