@@ -100,6 +100,41 @@ class StorageLayoutSpec extends SparkSuite {
     assert(viaLayout == direct)
   }
 
+  test("runtime bloom-filter injection prunes the fact side of a selective join") {
+    // the row-level sibling of DPP: a selective dim filter is turned
+    // into a bloom filter evaluated on the FACT scan before the join
+    // shuffle — at 100 TB this is what keeps a dim-filtered fact join
+    // from shuffling rows the join will drop anyway. Default
+    // thresholds target real sizes (application side ≥ 10 GB), so the
+    // test lowers them to fixture scale; semantics must be unchanged.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    def joined = {
+      val o = core.t(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      core.t(spark, sf, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(core.cents(col("l_quantity"))).as("q_c"))
+        .orderBy(col("l_returnflag"))
+    }
+    val expected = joined.collect().toSeq // default confs: no runtime filter
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = joined
+      val txt = finalPlan(df)
+      assert(txt.contains("might_contain"),
+        s"expected a bloom-filter runtime filter on the fact scan in:\n$txt")
+      assert(df.collect().toSeq == expected,
+        "runtime filtering must not change results")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val orders = core.t(spark, sf, "orders")
