@@ -151,6 +151,77 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
+  /** Incremental-ingest dedup: flag new-batch documents whose
+    * leading-8-token fingerprint already exists in the historical
+    * corpus (doc_id parity stands in for the arrival boundary), using
+    * a DISTRIBUTED bloom filter of the history as the prefilter and
+    * an exact semi-join recheck of only the bloom candidates.
+    *
+    * The mechanism is the point: `bloom_filter_agg` summarizes the
+    * history into a mergeable O(bytes) sketch built map-side (never
+    * shuffling history rows), the sketch broadcasts to the batch scan
+    * where `BloomFilterMightContain` drops definite-new rows BEFORE
+    * any join shuffle, and only candidates (true dups + the bloom's
+    * false positives) pay the exact recheck join — so the output is
+    * EXACT and oracle-checkable while the bloom only buys the prune.
+    * This is the daily-ingest shape: yesterday's corpus is summarized
+    * once, each new shard probes locally. At 100 TB of history the
+    * single broadcast bloom becomes hash-range-sharded blooms (or the
+    * reference slice that matters — the contamination key's eval-set
+    * pattern); the plan shape is unchanged. FP-rate sanity and the
+    * candidates ⊇ dups containment are pinned in CorpusSpec.
+    */
+  /** `bloom_filter_agg(xxhash64(c), items, bits)` as a Column —
+    * `BloomFilterAggregate` powers Spark's own runtime join filters
+    * but is not in the public SQL registry, so it surfaces through
+    * GraftBridge like the other internal expressions.
+    */
+  def bloomAggOf(c: org.apache.spark.sql.Column,
+      items: Long, bits: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    GraftBridge.column(new BloomFilterAggregate(
+      GraftBridge.expression(xxhash64(c)),
+      Literal(items), Literal(bits)).toAggregateExpression())
+  }
+
+  /** `might_contain(<scalar-subquery bloom>, xxhash64(c))` as a
+    * Column. `might_contain` only accepts a constant or scalar
+    * subquery for the filter side (the shape `InjectRuntimeFilter`
+    * itself builds), so the 1-row bloom frame rides in as a
+    * `ScalarSubquery` — planned once, broadcast to every probe task.
+    */
+  def bloomProbeOf(bloom: DataFrame,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+    GraftBridge.column(new BloomFilterMightContain(
+      ScalarSubquery(bloom.queryExecution.analyzed),
+      GraftBridge.expression(xxhash64(c))))
+  }
+
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        array_join(slice(split($"text", " "), 1, 8), " ").as("pfx"))
+    val hist = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    val bloom = hist.agg(bloomAggOf($"pfx", 50000L, 400000L).as("bf"))
+    val cand = batch.filter(bloomProbeOf(bloom, $"pfx"))
+      .select($"doc_id", $"pfx")
+    val dupIds = cand
+      .join(hist.select($"pfx"), Seq("pfx"), "left_semi")
+      .select($"doc_id")
+    batch.join(dupIds.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_new"),
+        sum(coalesce($"is_dup", lit(0L))).as("n_dup"))
+      .withColumn("n_uniq", $"n_new" - $"n_dup")
+      .orderBy($"lang")
+  }
+
   /** Deterministic stratified corpus rebalance: per-language keep
     * rates (downsample the dominant language, keep more of the rare
     * ones) applied through the same md5 content-hash bucket as
@@ -490,7 +561,8 @@ object Corpus {
     "q_text_perplexity" -> (qTextPerplexity _),
     "q_text_bpe" -> (qTextBpe _),
     "q_text_bpe_apply" -> (qTextBpeApply _),
-    "q_drift_kl" -> (qDriftKl _))
+    "q_drift_kl" -> (qDriftKl _),
+    "q_dedup_incremental" -> (qDedupIncremental _))
 
   /** One BPE merge step as oracle CTEs: pair counts from sPrev,
     * best pair bN, merged symbols sN.
@@ -510,6 +582,21 @@ object Corpus {
        |  FROM $sPrev, $b b)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    array_to_string((string_split(text, ' '))[1:8], ' ') AS pfx
+        |  FROM documents),
+        |hist AS (SELECT pfx FROM d WHERE doc_id % 2 = 0),
+        |flag AS (
+        |  SELECT b.lang,
+        |    CASE WHEN EXISTS (SELECT 1 FROM hist h WHERE h.pfx = b.pfx)
+        |         THEN 1 ELSE 0 END AS is_dup
+        |  FROM d b WHERE b.doc_id % 2 = 1)
+        |SELECT lang, count(*) AS n_new,
+        |  CAST(sum(is_dup) AS BIGINT) AS n_dup,
+        |  CAST(count(*) - sum(is_dup) AS BIGINT) AS n_uniq
+        |FROM flag GROUP BY lang ORDER BY lang""".stripMargin,
     "q_rag_chunk" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS a,

@@ -290,4 +290,28 @@ class CorpusSpec extends SparkSuite {
       assert(df.filter($"rk" < 1 || $"rk" > 3).count() == 0)
     } finally df.unpersist()
   }
+
+  test("incremental dedup: bloom candidates contain every true dup and prune the batch") {
+    val docs = ops.core.t(spark, sf, "documents")
+      .select($"doc_id",
+        array_join(slice(split($"text", " "), 1, 8), " ").as("pfx"))
+    val hist = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    val bloom = hist.agg(ops.Corpus.bloomAggOf($"pfx", 50000L, 400000L).as("bf"))
+    val candIds = batch.filter(ops.Corpus.bloomProbeOf(bloom, $"pfx"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val trueDups = batch.join(hist.select($"pfx"), Seq("pfx"), "left_semi")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // no false negatives, ever (bloom guarantee)
+    assert(trueDups.subsetOf(candIds),
+      s"bloom missed dups: ${(trueDups -- candIds).take(5)}")
+    // the prefilter must actually prune: candidates << batch
+    val nBatch = batch.count()
+    assert(candIds.size < nBatch / 2,
+      s"bloom pruned nothing: ${candIds.size} of $nBatch")
+    // the registered key's totals agree with a direct recomputation
+    val out = ops.Corpus.qDedupIncremental(spark, sf)
+      .agg(sum($"n_new"), sum($"n_dup")).collect()(0)
+    assert(out.getLong(0) == nBatch && out.getLong(1) == trueDups.size)
+  }
 }

@@ -64,7 +64,7 @@ class RegistrySpec extends SparkSuite {
     "q_dedup_embed_lsh", "q_pipeline_e2e",
     "q_text_repetition", "q_dedup_chunk", "q_text_lang_keywords",
     "q_text_contamination", "q_sample_stratified", "q_text_perplexity",
-    "q_text_bpe", "q_text_bpe_apply", "q_drift_kl",
+    "q_text_bpe", "q_text_bpe_apply", "q_drift_kl", "q_dedup_incremental",
     "q_graph_pagerank", "q_graph_degree", "q_ml_kmeans", "q_ml_cluster_prune",
     "q_pack_sequences", "q_mix_weights", "q_embed_pq", "q_dedup_semantic",
     "q_rag_chunk", "q_graph_cooccur", "q_sim_ann_pq",
