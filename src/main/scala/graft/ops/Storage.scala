@@ -205,8 +205,24 @@ object Storage {
     * (one sort-shuffle on the key, no driver involvement), the daily
     * primitive of every mutable 100 TB table.
     */
-  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+  /** The merge core, shared by the batch key and the streaming
+    * foreachBatch upsert (StreamingMergeSpec): newest image per key
+    * wins (changes outrank the snapshot), `op = "D"` rows drop.
+    * `snap` columns: (o_orderkey, o_orderstatus, total_c);
+    * `changes` adds `op` ∈ {U, D, I}. ONE key-shuffle total.
+    */
+  def mergeChanges(snap: DataFrame, changes: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val all = snap.withColumn("op", lit("S")).withColumn("v", lit(0))
+      .unionByName(changes.withColumn("v", lit(1)))
+    all
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_orderkey")).orderBy(col("v").desc)))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("total_c"))
+  }
+
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
     val snap = core.t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"),
         core.cents(col("o_totalprice")).as("total_c"))
@@ -221,12 +237,7 @@ object Storage {
       .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
         lit("O").as("o_orderstatus"),
         (col("o_orderkey") % 9973 * 100).as("total_c"), lit("I").as("op"))
-    val all = snap.withColumn("op", lit("S")).withColumn("v", lit(0))
-      .unionByName(upd.union(del).union(ins).withColumn("v", lit(1)))
-    val merged = all
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("o_orderkey")).orderBy(col("v").desc)))
-      .filter(col("rn") === 1 && col("op") =!= "D")
+    val merged = mergeChanges(snap, upd.union(del).union(ins))
     merged.groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         sum(col("total_c")).as("sum_c"),
