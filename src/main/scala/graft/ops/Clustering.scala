@@ -297,8 +297,15 @@ object Clustering {
     val e = t(s, dir, "embeddings")
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    // k grows with the corpus (max(8, ceil(sqrt n)) — the IVF balance:
+    // assignment n·k vs pair work Σ(2·cell)² ≈ 4n²/k; a FIXED k is the
+    // n²/k quadratic ScaleProbeSf1 exposed in the ANN family, r5).
+    // Driver-side count = stats-class metadata; the oracle recomputes
+    // the identical k from count(*) (IEEE sqrt, cross-engine exact).
+    val kSem = math.max(8L,
+      math.ceil(math.sqrt(e.count().toDouble)).toLong).toInt
     // single consumer of the kmeans chain (the centroids) — no cache
-    val (cents, _) = kmeans(e, 8, 3, cacheFinal = false)
+    val (cents, _) = kmeans(e, kSem, 3, cacheFinal = false)
     val probeW = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cent_id".asc)
     // cached: the pair self-join reads the membership frame twice —
     // plans are trees (the qMlKmeans cache note); Verify/Bench clear
@@ -353,19 +360,27 @@ object Clustering {
        |  SELECT cent_id, list(c ORDER BY dim) AS c_emb
        |  FROM ${c}d GROUP BY 1)""".stripMargin
 
-  private val kmeansCtes: String =
+  /** The unrolled 3-iteration k-means CTE chain. `seedLimit` is the
+    * k expression: a literal for the fixed-k keys, a scalar subquery
+    * over `extra`'s count-derived CTE for the adaptive ones
+    * (q_dedup_semantic since r5).
+    */
+  private def kmeansCtes(seedLimit: String, extra: String = ""): String =
     s"""WITH e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),$extra
        |c0 AS (
        |  SELECT crn AS cent_id, emb AS c_emb FROM (
        |    SELECT *, row_number() OVER (
        |      ORDER BY md5(concat('km', CAST(vec_id AS VARCHAR))), vec_id)
        |      AS crn
        |    FROM e)
-       |  WHERE crn <= 8),
+       |  WHERE crn <= $seedLimit),
        |${iterSql("c0", "a1", "c1")},
        |${iterSql("c1", "a2", "c2")},
        |${iterSql("c2", "a3", "c3")}""".stripMargin
+
+  private val kpCte: String =
+    "\nkp AS (\n  SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c\n  FROM e),"
 
   /** The PQ build CTEs (subvectors, codebooks, nearest-codeword
     * assignment), shared by q_embed_pq and q_sim_ann_pq.
@@ -430,7 +445,7 @@ object Clustering {
          |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
 
     "q_dedup_semantic" ->
-      s"""$kmeansCtes,
+      s"""${kmeansCtes("(SELECT c FROM kp)", kpCte)},
          |a2p AS (
          |  SELECT vec_id, cent_id, emb FROM (
          |    SELECT vec_id, emb, cent_id, d2, row_number() OVER (
@@ -461,14 +476,14 @@ object Clustering {
          |ORDER BY a_id, b_id""".stripMargin,
 
     "q_ml_kmeans" ->
-      s"""$kmeansCtes,
+      s"""${kmeansCtes("8")},
          |sizes AS (SELECT cent_id, count(*) AS n_members FROM a3 GROUP BY 1)
          |SELECT d.cent_id, s.n_members, d.dim, d.c
          |FROM c3d d JOIN sizes s USING (cent_id)
          |ORDER BY d.cent_id, d.dim""".stripMargin,
 
     "q_ml_cluster_prune" ->
-      s"""$kmeansCtes
+      s"""${kmeansCtes("8")}
          |SELECT cent_id, rn, vec_id, round(d2, 6) AS d2 FROM (
          |  SELECT cent_id, vec_id, d2, row_number() OVER (
          |    PARTITION BY cent_id ORDER BY d2, vec_id) AS rn

@@ -57,8 +57,13 @@ class ClusteringSpec extends SparkSuite {
 
   test("q_dedup_semantic pairs are a subset of the all-pairs gold set") {
     // precision 1 by construction: blocking only SKIPS pairs, never
-    // invents them, and the cosine is the identical codegen fold
-    val dir = "/root/testdata/sf0.01"
+    // invents them, and the cosine is the identical codegen fold.
+    // sf0.1 is the smallest fixture where the subset check is
+    // non-vacuous under the r5 adaptive k = max(8, ceil(sqrt n)):
+    // sf0.01's single tau>=0.5 pair no longer shares a top-2 cell at
+    // k=15 (random-fixture recall is bounded — the scaladoc's
+    // documented trade for removing the fixed-k n^2/k pair term)
+    val dir = "/root/testdata/sf0.1"
     val sem = Clustering.qDedupSemantic(spark, dir)
       .select($"a_id", $"b_id", $"cos")
     val gold = ops.TrainingOps.qDedupEmbed(spark, dir)
@@ -66,6 +71,31 @@ class ClusteringSpec extends SparkSuite {
     assert(sem.count() > 0)
     assert(sem.exceptAll(gold).count() == 0,
       "semantic-dedup emitted a pair (or cos) absent from the gold set")
+  }
+
+  test("q_dedup_semantic finds every within-cluster pair on a clustered fixture") {
+    // the mechanism proof on data with REAL cluster structure (the
+    // regime SemDeDup targets): 20 clusters x 10 near-identical
+    // vectors, centered components — every within-cluster pair has
+    // cos ~ 1 and must surface via the shared nearest cell
+    val dir = java.nio.file.Files.createTempDirectory("graft_semfix").toString
+    spark.range(0, 200).select($"id".as("vec_id"))
+      .withColumn("c", $"vec_id" % 20)
+      .withColumn("embedding", expr(
+        """transform(sequence(1, 64), d -> CAST(
+          |  (pmod(hash(c * 131 + d), 1000) / 1000.0 - 0.5) +
+          |  (pmod(hash(vec_id * 17 + d), 100) / 50000.0 - 0.001)
+          |  AS FLOAT))""".stripMargin))
+      .select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val sem = Clustering.qDedupSemantic(spark, dir)
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      c <- 0L until 20L; i <- 0L until 10L; j <- (i + 1) until 10L
+    } yield (c + i * 20, c + j * 20)).toSet
+    assert(expected.subsetOf(sem),
+      s"missed ${(expected -- sem).size} of ${expected.size} within-cluster pairs")
   }
 
   test("kmeans recovers two well-separated blobs exactly") {
