@@ -182,13 +182,19 @@ object TrainingOps {
 
   /** Word-bigram Jaccard near-dup within (lang, source) blocks —
     * blocking bounds the candidate-pair quadratic at scale, and a
-    * document-frequency cap drops "stop bigrams" (df > max(5,
-    * n_block/4)) before the candidate self-join, so one hot bigram
-    * ("of the") can't turn the equi-join quadratic on a skewed
-    * corpus. The cap is mirrored exactly in the oracle SQL; Jaccard
-    * is computed over the CAPPED bigram sets in both engines. Bigrams
-    * come from a per-row array transform (zero shuffles) and
-    * `array_distinct` replaces the r1 `.distinct()` shuffle.
+    * document-frequency cap drops "stop bigrams" (df > min(max(5,
+    * n_block/4), 64)) before the candidate self-join, so one hot
+    * bigram ("of the") can't turn the equi-join quadratic on a skewed
+    * corpus. The ABSOLUTE 64 ceiling (r5) is the scale guard: a
+    * purely relative n/4 cap still admits (n_block/4)² pairs from a
+    * single common bigram — quadratic in disguise, the ScaleProbeSf1
+    * lesson — while df > 64 bigrams are stop-grams at any corpus
+    * size; the ceiling binds only beyond fixture block sizes (max
+    * fixture block/4 ≈ 12), so fixture outputs are unchanged. The cap
+    * is mirrored exactly in the oracle SQL; Jaccard is computed over
+    * the CAPPED bigram sets in both engines. Bigrams come from a
+    * per-row array transform (zero shuffles) and `array_distinct`
+    * replaces the r1 `.distinct()` shuffle.
     */
   def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -201,7 +207,7 @@ object TrainingOps {
     val hot = big.groupBy($"lang", $"source", $"bigram")
       .agg(count(lit(1)).as("df"))
       .join(broadcast(blockN), Seq("lang", "source"))
-      .filter($"df" > greatest(lit(5L), floor($"n_block" / 4)))
+      .filter($"df" > least(greatest(lit(5L), floor($"n_block" / 4)), lit(64L)))
       .select($"lang", $"source", $"bigram")
     // cached: kept feeds sizes + both sides of the candidate
     // self-join — three recomputes of scan→explode→anti otherwise
@@ -623,7 +629,7 @@ object TrainingOps {
       |  FROM big b
       |  JOIN dfc USING (lang, source, bigram)
       |  JOIN blockn USING (lang, source)
-      |  WHERE dfc.df <= greatest(5, n_block // 4)),
+      |  WHERE dfc.df <= least(greatest(5, n_block // 4), 64)),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
