@@ -72,14 +72,23 @@ object ScaleProbeSf1 {
       .select("vec_id", "label", "embedding")
       .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
 
-    // orders / lineitem: 4 lines per order, hash-spread cust/supp keys
+    // orders / lineitem: 4 lines per order, hash-spread cust/supp keys;
+    // status/price columns present so the table-maintenance keys
+    // (q_merge_upsert, q_join_bucketed) run on the probe fixtures too
     spark.range(0, nOrders)
       .select((col("id") + 1).as("o_orderkey"),
-        (pmod(hash(col("id") * 31), lit(nCust)) + 1).as("o_custkey"))
+        (pmod(hash(col("id") * 31), lit(nCust)) + 1).as("o_custkey"),
+        element_at(array(Seq("O", "F", "P").map(lit): _*),
+          pmod(hash(col("id") * 7), lit(3)).cast("int") + 1)
+          .as("o_orderstatus"),
+        (pmod(hash(col("id") * 11), lit(900000)) / 100.0 + 100.0)
+          .as("o_totalprice"))
       .write.mode("overwrite").parquet(s"$base/orders.parquet")
     spark.range(0, nLines)
       .select(expr("id DIV 4 + 1").as("l_orderkey"),
-        (pmod(hash(col("id") * 13), lit(nSupp)) + 1).as("l_suppkey"))
+        (pmod(hash(col("id") * 13), lit(nSupp)) + 1).as("l_suppkey"),
+        (pmod(hash(col("id") * 29), lit(500000)) / 100.0 + 1.0)
+          .as("l_extendedprice"))
       .write.mode("overwrite").parquet(s"$base/lineitem.parquet")
 
     done.createNewFile()
@@ -91,7 +100,10 @@ object ScaleProbeSf1 {
     "q_sim_ann_lsh", "q_sim_ann_ivf",
     "q_dedup_embed_lsh", "q_dedup_semantic",
     "q_graph_khop", "q_graph_cooccur", "q_sql_recursive",
-    "q_text_tfidf")
+    "q_text_tfidf",
+    // round-5 table-maintenance + ingest keys
+    "q_merge_upsert", "q_join_bucketed", "q_dedup_incremental",
+    "q_dedup_components")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
