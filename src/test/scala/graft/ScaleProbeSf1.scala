@@ -123,6 +123,19 @@ object ScaleProbeSf1 {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    if (args.contains("100x")) {
+      // third decade for the adaptive ANN fixes: 200 k vectors
+      val d10 = synDir(spark, 10)
+      val d100 = synDir(spark, 100)
+      run(d10, "q_text_tfidf") // warmup
+      println(f"${"key"}%-20s ${"t_10x"}%8s ${"t_100x"}%8s  exponent")
+      for (k <- Seq("q_sim_ann_lsh", "q_sim_ann_ivf")) {
+        val (t10, n10) = run(d10, k)
+        val (t100, n100) = run(d100, k)
+        println(f"$k%-20s $t10%7.1fs $t100%7.1fs  ${math.log10(t100 / t10)}%.2f      $n10%d/$n100%d")
+      }
+      spark.stop(); return
+    }
     val d1 = synDir(spark, 1)
     val d10 = synDir(spark, 10)
     // one untimed warmup key so codegen/classload lands outside t₁
