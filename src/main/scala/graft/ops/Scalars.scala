@@ -468,6 +468,33 @@ object Scalars {
       .orderBy($"event_type")
   }
 
+  /** Spark 4 VariantType end-to-end: `parse_json` decodes each props
+    * string ONCE into the binary variant encoding, then every access
+    * is a typed `variant_get` path lookup — no string re-parse per
+    * field, the semi-structured design point for 100 TB event scans
+    * (q_json_extract is the classic per-access `get_json_object`
+    * twin). Output values are plain JSON math, so the DuckDB oracle
+    * checks them from the original strings: typed extraction, a
+    * string-typed re-read of the same path, and missing-path → NULL
+    * semantics (count = 0, null-skipped).
+    */
+  def qJsonVariant(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = t(s, dir, "events")
+      .select($"event_type", parse_json($"props").as("v"))
+      .select($"event_type",
+        variant_get($"v", "$.k", "bigint").as("k"),
+        length(variant_get($"v", "$.k", "string")).cast("long").as("kw"),
+        try_variant_get($"v", "$.missing", "bigint").as("miss"))
+    v.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"),
+        max($"kw").as("max_kw"),
+        count($"miss").as("n_missing"))
+      .orderBy($"event_type")
+  }
+
   def qStructFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "customer")
@@ -526,6 +553,7 @@ object Scalars {
     "q_math_bitwise" -> (qMathBitwise _),
     "q_map_funcs" -> (qMapFuncs _),
     "q_json_extract" -> (qJsonExtract _),
+    "q_json_variant" -> (qJsonVariant _),
     "q_struct_funcs" -> (qStructFuncs _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _)
@@ -828,6 +856,17 @@ object Scalars {
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |  round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
         |    AS BIGINT) / count(*), 6) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_json_variant" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  max(length(json_extract_string(props, '$.k'))) AS max_kw,
+        |  count(CAST(json_extract_string(props, '$.missing') AS BIGINT))
+        |    AS n_missing
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_struct_funcs" ->

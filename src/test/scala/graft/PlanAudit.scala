@@ -41,7 +41,7 @@ object PlanAudit {
     // round-5 additions
     "q_part_layout", "q_schema_evolution",
     "q_join_bucketed", "q_merge_upsert", "q_compact_files",
-    "q_dedup_incremental")
+    "q_dedup_incremental", "q_json_variant")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")

@@ -46,7 +46,7 @@ class RegistrySpec extends SparkSuite {
     "q_math_funcs",
     "q_cond_funcs", "q_cast_funcs", "q_array_funcs", "q_array_hof",
     "q_explode", "q_explode_outer", "q_map_funcs", "q_json_extract",
-    "q_struct_funcs", "q_str_encode", "q_date_seq", "q_math_bitwise",
+    "q_struct_funcs", "q_json_variant", "q_str_encode", "q_date_seq", "q_math_bitwise",
     "q_pivot", "q_unpivot",
     // §2.9 streaming (batch-checkable forms)
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
