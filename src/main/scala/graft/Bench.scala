@@ -32,7 +32,11 @@ object Bench {
     // load, first-execution codegen compile) can't distort. Caches
     // are cleared between executions so both measure the same work,
     // and intra-query caches can't pin memory across queries.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // Optional comma-separated key filter for local iteration
+    // (SPARK_GRAFT_ONLY=q_a,q_b); the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }.map {
       case (name, fn) =>
         val runs = (1 to 2).map { _ =>
           // withCaches encloses the execution so the key's tracked
