@@ -72,12 +72,15 @@ object Clustering {
       // cacheFinal: when the caller consumes BOTH outputs (qMlKmeans
       // reads final centroids AND sizes), plans are trees, so without
       // materialization the whole iteration chain would execute
-      // twice. Same build-step cache as qSimAnnIvf's `assigned` (at
-      // scale: the persisted cluster index); Verify/Bench clearCache
-      // between keys. Single-consumer callers (qMlClusterPrune
+      // twice. Same build-step cache as qSimAnnIvf's index (at scale:
+      // the persisted cluster index); Verify/Bench clearCache between
+      // keys. The materialization runs AQE-off (the pagerank
+      // rationale: the unrolled chain is many sequential stages over
+      // small frames). Single-consumer callers (qMlClusterPrune
       // discards the centroids) pass cacheFinal = false and pay
       // nothing.
-      if (i == iters && cacheFinal) assigned = assigned.transform(core.cached)
+      if (i == iters && cacheFinal)
+        assigned = core.noAqeMaterialized(s)(assigned)
       cents = assigned
         .select($"cent_id", posexplode(
           expr("transform(emb, x -> CAST(round(x, 8) AS DECIMAL(20, 8)))"))
@@ -300,22 +303,34 @@ object Clustering {
     // k grows with the corpus (max(8, ceil(sqrt n)) — the IVF balance:
     // assignment n·k vs pair work Σ(2·cell)² ≈ 4n²/k; a FIXED k is the
     // n²/k quadratic ScaleProbeSf1 exposed in the ANN family, r5).
-    // Driver-side count = stats-class metadata; the oracle recomputes
-    // the identical k from count(*) (IEEE sqrt, cross-engine exact).
-    val kSem = math.max(8L,
-      math.ceil(math.sqrt(e.count().toDouble)).toLong).toInt
-    // single consumer of the kmeans chain (the centroids) — no cache
-    val (cents, _) = kmeans(e, kSem, 3, cacheFinal = false)
+    // n is stats-class metadata, memoized per JVM (core.statCount);
+    // the oracle recomputes the identical k from count(*) (IEEE sqrt,
+    // cross-engine exact).
+    val kSem = math.max(8L, math.ceil(math.sqrt(
+      core.statCount(dir + "#embeddings", e).toDouble)).toLong).toInt
+    // ONE Lloyd pass (r6): the centroids only BLOCK here — pair recall
+    // depends on near-dups landing in a shared probe cell, not on
+    // centroid convergence, and ClusteringSpec pins that one pass
+    // already recovers every within-cluster pair on the clustered
+    // fixture (and the same 11/14 random-fixture recall as three
+    // passes). Two dropped iterations ≈ two fewer corpus-wide
+    // assign+recompute rounds — the key was the heaviest in BENCH_r05.
+    // Single consumer of the kmeans chain (the centroids) — no cache.
+    val (cents, _) = kmeans(e, kSem, 1, cacheFinal = false)
     val probeW = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cent_id".asc)
-    // cached: the pair self-join reads the membership frame twice —
-    // plans are trees (the qMlKmeans cache note); Verify/Bench clear
-    val m = e.crossJoin(broadcast(cents))
-      .withColumn("d2", dist2($"emb", $"c_emb"))
-      .withColumn("rn", row_number().over(probeW))
-      .filter($"rn" <= 2)
-      .select($"cent_id", $"vec_id", $"emb",
-        sqrt(dot($"emb", $"emb")).as("nrm"))
-      .transform(core.cached)
+    // cached + materialized: the pair self-join reads the membership
+    // frame twice — plans are trees (the qMlKmeans cache note) — and
+    // the Lloyd pass + probe assignment upstream is the multi-stage
+    // node-sized chain the AQE-off scope exists for (the pagerank
+    // rationale); the pair join itself stays outside, under AQE
+    val m = core.noAqeMaterialized(s) {
+      e.crossJoin(broadcast(cents))
+        .withColumn("d2", dist2($"emb", $"c_emb"))
+        .withColumn("rn", row_number().over(probeW))
+        .filter($"rn" <= 2)
+        .select($"cent_id", $"vec_id", $"emb",
+          sqrt(dot($"emb", $"emb")).as("nrm"))
+    }
     val b = m.select($"cent_id".as("cent_b"), $"vec_id".as("b_id"),
       $"emb".as("b_emb"), $"nrm".as("b_nrm"))
     m.join(b, $"cent_id" === $"cent_b" && $"vec_id" < $"b_id")
@@ -360,12 +375,16 @@ object Clustering {
        |  SELECT cent_id, list(c ORDER BY dim) AS c_emb
        |  FROM ${c}d GROUP BY 1)""".stripMargin
 
-  /** The unrolled 3-iteration k-means CTE chain. `seedLimit` is the
-    * k expression: a literal for the fixed-k keys, a scalar subquery
-    * over `extra`'s count-derived CTE for the adaptive ones
-    * (q_dedup_semantic since r5).
+  /** The unrolled k-means CTE chain (`iters` Lloyd passes ending in
+    * CTE `c$iters`/`a$iters`). `seedLimit` is the k expression: a
+    * literal for the fixed-k keys, a scalar subquery over `extra`'s
+    * count-derived CTE for the adaptive ones (q_dedup_semantic since
+    * r5; one pass since r6 — blocking needs cells, not convergence).
     */
-  private def kmeansCtes(seedLimit: String, extra: String = ""): String =
+  private def kmeansCtes(seedLimit: String, iters: Int = 3,
+      extra: String = ""): String = {
+    val chain = (1 to iters)
+      .map(i => iterSql(s"c${i - 1}", s"a$i", s"c$i")).mkString(",\n")
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),$extra
        |c0 AS (
@@ -375,9 +394,8 @@ object Clustering {
        |      AS crn
        |    FROM e)
        |  WHERE crn <= $seedLimit),
-       |${iterSql("c0", "a1", "c1")},
-       |${iterSql("c1", "a2", "c2")},
-       |${iterSql("c2", "a3", "c3")}""".stripMargin
+       |$chain""".stripMargin
+  }
 
   private val kpCte: String =
     "\nkp AS (\n  SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS c\n  FROM e),"
@@ -445,7 +463,7 @@ object Clustering {
          |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
 
     "q_dedup_semantic" ->
-      s"""${kmeansCtes("(SELECT c FROM kp)", kpCte)},
+      s"""${kmeansCtes("(SELECT c FROM kp)", 1, kpCte)},
          |a2p AS (
          |  SELECT vec_id, cent_id, emb FROM (
          |    SELECT vec_id, emb, cent_id, d2, row_number() OVER (
@@ -455,7 +473,7 @@ object Clustering {
          |        list_reduce(list_prepend(0.0, list_zip(n.emb, c.c_emb)
          |          .apply(p -> (p[1]-p[2])*(p[1]-p[2]))),
          |          (acc, v) -> acc + v) AS d2
-         |      FROM e n CROSS JOIN c3 c))
+         |      FROM e n CROSS JOIN c1 c))
          |  WHERE rn <= 2),
          |nm AS (
          |  SELECT vec_id, cent_id, emb,

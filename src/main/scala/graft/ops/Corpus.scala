@@ -201,6 +201,49 @@ object Corpus {
       GraftBridge.expression(xxhash64(c))))
   }
 
+  /** Hash-range-SHARDED bloom prefilter — the 100 TB form of
+    * [[qDedupIncremental]]'s single broadcast bloom, promised by
+    * SURVEY §2 and demonstrated at spec level (CorpusSpec pins
+    * sharded ≡ single output and the no-false-negative property).
+    *
+    * Why sharding: one bloom sized for the WHOLE history stops
+    * broadcasting comfortably somewhere past ~10⁹ items (tens of GB
+    * of bits for a useful FP rate). Splitting history by
+    * `pmod(xxhash64(pfx), k)` gives k independent blooms, each sized
+    * for history/k items; a probe row consults ONLY the one bloom its
+    * own hash routes to, so per-row probe cost is unchanged while
+    * total sketch capacity scales horizontally with k (and each
+    * executor needs only the shards its probe partition touches).
+    *
+    * Correctness: a bloom has no false negatives, and the row and its
+    * history twin hash to the SAME shard by construction (identical
+    * `pfx` ⇒ identical xxhash64 ⇒ identical shard), so every true
+    * duplicate survives the prefilter — sharding cannot lose a dup,
+    * only re-distribute the false positives. The exact recheck join
+    * downstream is identical.
+    *
+    * Returns the candidate rows of `batch` (columns doc_id, pfx), the
+    * same contract as the single-bloom prefilter stage.
+    */
+  def shardedBloomCandidates(hist: DataFrame, batch: DataFrame,
+      k: Int, itemsPerShard: Long, bits: Long): DataFrame = {
+    val s = hist.sparkSession
+    import s.implicits._
+    val shardOf = (c: org.apache.spark.sql.Column) =>
+      pmod(xxhash64(c), lit(k.toLong))
+    // one scalar-subquery bloom per shard (might_contain demands a
+    // constant/scalar-subquery filter side — the GraftBridge note on
+    // [[bloomProbeOf]]); the k branches union into one plan, each
+    // probing only its shard's rows against its shard's bloom
+    (0 until k).map { i =>
+      val b = hist.filter(shardOf($"pfx") === i)
+        .agg(bloomAggOf($"pfx", itemsPerShard, bits).as("bf"))
+      batch.filter(shardOf($"pfx") === i)
+        .filter(bloomProbeOf(b, $"pfx"))
+        .select($"doc_id", $"pfx")
+    }.reduce(_ unionByName _)
+  }
+
   def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")

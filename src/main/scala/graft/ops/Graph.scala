@@ -52,25 +52,38 @@ object Graph {
   def pagerank(edges: DataFrame, iters: Int = 5): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    // degree via a src-partitioned window, NOT a groupBy + self-join:
+    // The whole build — edge pipeline, degree window, 5 unrolled
+    // iterations (10+ sequential shuffle stages) — runs AQE-off and
+    // materializes inside the scope: AQE's per-stage materialize-and-
+    // re-plan is pure driver overhead on a chain of small stable
+    // stages (measured 15 s → ~4 s at local[32], sf0.1). The caches
+    // must be CREATED inside the scope too: `cache()` plans its
+    // physical plan eagerly at call time, so a cache created outside
+    // would carry (and forever re-execute under) an adaptive plan.
+    // Degree via a src-partitioned window, NOT a groupBy + self-join:
     // the edge pipeline (the only corpus-sized input) is derived
     // exactly once, then cached; `nodes` is node-sized and derived
-    // FROM the cache rather than re-running the upstream scan
-    val withDeg = edges.select($"src", $"dst",
-      count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"src"))
-        .as("deg")).transform(core.cached)
-    val nodes = withDeg.select($"src", $"deg").dropDuplicates("src")
-
-    var ranks = nodes.select($"src".as("node"), lit(1000000000000L).as("r"))
-    for (_ <- 1 to iters) {
-      ranks = withDeg.join(ranks, $"src" === $"node")
-        .select($"dst", expr("r DIV deg").as("contrib"))
-        .groupBy($"dst").agg(sum($"contrib").as("m"))
-        .select($"dst".as("node"),
-          (lit(150000000000L) + expr("(85 * m) DIV 100")).as("r"))
-    }
-    ranks.join(nodes, $"node" === $"src")
+    // FROM the cache rather than re-running the upstream scan.
+    val (nodes, finalRanks) =
+      core.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
+        val withDeg = edges.select($"src", $"dst",
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"src"))
+            .as("deg")).transform(core.cached)
+        val nds = withDeg.select($"src", $"deg").dropDuplicates("src")
+        var ranks = nds.select($"src".as("node"), lit(1000000000000L).as("r"))
+        for (_ <- 1 to iters) {
+          ranks = withDeg.join(ranks, $"src" === $"node")
+            .select($"dst", expr("r DIV deg").as("contrib"))
+            .groupBy($"dst").agg(sum($"contrib").as("m"))
+            .select($"dst".as("node"),
+              (lit(150000000000L) + expr("(85 * m) DIV 100")).as("r"))
+        }
+        val f = core.cached(ranks)
+        f.count()
+        (nds, f)
+      }
+    finalRanks.join(nodes, $"node" === $"src")
       .select($"node", $"deg", $"r".as("rank_micro"))
   }
 
@@ -180,15 +193,31 @@ object Graph {
     */
   def qGraphKhop(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = custSuppEdges(s, dir).transform(core.cached)
-    val seeds = edges.select($"src".as("node")).distinct()
-      .filter($"node" % 2 === 1 && expr("node DIV 2") < 3)
-    var d = seeds.select($"node", lit(0).cast("int").as("dist"))
-    for (_ <- 1 to 3) {
-      d = d.union(
-          edges.join(d, $"src" === $"node")
-            .select($"dst".as("node"), ($"dist" + 1).as("dist")))
-        .groupBy($"node").agg(min($"dist").as("dist"))
+    // plans are TREES (CLAUDE.md): each round reads the previous
+    // frontier TWICE (union + join), so without a materialization
+    // point the unrolled chain re-executes round r−1 twice, r−2 four
+    // times, … — 2³× the base work, and AQE re-derives join
+    // strategies from re-measured stats each time (observed as a
+    // 12→51 s swing at local[32]). Each round caches its node-sized
+    // frontier (≤ |V| rows) — the per-round materialization
+    // q_dedup_components' localCheckpoint loop uses, minus the
+    // lineage cut a bounded 3-round unroll doesn't need — and the
+    // whole build INCLUDING the edge-pipeline cache materializes
+    // AQE-off inside the scope (the pagerank rationale: caches plan
+    // eagerly at cache() time, so they must be created in-scope).
+    val d = core.noAqeMaterialized(s) {
+      val edges = custSuppEdges(s, dir).transform(core.cached)
+      val seeds = edges.select($"src".as("node")).distinct()
+        .filter($"node" % 2 === 1 && expr("node DIV 2") < 3)
+      var fr = seeds.select($"node", lit(0).cast("int").as("dist"))
+      for (_ <- 1 to 3) {
+        fr = fr.union(
+            edges.join(fr, $"src" === $"node")
+              .select($"dst".as("node"), ($"dist" + 1).as("dist")))
+          .groupBy($"node").agg(min($"dist").as("dist"))
+          .transform(core.cached)
+      }
+      fr
     }
     d.select(
         when($"node" % 2 === 0, "customer").otherwise("supplier")

@@ -587,7 +587,7 @@ object Relational {
     pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
       .transform(core.cached)
       .createOrReplaceTempView(s"sqlr_edges_$tag")
-    s.sql(s"""
+    val out = s.sql(s"""
       WITH RECURSIVE walk(node, dist) AS (
         SELECT DISTINCT src AS node, 0 AS dist
         FROM sqlr_edges_$tag WHERE src % 2 = 1 AND src DIV 2 < 3
@@ -603,6 +603,13 @@ object Relational {
       FROM walk
       GROUP BY 1, 2
       ORDER BY dist, node_type, node_key""")
+    // sql() analyzes eagerly — the returned frame's plan holds the
+    // RESOLVED view subtree, so the catalog entry can go right away
+    // (ADVICE r5: the per-invocation views used to accumulate for the
+    // life of the session; the cached edge frame itself is released
+    // by the enclosing withCaches scope, not the view)
+    s.catalog.dropTempView(s"sqlr_edges_$tag")
+    out
   }
 
   /** Hot-key-safe join: [[Skew.saltedJoin]] registered as a t2 key —

@@ -226,6 +226,17 @@ object Storage {
     val snap = core.t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"),
         core.cents(col("o_totalprice")).as("total_c"))
+    // Insert re-key offset DERIVED from the data, not a constant
+    // (ADVICE r5): the smallest power of 10 above max(o_orderkey),
+    // computed as '1' + one '0' per digit — pure string/integer
+    // arithmetic, identical in DuckDB, and collision-free at ANY
+    // snapshot scale (the fixed +1e7 collided once TPC-H sf ≳ 1.7).
+    // 1-row broadcast frame; `mx` also rides along so n_inserted can
+    // test `key > mx` (inserted ⟺ above every original key).
+    val off = snap.agg(max(col("o_orderkey")).as("mx"))
+      .select(col("mx"), expr(
+        "CAST(concat('1', repeat('0', length(CAST(mx AS STRING)))) AS BIGINT)")
+        .as("off"))
     val upd = snap
       .filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") % 17 =!= 3)
       .select(col("o_orderkey"), lit("F").as("o_orderstatus"),
@@ -234,14 +245,16 @@ object Storage {
       .select(col("o_orderkey"), col("o_orderstatus"), col("total_c"),
         lit("D").as("op"))
     val ins = snap.filter(col("o_orderkey") % 100 === 7)
-      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+      .crossJoin(broadcast(off))
+      .select((col("o_orderkey") + col("off")).as("o_orderkey"),
         lit("O").as("o_orderstatus"),
         (col("o_orderkey") % 9973 * 100).as("total_c"), lit("I").as("op"))
     val merged = mergeChanges(snap, upd.union(del).union(ins))
-    merged.groupBy(col("o_orderstatus"))
+    merged.crossJoin(broadcast(off))
+      .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         sum(col("total_c")).as("sum_c"),
-        sum(when(col("o_orderkey") >= 10000000L, 1L).otherwise(0L))
+        sum(when(col("o_orderkey") > col("mx"), 1L).otherwise(0L))
           .as("n_inserted"))
       .orderBy(col("o_orderstatus"))
   }
@@ -329,6 +342,11 @@ object Storage {
         |  SELECT o_orderkey, o_orderstatus,
         |    CAST(round(o_totalprice*100) AS BIGINT) AS total_c
         |  FROM orders),
+        |off AS (
+        |  SELECT max(o_orderkey) AS mx,
+        |    CAST('1' || repeat('0', length(CAST(max(o_orderkey) AS VARCHAR)))
+        |      AS BIGINT) AS off
+        |  FROM snap),
         |merged AS (
         |  SELECT o_orderkey, o_orderstatus, total_c FROM snap
         |  WHERE o_orderkey % 10 <> 0 AND o_orderkey % 17 <> 3
@@ -336,12 +354,13 @@ object Storage {
         |  SELECT o_orderkey, 'F', total_c + 500 FROM snap
         |  WHERE o_orderkey % 10 = 0 AND o_orderkey % 17 <> 3
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, 'O', (o_orderkey % 9973) * 100
+        |  SELECT o_orderkey + (SELECT off FROM off), 'O',
+        |    (o_orderkey % 9973) * 100
         |  FROM snap WHERE o_orderkey % 100 = 7)
         |SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(total_c) AS BIGINT) AS sum_c,
-        |  CAST(sum(CASE WHEN o_orderkey >= 10000000 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_inserted
+        |  CAST(sum(CASE WHEN o_orderkey > (SELECT mx FROM off)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_compact_files" ->
       """SELECT event_type, count(*) AS n,

@@ -80,17 +80,79 @@ object core {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 rejects outright. Read nanos as raw longs and rebuild a
-    * proper microsecond TimestampType column — lossless: every fixture
-    * value has a zero sub-microsecond component (verified via DuckDB
-    * `epoch_ns(ts) % 1000 = 0` on all rows).
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Stats-class row count for the n-adaptive layout keys (LSH width,
+    * IVF cell count, semantic-dedup k), memoized per key per JVM so a
+    * key re-execution never pays a second corpus scan just to re-learn
+    * n (the `Storage.written` once-per-JVM pattern; ADVICE r5). The
+    * fixtures are immutable within a JVM's lifetime, so the memo can
+    * never go stale here; at 100 TB this number comes from table
+    * statistics (catalog row counts / parquet footers), not a count
+    * job — the memo is the local stand-in for that stats lookup.
+    */
+  def statCount(key: String, df: => DataFrame): Long =
+    countMemo.computeIfAbsent(key, _ => df.count()).longValue()
+
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS).
+    * What Spark hands back for that physical type has CHANGED across
+    * the Spark builds this project has run on: earlier builds refused
+    * it unless `spark.sql.legacy.parquet.nanosAsLong` mapped it to a
+    * raw nanos BIGINT (the original branch below); the current build
+    * ignores that conf and infers TIMESTAMP_NTZ (micros, truncated)
+    * directly — discovered in r6 when every events key started
+    * failing analysis on `ts div 1000`. Dispatch on the INFERRED
+    * type so every environment lands on the same TimestampType
+    * column: nanos-long → rebuild micros (lossless: every fixture
+    * value has a zero sub-µs component, verified via DuckDB
+    * `epoch_ns(ts) % 1000 = 0`; crafted test fixtures write raw nanos
+    * longs and take this branch too); NTZ → cast in the UTC session
+    * (identical wall-clock values).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
+
+  /** Run `body` with session confs temporarily overridden, restoring
+    * prior values (or unsetting) on exit. Conf reads happen at
+    * PLANNING time, so this only affects work `body` itself
+    * materializes — the iterative ops use it to run their unrolled
+    * loop cores under `spark.sql.adaptive.enabled=false` and
+    * materialize inside the scope: AQE's per-shuffle stage
+    * materialization + driver re-plan is pure overhead on a 10-stage
+    * chain over node-sized frames (measured: q_graph_pagerank 15 s →
+    * 3.7 s at local[32]), while the 100 TB posture keeps AQE ON for
+    * everything data-sized outside these scopes (skew splits,
+    * coalescing, runtime join re-plans).
+    */
+  def withConf[T](spark: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach { case (k, o) =>
+      o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  /** [[withConf]] specialized to the iterative-core pattern: build a
+    * frame, cache it, and MATERIALIZE it with AQE disabled, returning
+    * the cached frame for lazy downstream consumption (which runs
+    * under the session's normal confs).
+    */
+  def noAqeMaterialized(spark: SparkSession)(build: => DataFrame): DataFrame =
+    withConf(spark, "spark.sql.adaptive.enabled" -> "false") {
+      val f = cached(build)
+      f.count()
+      f
+    }
 
   /** Exact money/quantity in integer cents: fixture doubles are
     * 2-dp-generated (verified — max |x*100 - round(x*100)| < 1e-8),

@@ -95,10 +95,17 @@ object ScaleProbeSf1 {
     base.getAbsolutePath
   }
 
+  /** Probe-only entry points that are not registered t2 keys (the
+    * production-τ LSH variant, VERDICT r5 task 3).
+    */
+  private val Extra: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_dedup_embed_lsh@t.9" ->
+      ((s: SparkSession, d: String) => ops.TrainingOps.dedupEmbedLshTau(s, d)))
+
   private val Keys = Seq(
     "q_dedup_ngram", "q_dedup_minhash",
     "q_sim_ann_lsh", "q_sim_ann_ivf",
-    "q_dedup_embed_lsh", "q_dedup_semantic",
+    "q_dedup_embed_lsh", "q_dedup_embed_lsh@t.9", "q_dedup_semantic",
     "q_graph_khop", "q_graph_cooccur", "q_sql_recursive",
     "q_text_tfidf",
     // round-5 table-maintenance + ingest keys
@@ -118,7 +125,7 @@ object ScaleProbeSf1 {
       var n = 0L
       val t0 = System.nanoTime()
       ops.core.withCaches(spark) {
-        n = SparkEntry.queries(key)(spark, dir).count()
+        n = Extra.getOrElse(key, SparkEntry.queries(key))(spark, dir).count()
       }
       ((System.nanoTime() - t0) / 1e9, n)
     }
