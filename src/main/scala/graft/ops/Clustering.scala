@@ -311,10 +311,14 @@ object Clustering {
     // ONE Lloyd pass (r6): the centroids only BLOCK here — pair recall
     // depends on near-dups landing in a shared probe cell, not on
     // centroid convergence, and ClusteringSpec pins that one pass
-    // already recovers every within-cluster pair on the clustered
-    // fixture (and the same 11/14 random-fixture recall as three
-    // passes). Two dropped iterations ≈ two fewer corpus-wide
-    // assign+recompute rounds — the key was the heaviest in BENCH_r05.
+    // still recovers every within-cluster pair on the clustered
+    // fixture. Measured ~2× faster than three passes at both probe
+    // scales (min-of-2: 2.9 s/9.9 s vs the r5 6.6 s/18.6 s at
+    // 1×/10×). Known trade (SCALING.md r6): one pass leaves cells
+    // less balanced, so the Σ(2·cell)² pair bound carries a larger
+    // constant at scale — a production deployment runs the k-means
+    // once in the INDEX build (the qSimAnnIvf amortization) and can
+    // afford full convergence there; per-query blocking cannot.
     // Single consumer of the kmeans chain (the centroids) — no cache.
     val (cents, _) = kmeans(e, kSem, 1, cacheFinal = false)
     val probeW = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cent_id".asc)

@@ -37,7 +37,11 @@ def main():
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
+        if p.is_dir():
+            # Spark-written table (a directory of part files) — e.g.
+            # the ScaleProbeSf1 synthetic fixtures used by the 10x gate
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
