@@ -160,15 +160,22 @@ object Graph {
       .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
         $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey".as("c"), $"l_suppkey".as("s")).distinct()
-    val kept = eg
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"c")))
-      .filter($"cnt" <= 32)
-      .select($"c", $"s")
-    val common = kept
-      .join(kept.select($"c".as("c2"), $"s".as("s2")),
-        $"c" === $"c2" && $"s" < $"s2")
-      .groupBy($"s".as("s1"), $"s2")
-      .agg(count(lit(1)).as("common"))
+    // the capped pair space (Σ min(cnt, 32)² candidates collapsing to
+    // ≤ supplier² counts) materializes AQE-off: the chain is four
+    // small stable stages (window, self-join, two aggs) where
+    // adaptive re-planning is pure overhead (the pagerank rationale);
+    // the cap — not AQE skew-splitting — is this op's hub defense
+    val common = core.noAqeMaterialized(s) {
+      val kept = eg
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"c")))
+        .filter($"cnt" <= 32)
+        .select($"c", $"s")
+      kept
+        .join(kept.select($"c".as("c2"), $"s".as("s2")),
+          $"c" === $"c2" && $"s" < $"s2")
+        .groupBy($"s".as("s1"), $"s2")
+        .agg(count(lit(1)).as("common"))
+    }
     val sym = common.select($"s1".as("sup"), $"s2".as("partner"), $"common")
       .union(common.select($"s2".as("sup"), $"s1".as("partner"), $"common"))
     val w = Window.partitionBy($"sup").orderBy($"common".desc, $"partner".asc)

@@ -584,6 +584,11 @@ object Relational {
         $"l_orderkey" === $"o_orderkey")
       .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
       .distinct()
+    // NOT AQE-off-scoped, unlike the DataFrame iterative cores: the
+    // recursive UnionLoop's steps vary in size (frontier growth) and
+    // each step materializes anyway, which is exactly AQE's sweet
+    // spot (coalescing the per-step shuffles) — A/B at sf0.1 measured
+    // the AQE-off scope neutral-to-worse here (r6).
     pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
       .transform(core.cached)
       .createOrReplaceTempView(s"sqlr_edges_$tag")

@@ -260,7 +260,20 @@ object TrainingOps {
     * (node, comp) with comp = min reachable node id. Split out so the
     * spec can pin the semantics on synthetic graphs.
     */
-  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(edges: DataFrame): DataFrame =
+    // the whole loop EXECUTES inside this builder (localCheckpoint +
+    // isEmpty per round), so the AQE-off scope covers every round:
+    // per-stage materialize-and-re-plan is pure overhead on the
+    // node-sized label shuffles (the pagerank rationale, core.scala).
+    // The caller's lazy edge pipeline also materializes here (first
+    // checkpoint); a 100 TB caller that wants AQE's skew handling on
+    // the pair JOIN should checkpoint its edges before calling.
+    core.withConf(edges.sparkSession,
+      "spark.sql.adaptive.enabled" -> "false") {
+      connectedComponentsLoop(edges)
+    }
+
+  private def connectedComponentsLoop(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     // materialize the (possibly expensive) edge pipeline ONCE before
