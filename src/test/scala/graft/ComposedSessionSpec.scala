@@ -63,4 +63,34 @@ class ComposedSessionSpec extends SparkSuite {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
   }
+
+  test("AQE-off-scoped ops restore the session conf (r6): no leak to later queries") {
+    // the r6 iterative cores (pagerank, khop, components, kmeans,
+    // semantic) run their builds under core.withConf AQE-off; a leak
+    // would silently de-AQE every subsequent query in a long-lived
+    // session — pin the restore, including through exceptions
+    val key = "spark.sql.adaptive.enabled"
+    spark.conf.set(key, "true")
+    ops.core.withCaches(spark) {
+      assert(ops.Graph.qGraphKhop(spark, sf).count() > 0)
+      assert(ops.Graph.qGraphPagerank(spark, sf).count() > 0)
+    }
+    assert(spark.conf.get(key) == "true",
+      "an AQE-off scope leaked spark.sql.adaptive.enabled=false")
+    // exception path: conf restored even when the body throws
+    intercept[RuntimeException] {
+      ops.core.withConf(spark, key -> "false") {
+        assert(spark.conf.get(key) == "false")
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.get(key) == "true")
+    // a key previously-unset stays unset after the scope
+    val novel = "spark.graft.test.novelConf"
+    ops.core.withConf(spark, novel -> "x") {
+      assert(spark.conf.get(novel) == "x")
+    }
+    assert(spark.conf.getOption(novel).isEmpty,
+      "withConf must unset a conf that had no prior value")
+  }
 }

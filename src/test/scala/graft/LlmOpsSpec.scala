@@ -169,6 +169,40 @@ class LlmOpsSpec extends SparkSuite {
       s"embed-LSH recall $recall below pinned 0.9 (${allp.size} true pairs)")
   }
 
+  test("production-tau embed-LSH (t=0.9): full recall on a clustered fixture, exact precision") {
+    import spark.implicits._
+    // the tau=0.9 operating point (dedupEmbedLshTau, SCALING.md r6)
+    // on data with REAL near-dup structure: 20 clusters x 10 near-
+    // identical centered vectors (the q_dedup_semantic spec fixture
+    // pattern) — every within-cluster pair has cos ~ 1 and must
+    // survive the longer adaptive band keys; cross-cluster pairs are
+    // near-orthogonal and must be filtered by the exact cosine
+    val dir = java.nio.file.Files.createTempDirectory("graft_tau9").toString
+    spark.range(0, 200).select($"id".as("vec_id"))
+      .withColumn("c", $"vec_id" % 20)
+      .withColumn("label", ($"vec_id" % 10).cast("int"))
+      .withColumn("embedding", expr(
+        """transform(sequence(1, 64), d -> CAST(
+          |  (pmod(hash(c * 131 + d), 1000) / 1000.0 - 0.5) +
+          |  (pmod(hash(vec_id * 17 + d), 100) / 50000.0 - 0.001)
+          |  AS FLOAT))""".stripMargin))
+      .select("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = TrainingOps.dedupEmbedLshTau(spark, dir)
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      c <- 0L until 20L; i <- 0L until 10L; j <- (i + 1) until 10L
+    } yield (c + i * 20, c + j * 20)).toSet
+    assert(expected.subsetOf(got),
+      s"tau=0.9 LSH missed ${(expected -- got).size} of ${expected.size} within-cluster pairs")
+    // precision: anything beyond the within-cluster pairs must still
+    // genuinely clear the 0.9 threshold — on this fixture the
+    // cross-cluster cosines are ~0, so the sets should be EQUAL
+    assert(got == expected,
+      s"tau=0.9 LSH emitted ${(got -- expected).size} cross-cluster pairs")
+  }
+
   test("IVF ANN recall vs brute-force top-3 is pinned") {
     import spark.implicits._
     // nprobe=1 IVF: a true neighbor is findable only when it shares
