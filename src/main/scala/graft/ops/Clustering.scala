@@ -133,6 +133,11 @@ object Clustering {
     val e = t(s, dir, "embeddings")
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    // single consumer, single execution: the lazy 3-iteration chain
+    // pipelines into the window in one pass — A/B'd the AQE-off
+    // materialization NEUTRAL here (r6; it adds a cache round-trip
+    // the one-shot consumer never amortizes), unlike the multi-
+    // consumer/multi-execution cores that got the scope
     val (_, assigned) = kmeans(e, 8, 3, cacheFinal = false)
     val w = Window.partitionBy($"cent_id").orderBy($"d2".asc, $"vec_id".asc)
     assigned
