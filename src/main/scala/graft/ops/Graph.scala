@@ -29,15 +29,17 @@ object Graph {
     * nodes; at larger graphs shrink the unit (1e9 keeps 100M nodes
     * exact) — the arithmetic is unit-agnostic.
     *
-    * Scale shape: the edge list (with degree attached) is built once
-    * and cached — it is the only corpus-sized state; each iteration
-    * is ONE equi-join (ranks ⋈ edges on src) + ONE combinable
-    * dst-keyed sum, i.e. the standard Pregel step as two shuffles on
-    * stable keys (AQE reuses the exchange partitioning). 5 fixed
-    * iterations unroll into a single declarative plan — no
-    * driver-side data, no collect; for unbounded iteration counts
-    * use the localCheckpoint-per-round pattern of
-    * [[TrainingOps.qDedupComponents]].
+    * Scale shape: the edge list is built once and cached — it is the
+    * only corpus-sized state; degrees are a combinable node-sized
+    * aggregate over it. Each iteration BROADCASTS the node-sized
+    * rank-with-degree frame into the edge join (no edge shuffle per
+    * round) and pays ONE exchange: the combinable dst-keyed
+    * contribution sum. At graphs where the rank table itself stops
+    * broadcasting (≳10⁸ nodes), flip the join back to shuffle form —
+    * both sides then partition by the stable key and AQE reuses the
+    * exchange; the iteration count and arithmetic are unchanged. For
+    * unbounded iteration counts use the localCheckpoint-per-round
+    * pattern of [[TrainingOps.qDedupComponents]].
     *
     * Node ids: customers → 2·custkey, suppliers → 2·suppkey+1 (both
     * engines derive node_type/node_key back out by parity).
@@ -66,15 +68,21 @@ object Graph {
     // FROM the cache rather than re-running the upstream scan.
     val (nodes, finalRanks) =
       core.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
-        val withDeg = edges.select($"src", $"dst",
-          count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy($"src"))
-            .as("deg")).transform(core.cached)
-        val nds = withDeg.select($"src", $"deg").dropDuplicates("src")
+        // degree via a COMBINABLE groupBy over the cached edge list —
+        // node-sized output, map-side partials — instead of a
+        // src-partitioned window, which sort-shuffles the full
+        // edge-grain frame just to annotate it. Each iteration joins
+        // edges ⋈ (ranks ⋈ deg): the rank-with-degree side is
+        // node-sized (broadcastable), so the only per-iteration
+        // exchange is the dst-keyed contribution sum.
+        val e = edges.transform(core.cached)
+        val nds = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+          .transform(core.cached)
         var ranks = nds.select($"src".as("node"), lit(1000000000000L).as("r"))
         for (_ <- 1 to iters) {
-          ranks = withDeg.join(ranks, $"src" === $"node")
-            .select($"dst", expr("r DIV deg").as("contrib"))
+          val rd = ranks.join(nds, $"node" === nds("src"))
+            .select($"node", expr("r DIV deg").as("contrib"))
+          ranks = e.join(broadcast(rd), e("src") === rd("node"))
             .groupBy($"dst").agg(sum($"contrib").as("m"))
             .select($"dst".as("node"),
               (lit(150000000000L) + expr("(85 * m) DIV 100")).as("r"))
@@ -83,7 +91,7 @@ object Graph {
         f.count()
         (nds, f)
       }
-    finalRanks.join(nodes, $"node" === $"src")
+    finalRanks.join(nodes, $"node" === nodes("src"))
       .select($"node", $"deg", $"r".as("rank_micro"))
   }
 
