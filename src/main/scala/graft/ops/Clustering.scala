@@ -210,6 +210,15 @@ object Clustering {
   def qEmbedPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sub = pqSub(s, dir)
+    // recon_err is the EXACT DECIMAL(20,8) sum cast to double — NOT
+    // re-rounded to 6 dp. The 10× gate (CORRECTNESS_10x) caught a
+    // divergence r6(…) cannot survive: an 8-dp decimal sum lands on
+    // an exact 7th-decimal midpoint (…4.0945835) often enough at
+    // 50 k rows, and there Spark's round (shortest-decimal-string
+    // HALF_UP → .584) disagrees with DuckDB's round (C std::round of
+    // the BINARY value 4.09458349999… → .583). A correctly-rounded
+    // DECIMAL→DOUBLE cast is the same bits in both engines; rounding
+    // a second time is what reintroduces engine dependence.
     pqAssign(sub, pqBooks(sub))
       .groupBy($"vec_id")
       .agg(
@@ -217,7 +226,7 @@ object Clustering {
           .as("code"),
         sum(expr("CAST(round(w.d2, 8) AS DECIMAL(20, 8))")).as("errsum"))
       .select($"vec_id", $"code",
-        r6($"errsum".cast("double")).as("recon_err"))
+        $"errsum".cast("double").as("recon_err"))
       .orderBy($"vec_id")
   }
 
@@ -273,8 +282,10 @@ object Clustering {
       .agg(sum($"ad").as("adist"))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
+      // exact DECIMAL→DOUBLE cast, no re-round — the qEmbedPq
+      // midpoint note; ranking already compares the exact decimals
       .select($"q_id", $"rk", $"vec_id",
-        r6($"adist".cast("double")).as("adist"))
+        $"adist".cast("double").as("adist"))
       .orderBy($"q_id", $"rk")
   }
 
@@ -445,7 +456,7 @@ object Clustering {
          |SELECT vec_id,
          |  CAST(sum((cent_id - 1) * (CAST(1 AS BIGINT) << (4 * s)))
          |    AS BIGINT) AS code,
-         |  round(CAST(sum(CAST(round(d2, 8) AS DECIMAL(20, 8))) AS DOUBLE), 6)
+         |  CAST(sum(CAST(round(d2, 8) AS DECIMAL(20, 8))) AS DOUBLE)
          |    AS recon_err
          |FROM asg GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
@@ -465,7 +476,7 @@ object Clustering {
          |  WHERE l.q_id <> a.vec_id
          |  GROUP BY 1, 2)
          |SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id,
-         |  round(CAST(adist AS DOUBLE), 6) AS adist
+         |  CAST(adist AS DOUBLE) AS adist
          |FROM (SELECT *, row_number() OVER (
          |        PARTITION BY q_id ORDER BY adist, vec_id) AS rk
          |      FROM sc)
