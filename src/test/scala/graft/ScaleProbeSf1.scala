@@ -26,8 +26,16 @@ import org.apache.spark.sql.functions._
 object ScaleProbeSf1 {
 
   private def synDir(spark: SparkSession, scale: Int): String = {
+    // v2 (r6): FULL sf0.1 schemas — region/nation/customer/supplier/
+    // part/events and the complete orders/lineitem column sets — so
+    // the 10× correctness gate covers the relational/window/scalar
+    // families too, not just the documents/embeddings ops. Everything
+    // stays hash-derived and deterministic; money columns are 2-dp
+    // (cents-exact); events.ts is written as MICROS TimestampType
+    // (core.events' pass-through branch — the real fixtures' NANOS
+    // shape is covered by the real tables).
     val base = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_sfsyn_$scale")
+      System.getProperty("java.io.tmpdir"), s"graft_sfsyn_v2_$scale")
     val done = new java.io.File(base, "_DONE")
     if (done.exists()) return base.getAbsolutePath
     val nDocs = 5000L * scale
@@ -36,6 +44,69 @@ object ScaleProbeSf1 {
     val nLines = 600000L * scale
     val nCust = 15000L * scale
     val nSupp = 1000L * scale
+    val nPart = 20000L * scale
+    val nEvents = 100000L * scale
+
+    val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+    spark.range(0, 5).select(col("id").cast("int").as("r_regionkey"),
+        element_at(array(regions.map(lit): _*), col("id").cast("int") + 1)
+          .as("r_name"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/region.parquet")
+    spark.range(0, 25).select(col("id").cast("int").as("n_nationkey"),
+        concat(lit("NATION_"), col("id")).as("n_name"),
+        (col("id") % 5).cast("int").as("n_regionkey"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/nation.parquet")
+
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    spark.range(0, nCust).select((col("id") + 1).as("c_custkey"),
+        concat(lit("Customer#"), col("id") + 1).as("c_name"),
+        pmod(hash(col("id") * 7), lit(25)).cast("int").as("c_nationkey"),
+        (pmod(hash(col("id") * 11), lit(1100000)) / 100.0 - 1000.0)
+          .as("c_acctbal"),
+        element_at(array(segs.map(lit): _*),
+          pmod(hash(col("id") * 13), lit(5)).cast("int") + 1)
+          .as("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$base/customer.parquet")
+    spark.range(0, nSupp).select((col("id") + 1).as("s_suppkey"),
+        concat(lit("Supplier#"), col("id") + 1).as("s_name"),
+        pmod(hash(col("id") * 17), lit(25)).cast("int").as("s_nationkey"),
+        (pmod(hash(col("id") * 19), lit(1100000)) / 100.0 - 1000.0)
+          .as("s_acctbal"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/supplier.parquet")
+
+    val colors = Seq("red", "blue", "green", "small", "large")
+    val things = Seq("widget", "bolt", "ring", "case", "spring")
+    val types = Seq("STANDARD", "LARGE", "MEDIUM", "PROMO", "SMALL")
+    spark.range(0, nPart).select((col("id") + 1).as("p_partkey"),
+        concat(
+          element_at(array(colors.map(lit): _*),
+            pmod(hash(col("id") * 3), lit(5)).cast("int") + 1),
+          lit(" "),
+          element_at(array(things.map(lit): _*),
+            pmod(hash(col("id") * 5), lit(5)).cast("int") + 1))
+          .as("p_name"),
+        concat(lit("Brand#"),
+          pmod(hash(col("id") * 7), lit(25)) + 1).as("p_brand"),
+        element_at(array(types.map(lit): _*),
+          pmod(hash(col("id") * 11), lit(5)).cast("int") + 1).as("p_type"),
+        (pmod(hash(col("id") * 13), lit(50)) + 1).cast("int").as("p_size"),
+        (pmod(hash(col("id") * 17), lit(190000)) / 100.0 + 100.0)
+          .as("p_retailprice"))
+      .write.mode("overwrite").parquet(s"$base/part.parquet")
+
+    val evTypes = Seq("click", "error", "purchase", "signup", "view")
+    spark.range(0, nEvents).select((col("id") + 1).as("event_id"),
+        timestamp_micros(lit(1704067200000000L) +
+          pmod(hash(col("id") * 23), lit(30L * 86400)) * 1000000L).as("ts"),
+        (pmod(hash(col("id") * 29), lit(nCust)) + 1).as("user_id"),
+        element_at(array(evTypes.map(lit): _*),
+          pmod(hash(col("id") * 31), lit(5)).cast("int") + 1)
+          .as("event_type"),
+        (pmod(hash(col("id") * 37), lit(100000)) / 100.0).as("value"),
+        concat(lit("{\"k\": "), pmod(hash(col("id") * 41), lit(100)),
+          lit("}")).as("props"))
+      .write.mode("overwrite").parquet(s"$base/events.parquet")
 
     // documents: clusters of 10 share lang/source and 53/54 tokens
     spark.range(0, nDocs).select(col("id").as("doc_id"))
@@ -72,9 +143,9 @@ object ScaleProbeSf1 {
       .select("vec_id", "label", "embedding")
       .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
 
-    // orders / lineitem: 4 lines per order, hash-spread cust/supp keys;
-    // status/price columns present so the table-maintenance keys
-    // (q_merge_upsert, q_join_bucketed) run on the probe fixtures too
+    // orders / lineitem: 4 lines per order, hash-spread keys, the
+    // FULL sf0.1 column sets (v2) — dates span 1995..2001 like the
+    // real fixtures so literal date predicates stay selective
     spark.range(0, nOrders)
       .select((col("id") + 1).as("o_orderkey"),
         (pmod(hash(col("id") * 31), lit(nCust)) + 1).as("o_custkey"),
@@ -82,13 +153,35 @@ object ScaleProbeSf1 {
           pmod(hash(col("id") * 7), lit(3)).cast("int") + 1)
           .as("o_orderstatus"),
         (pmod(hash(col("id") * 11), lit(900000)) / 100.0 + 100.0)
-          .as("o_totalprice"))
+          .as("o_totalprice"),
+        timestamp_micros(lit(788918400000000L) +
+          pmod(hash(col("id") * 43), lit(2400L * 86400)) * 1000000L)
+          .as("o_orderdate"),
+        element_at(array(Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+            "4-NOT SPECIFIED", "5-LOW").map(lit): _*),
+          pmod(hash(col("id") * 47), lit(5)).cast("int") + 1)
+          .as("o_orderpriority"))
       .write.mode("overwrite").parquet(s"$base/orders.parquet")
     spark.range(0, nLines)
       .select(expr("id DIV 4 + 1").as("l_orderkey"),
+        (pmod(hash(col("id") * 53), lit(nPart)) + 1).as("l_partkey"),
         (pmod(hash(col("id") * 13), lit(nSupp)) + 1).as("l_suppkey"),
+        (col("id") % 4 + 1).cast("int").as("l_linenumber"),
+        (pmod(hash(col("id") * 59), lit(50)) + 1).cast("double")
+          .as("l_quantity"),
         (pmod(hash(col("id") * 29), lit(500000)) / 100.0 + 1.0)
-          .as("l_extendedprice"))
+          .as("l_extendedprice"),
+        (pmod(hash(col("id") * 61), lit(11)) / 100.0).as("l_discount"),
+        (pmod(hash(col("id") * 67), lit(9)) / 100.0).as("l_tax"),
+        element_at(array(Seq("A", "N", "R").map(lit): _*),
+          pmod(hash(col("id") * 71), lit(3)).cast("int") + 1)
+          .as("l_returnflag"),
+        element_at(array(Seq("F", "O").map(lit): _*),
+          pmod(hash(col("id") * 73), lit(2)).cast("int") + 1)
+          .as("l_linestatus"),
+        timestamp_micros(lit(789004800000000L) +
+          pmod(hash(col("id") * 79), lit(2450L * 86400)) * 1000000L)
+          .as("l_shipdate"))
       .write.mode("overwrite").parquet(s"$base/lineitem.parquet")
 
     done.createNewFile()
@@ -130,6 +223,13 @@ object ScaleProbeSf1 {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    if (args.contains("gen10")) {
+      // generation-only mode: build the 10× full-schema fixture and
+      // print its path (the 10× correctness gate drives Verify+diff
+      // against it separately)
+      println("SYNDIR10=" + synDir(spark, 10))
+      spark.stop(); return
+    }
     if (args.contains("100x")) {
       // third decade for the adaptive ANN fixes: 200 k vectors
       val d10 = synDir(spark, 10)
