@@ -225,6 +225,15 @@ object Aggregates {
     * integer construction like the cents keys. If a future oracle
     * host's libm drifts onto a 12th-digit midpoint, re-derive the
     * term from exact integers (c, n) in both engines instead.
+    *
+    * Output (r7): the DECIMAL(38,12) sum is emitted as a plain
+    * `CAST(… AS DOUBLE)`, never re-rounded — the q_embed_pq rule.
+    * The cast is bit-identical across engines BECAUSE the unscaled
+    * value fits 2^53: H ≤ ln(k) ≤ ~4, so |sum|·10^12 < 9.0e15 at any
+    * scale (entropy is bounded by type cardinality, not row count),
+    * making DuckDB's hugeint→double step exact and its ÷10^12 a
+    * single correctly-rounded operation, equal to Spark's
+    * correctly-rounded BigDecimal cast.
     */
   /** Gini concentration coefficient of event value per type — the
     * inequality statistic behind "is this source/segment dominated by
@@ -275,7 +284,7 @@ object Aggregates {
         "CAST(round(-(c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)), 12) AS DECIMAL(28, 12))"))
       .groupBy($"user_id")
       .agg(max($"n").as("n_events"), count(lit(1)).as("n_types"),
-        r6(sum($"term").cast("double")).as("entropy"))
+        sum($"term").cast("double").as("entropy"))
       .orderBy($"user_id")
   }
 
@@ -426,23 +435,25 @@ object Aggregates {
     * event's cents value is weighted by 2^(−age/7d), age measured
     * back from the corpus max timestamp — the recency-weighted
     * feature online systems keep incrementally and batch systems
-    * recompute exactly like this. Each term is rounded to 12-dp
-    * DECIMAL before the sum (order-independent, §5.3).
+    * recompute exactly like this.
     *
-    * Determinism is EMPIRICAL here, not by-construction: (a) `power`
-    * is libm in both engines (assumed ≤1-ulp, as in [[qAggEntropy]]);
-    * (b) unlike entropy (terms ~1, ulp 2e-16 ≪ the 1e-12 grid), terms
-    * reach ~5.6e4 cents at sf0.1 where ulp ≈ 7e-12 EXCEEDS the grid,
-    * so for those terms the 12-dp DECIMAL digit is decided by each
-    * engine's double→decimal convention (Spark shortest-string vs
-    * DuckDB exact-binary) and can differ by ~2e-12 per term. Those
-    * per-term wiggles only surface if a user's sum lands within ~1e-10
-    * of an r6 midpoint — verified green at all 3 fixed fixtures, and
-    * deterministic per fixture; a new SF re-rolls that lottery. Any
-    * re-quantization (coarser pre-round, integer weights) just trades
-    * divergence frequency for magnitude — the only by-construction fix
-    * is dyadic stepped decay (0.5^floor(weeks), exact in double),
-    * which changes the op's continuous semantics, so it stays as is.
+    * Determinism (r7, by construction — the pagerank BIGINT-units
+    * rule): the WEIGHT, not the term, is quantized — w_u =
+    * `round(2^(−age/7d) · 1e6, 0)` as BIGINT. The weight lives in
+    * [0, 1e6], so the ≤1-ulp cross-engine libm `power` noise is
+    * ≤ ulp(1e6) ≈ 1.2e-10 against a grid of 1 — a boundary flip needs
+    * the true product within 1.2e-10 of an x.5, odds ~1.2e-10/event
+    * (an r7 first cut quantized the TERM value_c·w·1e6 instead, where
+    * ulp(5.6e10) ≈ 1.2e-5 per term flipped one row in ~1e5 events at
+    * sf0.1 — measured, not hypothetical). Every integer-grid midpoint
+    * x.5 is dyadic, hence exactly representable, so Spark's
+    * shortest-string rounding and DuckDB's binary rounding see the
+    * same value and agree (the string-vs-binary trap is impossible at
+    * scale 0). term_u = value_c·w_u is then BIGINT×BIGINT exact, the
+    * per-user sum ≤ ~5.6e13 < 2^53 casts exactly, and the single
+    * ÷1e6 is correctly rounded — bit-identical output with NO final
+    * rounding. Semantics note: weights < 5e-7 (events older than
+    * ~21 weeks) quantize to 0 — a documented decay cutoff.
     *
     * Scale shape: the max-ts is a 1-row broadcast (same class as AQE
     * stats), then one combinable user-keyed aggregation.
@@ -461,13 +472,14 @@ object Aggregates {
   def decayed(ev: DataFrame): DataFrame = {
     val mx = ev.agg(max(col("ts")).as("mx_ts"))
     ev.crossJoin(broadcast(mx))
-      .withColumn("term", expr(
-        """CAST(round(value_c * power(0.5,
-          |  (unix_micros(mx_ts) - unix_micros(ts)) / 604800000000.0), 12)
-          |AS DECIMAL(28, 12))""".stripMargin))
+      .withColumn("term_u", expr(
+        """value_c * CAST(round(power(0.5,
+          |  (unix_micros(mx_ts) - unix_micros(ts)) / 604800000000.0)
+          |  * 1000000.0, 0) AS BIGINT)""".stripMargin))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        r6(sum(col("term")).cast("double")).as("decayed_value"))
+        (sum(col("term_u")).cast("double") / lit(1000000.0))
+          .as("decayed_value"))
   }
 
   /** Per-user linear trend (least-squares slope of value over time),
@@ -753,20 +765,21 @@ object Aggregates {
         |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n
         |  FROM counts GROUP BY 1)
         |SELECT c.user_id, max(t.n) AS n_events, count(*) AS n_types,
-        |  round(CAST(sum(
+        |  CAST(sum(
         |    CAST(round(-(c.c / CAST(t.n AS DOUBLE))
         |      * ln(c.c / CAST(t.n AS DOUBLE)), 12) AS DECIMAL(28, 12)))
-        |    AS DOUBLE), 6) AS entropy
+        |    AS DOUBLE) AS entropy
         |FROM counts c JOIN totals t USING (user_id)
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
 
     "q_agg_decay" ->
       """WITH mx AS (SELECT max(ts) AS mx_ts FROM events)
         |SELECT user_id, count(*) AS n_events,
-        |  round(CAST(sum(CAST(round(
-        |    CAST(round(value * 100) AS BIGINT) * power(0.5,
-        |      date_diff('microsecond', ts, mx.mx_ts) / 604800000000.0),
-        |    12) AS DECIMAL(28, 12))) AS DOUBLE), 6) AS decayed_value
+        |  CAST(CAST(sum(
+        |    CAST(round(value * 100) AS BIGINT) * CAST(round(power(0.5,
+        |      date_diff('microsecond', ts, mx.mx_ts) / 604800000000.0)
+        |    * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |    / 1000000.0 AS decayed_value
         |FROM events, mx
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 

@@ -307,6 +307,18 @@ object Corpus {
     * the per-doc sum (the [[Aggregates.qAggEntropy]] pattern, same
     * libm caveat documented there); the c_doc multiplier is an exact
     * DECIMAL(8,0) so the product and sum are order-independent.
+    * The output r6 is the SAFE divide-then-round class (the kmeans
+    * rule), not a decimal re-round: avg_nll = −s/n is a quotient of
+    * the decimal sum by an arbitrary integer, so its double is a
+    * generic mantissa whose shortest string virtually never
+    * terminates at a 7-dp midpoint (the mechanism that forced the
+    * q_embed_pq CAST fix requires the value itself to BE a short
+    * decimal). Audited residual (r7): if |s|·10^12 exceeds 2^53
+    * (needs n_tokens·ln(T) ≳ 9000 — the largest docs at 10× corpus
+    * get close), DuckDB's decimal→double cast may differ from Spark's
+    * by 1 ulp of s (~2e-12); after ÷n and r6 that shifts the output
+    * only if avg_nll sits within ~1e-14 of a 6-dp midpoint — odds
+    * ≲1e-8/row, dominated by the shared libm-ln assumption.
     *
     * Scale shape: ONE explode feeds both the per-(doc,token) counts
     * and the vocabulary table (derived by re-aggregating the counts,
@@ -342,7 +354,11 @@ object Corpus {
     * (n_l·c_w)) — every ln argument is an exact integer ratio, each
     * term pre-rounded to 12-dp DECIMAL before the sum (the
     * entropy/perplexity discipline: order-independent sums, one
-    * documented libm assumption).
+    * documented libm assumption). The output r6 is the safe
+    * divide-then-round (kmeans-rule) class — see the
+    * [[qTextPerplexity]] note: rounding the quotient sk/n_l cannot
+    * hit the decimal-midpoint trap, and the >2^53 cast residual is
+    * ≲1e-8/row after the ÷n_l attenuation.
     *
     * Scale shape: one explode feeds every aggregate; the per-lang
     * token table is the only corpus-sized shuffle (combinable); the
