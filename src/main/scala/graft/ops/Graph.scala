@@ -95,6 +95,33 @@ object Graph {
       .select($"node", $"deg", $"r".as("rank_micro"))
   }
 
+  /** The distinct (customer, supplier) transaction pair list — the
+    * base relation of this whole family — persisted ONCE per (dir,
+    * JVM) via [[core.persistedIndex]] (VERDICT r6 task 1: five keys —
+    * pagerank, degree, khop, cooccur, sql_recursive — each rebuilt
+    * the orders ⋈ lineitem → distinct derivation from scratch, ≈17 s
+    * of a 99 s bench; at 100 TB an edge list derived from two fact
+    * tables IS a materialized view you build once and refresh on
+    * ingest). Content: raw keys (c, s) — every consumer derives its
+    * own encoding (parity node ids, undirected doubling) from the
+    * ~node-sized pair file instead of the fact tables.
+    * GraphEdgeIndexSpec pins build-once and read ≡ rebuild.
+    */
+  def custSuppPairsDir(s: SparkSession, dir: String): String =
+    core.persistedIndex("cspairs", dir) { path =>
+      import s.implicits._
+      t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey".as("c"), $"l_suppkey".as("s"))
+        .distinct()
+        .write.mode("overwrite").parquet(path)
+    }
+
+  /** The distinct (c, s) pair list, served from the persisted index. */
+  def custSuppPairs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(custSuppPairsDir(s, dir))
+
   /** The undirected customer↔supplier transaction graph, shared by
     * every key in this family: an edge per distinct (customer,
     * supplier) pair that transacted (orders ⋈ lineitem), both
@@ -103,11 +130,8 @@ object Graph {
     */
   private def custSuppEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
-      .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
-        $"l_orderkey" === $"o_orderkey")
-      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
-      .distinct()
+    val pairs = custSuppPairs(s, dir)
+      .select(($"c" * 2).as("src"), ($"s" * 2 + 1).as("dst"))
     pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
   }
 
@@ -164,10 +188,7 @@ object Graph {
   def qGraphCooccur(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val eg = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
-      .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
-        $"l_orderkey" === $"o_orderkey")
-      .select($"o_custkey".as("c"), $"l_suppkey".as("s")).distinct()
+    val eg = custSuppPairs(s, dir)
     // the capped pair space (Σ min(cnt, 32)² candidates collapsing to
     // ≤ supplier² counts) materializes AQE-off: the chain is four
     // small stable stages (window, self-join, two aggs) where

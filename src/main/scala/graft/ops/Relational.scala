@@ -572,18 +572,17 @@ object Relational {
       "_" + sqlrSeq.incrementAndGet()
     // two cost traps, both found by measurement (17 s at sf0.1):
     //  - the recursion re-evaluates every referenced view ONCE PER
-    //    STEP (no mid-loop materialization point), so the
-    //    orders⋈lineitem edge derivation is cached (Verify/Bench
-    //    clear caches between keys — core.scala contract);
+    //    STEP (no mid-loop materialization point), so the edge list
+    //    is cached (Verify/Bench clear caches between keys —
+    //    core.scala contract); since r7 the pair base itself comes
+    //    from the persisted Graph.custSuppPairs index, so the
+    //    orders⋈lineitem derivation isn't re-paid either;
     //  - a join condition whose CASE touches BOTH sides is not
     //    separable into equi-keys and degrades to a nested loop —
     //    doubling the edge list (src, dst) up front keeps every
     //    recursive step a plain equi-join on src.
-    val pairs = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
-      .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
-        $"l_orderkey" === $"o_orderkey")
-      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
-      .distinct()
+    val pairs = Graph.custSuppPairs(s, dir)
+      .select(($"c" * 2).as("src"), ($"s" * 2 + 1).as("dst"))
     // NOT AQE-off-scoped, unlike the DataFrame iterative cores: the
     // recursive UnionLoop's steps vary in size (frontier growth) and
     // each step materializes anyway, which is exactly AQE's sweet

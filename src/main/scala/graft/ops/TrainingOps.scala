@@ -532,21 +532,16 @@ object TrainingOps {
     * IVF-flat index file holds. IvfIndexSpec pins one build per JVM
     * and read-vs-rebuild equality.
     */
-  private val ivfIndex =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Build (once per JVM) and return the IVF index path for `dir`:
     * max(16, ⌈√n⌉) hash-ranked centroids, nearest-centroid assignment
     * by raw cosine with deterministic (c_cos desc, cent_id) rank.
+    * Path/build hygiene (hashing, pid isolation, build-cost logging)
+    * lives in [[core.persistedIndex]] (ADVICE r6).
     */
   def ivfIndexDir(s: SparkSession, dir: String): String =
-    ivfIndex.computeIfAbsent(dir, _ => {
+    core.persistedIndex("ivf", dir) { base =>
       import s.implicits._
       import graft.functions.DotProduct.dot
-      val base = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        "graft_ivf_index-" + dir.replaceAll("[^A-Za-z0-9.-]", "_"))
-        .getAbsolutePath
       val e = core.cached(LlmOps.normed(s, dir))
       // n memoized per JVM (core.statCount) — the statCount scaladoc
       val nCells = math.max(16L, math.ceil(math.sqrt(
@@ -591,8 +586,7 @@ object TrainingOps {
         .repartition(col("cent_id"))
         .write.mode("overwrite").parquet(base)
       e.unpersist()
-      base
-    })
+    }
 
   def qSimAnnIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
