@@ -231,15 +231,26 @@ object Corpus {
     import s.implicits._
     val shardOf = (c: org.apache.spark.sql.Column) =>
       pmod(xxhash64(c), lit(k.toLong))
-    // one scalar-subquery bloom per shard (might_contain demands a
-    // constant/scalar-subquery filter side — the GraftBridge note on
-    // [[bloomProbeOf]]); the k branches union into one plan, each
-    // probing only its shard's rows against its shard's bloom
+    // ONE pass over history builds all k blooms (ADVICE r6: the r6
+    // form ran one filtered scalar-subquery aggregate per shard — k
+    // full history scans per prefilter call): a shard-keyed groupBy
+    // with combinable bloom partials yields a k-row frame, cached and
+    // materialized so each probe branch's scalar subquery reads the
+    // k-row cache, never the corpus. batch is cached for the same
+    // reason — its k shard-filtered branches re-scan cache storage.
+    // A shard with no history rows yields no bloom row ⇒ the scalar
+    // subquery is NULL ⇒ the probe filter drops the branch's rows,
+    // exactly like the old per-shard empty aggregate (no history in
+    // the shard ⇒ nothing can be a duplicate).
+    val blooms = core.cached(
+      hist.groupBy(shardOf($"pfx").as("shard"))
+        .agg(bloomAggOf($"pfx", itemsPerShard, bits).as("bf")))
+    blooms.count()
+    val b = core.cached(batch)
     (0 until k).map { i =>
-      val b = hist.filter(shardOf($"pfx") === i)
-        .agg(bloomAggOf($"pfx", itemsPerShard, bits).as("bf"))
-      batch.filter(shardOf($"pfx") === i)
-        .filter(bloomProbeOf(b, $"pfx"))
+      val bl = blooms.filter($"shard" === i).select($"bf")
+      b.filter(shardOf($"pfx") === i)
+        .filter(bloomProbeOf(bl, $"pfx"))
         .select($"doc_id", $"pfx")
     }.reduce(_ unionByName _)
   }

@@ -168,14 +168,28 @@ object core {
     * 3.7 s at local[32]), while the 100 TB posture keeps AQE ON for
     * everything data-sized outside these scopes (skew splits,
     * coalescing, runtime join re-plans).
+    *
+    * Concurrency contract (ADVICE r6): the session conf is GLOBAL to
+    * the session, so a query planned concurrently on another thread
+    * during `body` sees the override — the mains and the suites plan
+    * one query at a time per session, which is the supported mode.
+    * What IS guarded: two overlapping withConf scopes on one session
+    * (per-session lock below), so an interleaved set/restore can
+    * never leave the wrong value stuck after both exit. Code that
+    * genuinely needs concurrent planning under different confs should
+    * use `spark.newSession()` (shared state, private conf) instead.
     */
-  def withConf[T](spark: SparkSession, kvs: (String, String)*)(body: => T): T = {
-    val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally olds.foreach { case (k, o) =>
-      o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
-  }
+  private val confLocks =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Object]()
+
+  def withConf[T](spark: SparkSession, kvs: (String, String)*)(body: => T): T =
+    confLocks.computeIfAbsent(spark, _ => new Object).synchronized {
+      val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally olds.foreach { case (k, o) =>
+        o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
 
   /** [[withConf]] specialized to the iterative-core pattern: build a
     * frame, cache it, and MATERIALIZE it with AQE disabled, returning
