@@ -309,6 +309,44 @@ object Clustering {
     * computes the identical rawcos twice, so the (a, b) group-by
     * collapses duplicates exactly; min(cent_id) is pure integer.
     */
+  /** The semantic-dedup blocking centroid set: ONE Lloyd pass (r6 —
+    * the centroids only BLOCK here; pair recall depends on near-dups
+    * landing in a shared probe cell, not on centroid convergence, and
+    * ClusteringSpec pins that one pass still recovers every
+    * within-cluster pair on the clustered fixture; measured ~2×
+    * faster than three passes at both probe scales) followed by the
+    * r7 cell-split rebalance (VERDICT r6 task 4): one pass leaves
+    * cells less balanced than convergence would, and the pair bound
+    * is Σ(2·cell)² — a few oversized cells carry a growing constant
+    * at scale. Any cell holding more than TWICE the integer
+    * even-split target ⌈n/k⌉ promotes its FARTHEST member (max d2,
+    * min vec_id tiebreak — a combinable max(struct), so the stats
+    * pass is cell-sized, never corpus-sized) as an extra centroid;
+    * the caller's probe assignment then runs against the enlarged
+    * set, so an oversized region splits between its old centre and
+    * its remotest point. Promoted ids start at k + 1 (original ids
+    * never exceed k) via a window over the ≤k-row stats frame. The
+    * oracle mirrors the identical integer threshold ((n + k − 1) //
+    * k) and the same (d2 desc, vec_id) farthest choice.
+    * kmeans(cacheFinal = true): the pass's own assignment feeds the
+    * split stats as cache reads, not a chain re-execution.
+    */
+  def semanticCentroids(e: DataFrame, kSem: Int, n: Long): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (cents, a1) = kmeans(e, kSem, 1)
+    val target = (n + kSem - 1) / kSem
+    val promoted = a1.groupBy($"cent_id")
+      .agg(count(lit(1)).as("sz"),
+        max(struct($"d2", (-$"vec_id").as("nv"), $"emb")).as("far"))
+      .filter($"sz" > lit(2L) * target)
+      .withColumn("new_id",
+        lit(kSem.toLong) + row_number().over(Window.orderBy($"cent_id")))
+      .select($"new_id".cast("int").as("cent_id"), $"far.emb".as("c_emb"))
+    cents.union(promoted)
+  }
+
   def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -324,19 +362,8 @@ object Clustering {
     // cross-engine exact).
     val kSem = math.max(8L, math.ceil(math.sqrt(
       core.statCount(dir + "#embeddings", e).toDouble)).toLong).toInt
-    // ONE Lloyd pass (r6): the centroids only BLOCK here — pair recall
-    // depends on near-dups landing in a shared probe cell, not on
-    // centroid convergence, and ClusteringSpec pins that one pass
-    // still recovers every within-cluster pair on the clustered
-    // fixture. Measured ~2× faster than three passes at both probe
-    // scales (min-of-2: 2.9 s/9.9 s vs the r5 6.6 s/18.6 s at
-    // 1×/10×). Known trade (SCALING.md r6): one pass leaves cells
-    // less balanced, so the Σ(2·cell)² pair bound carries a larger
-    // constant at scale — a production deployment runs the k-means
-    // once in the INDEX build (the qSimAnnIvf amortization) and can
-    // afford full convergence there; per-query blocking cannot.
-    // Single consumer of the kmeans chain (the centroids) — no cache.
-    val (cents, _) = kmeans(e, kSem, 1, cacheFinal = false)
+    val cents2 = semanticCentroids(e, kSem,
+      core.statCount(dir + "#embeddings", e))
     val probeW = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cent_id".asc)
     // cached + materialized: the pair self-join reads the membership
     // frame twice — plans are trees (the qMlKmeans cache note) — and
@@ -344,7 +371,7 @@ object Clustering {
     // node-sized chain the AQE-off scope exists for (the pagerank
     // rationale); the pair join itself stays outside, under AQE
     val m = core.noAqeMaterialized(s) {
-      e.crossJoin(broadcast(cents))
+      e.crossJoin(broadcast(cents2))
         .withColumn("d2", dist2($"emb", $"c_emb"))
         .withColumn("rn", row_number().over(probeW))
         .filter($"rn" <= 2)
@@ -484,6 +511,23 @@ object Clustering {
 
     "q_dedup_semantic" ->
       s"""${kmeansCtes("(SELECT c FROM kp)", 1, kpCte)},
+         |tgt AS (
+         |  SELECT (count(*) + (SELECT c FROM kp) - 1) // (SELECT c FROM kp)
+         |    AS t
+         |  FROM e),
+         |spl AS (
+         |  SELECT CAST((SELECT c FROM kp)
+         |           + row_number() OVER (ORDER BY f.cent_id) AS INTEGER)
+         |           AS cent_id,
+         |         f.emb AS c_emb
+         |  FROM (SELECT cent_id FROM a1 GROUP BY cent_id
+         |        HAVING count(*) > 2 * (SELECT t FROM tgt)) s
+         |  JOIN (SELECT cent_id, emb, row_number() OVER (
+         |          PARTITION BY cent_id ORDER BY d2 DESC, vec_id) AS rf
+         |        FROM a1) f
+         |    ON f.cent_id = s.cent_id AND f.rf = 1),
+         |c1s AS (SELECT cent_id, c_emb FROM c1
+         |        UNION ALL SELECT cent_id, c_emb FROM spl),
          |a2p AS (
          |  SELECT vec_id, cent_id, emb FROM (
          |    SELECT vec_id, emb, cent_id, d2, row_number() OVER (
@@ -493,7 +537,7 @@ object Clustering {
          |        list_reduce(list_prepend(0.0, list_zip(n.emb, c.c_emb)
          |          .apply(p -> (p[1]-p[2])*(p[1]-p[2]))),
          |          (acc, v) -> acc + v) AS d2
-         |      FROM e n CROSS JOIN c1 c))
+         |      FROM e n CROSS JOIN c1s c))
          |  WHERE rn <= 2),
          |nm AS (
          |  SELECT vec_id, cent_id, emb,

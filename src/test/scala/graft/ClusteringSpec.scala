@@ -98,6 +98,79 @@ class ClusteringSpec extends SparkSuite {
       s"missed ${(expected -- sem).size} of ${expected.size} within-cluster pairs")
   }
 
+  test("semanticCentroids splits oversized cells (r7 rebalance pin)") {
+    // Deterministic oversized cell by construction: find the 4 ids
+    // the md5 seeding will pick (the same rank kmeans computes), park
+    // THOSE at 4 mutually-far corners, and put the other 216 vectors
+    // in one tight jittered blob far from every seed. Pass 1 then
+    // assigns the whole blob to its single nearest seed: one cell of
+    // ≥ 216 > 2·⌈220/4⌉ = 110. The split must promote exactly one
+    // centroid per oversized cell, and re-assigning against the
+    // enlarged set must strictly shrink the max cell (blob mass
+    // divides between the recomputed centre and the promoted edge).
+    val k = 4
+    val ids = spark.range(0, 220).select($"id".as("vec_id"))
+    val seedIds = ids
+      .withColumn("seed_rank",
+        md5(concat(lit("km"), $"vec_id".cast("string"))))
+      .orderBy($"seed_rank", $"vec_id").limit(k)
+      .select($"vec_id").as[Long].collect().toSet
+    val isSeed = $"vec_id".isin(seedIds.toSeq: _*)
+    val seedPos = array_position(
+      array(seedIds.toSeq.sorted.map(lit): _*), $"vec_id")
+    val e = ids.select($"vec_id",
+      when(isSeed,
+        // seed s sits at 1000·s along dim 1 — pairwise far corners
+        zip_with(expr("sequence(1, 8)"),
+          expr("transform(sequence(1, 8), x -> CAST(x AS DOUBLE))"),
+          (d, _) => when(d === 1, seedPos.cast("double") * 1000.0)
+            .otherwise(lit(0.0))))
+      .otherwise(
+        // DIFFUSE region: points spread 400..600 along the diagonal
+        // (+ jitter) — one-pass blocking lumps the whole segment into
+        // the nearest seed's cell, which is exactly the badly-covered
+        // shape a split can halve (a truly tight cluster could not be
+        // usefully split and would just follow the promoted twin)
+        zip_with(expr("sequence(1, 8)"),
+          expr("transform(sequence(1, 8), x -> CAST(x AS DOUBLE))"),
+          (d, _) => lit(400.0) + pmod($"vec_id" * 7, lit(200)).cast("double") +
+            pmod(hash($"vec_id" * 31 + d), lit(100)).cast("double") / 1000.0))
+      .as("emb"))
+    // dim 1: seeds at 1000·s (s = 1..4), blob at ~500 in EVERY dim —
+    // nearest seed to the blob is corner 1 (distance² ≈ 500² + 7·500²
+    // vs larger for others), unique, so the blob lands in one cell
+    val (cents1, a1) = Clustering.kmeans(e, k, 1)
+    val pre = a1.groupBy($"cent_id").count().agg(max("count"))
+      .head().getLong(0)
+    val target = (220 + k - 1) / k
+    assert(pre > 2L * target,
+      s"fixture failed to create an oversized cell (max $pre <= ${2 * target})")
+    val cents2 = Clustering.semanticCentroids(e, k, 220L)
+    val nOversized = a1.groupBy($"cent_id").count()
+      .filter($"count" > 2L * target).count()
+    assert(cents2.count() == cents1.count() + nOversized,
+      "split must promote exactly one centroid per oversized cell")
+    // re-assign rn=1 against the enlarged set: max cell strictly
+    // shrinks (the rebalance claim, pinned as a ratio)
+    val d2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"dd".asc, $"cent_id".asc)
+    val post = e.crossJoin(broadcast(cents2))
+      .withColumn("dd", d2($"emb", $"c_emb"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .groupBy($"cent_id").count().agg(max("count")).head().getLong(0)
+    assert(post < pre,
+      s"post-split max cell $post did not shrink from $pre")
+    // ratio pin: the diagonal segment splits at the midpoint between
+    // the recomputed centre (~500) and the promoted far end (~600),
+    // keeping ≤ ~3/4 of the mass — pin at 80% with margin
+    assert(post.toDouble <= 0.8 * pre.toDouble,
+      s"max-cell ratio post/pre = ${post.toDouble / pre} not <= 0.8 " +
+        s"(post/target = ${post.toDouble / target})")
+  }
+
   test("kmeans recovers two well-separated blobs exactly") {
     // 40 points at distance ~0.01 around (0,0) and (10,10): any seeds
     // split them after 3 iterations; each final cluster is pure
