@@ -565,45 +565,72 @@ object Aggregates {
     * expression of exact ints using only IEEE-exact ops (sqrt, *, /)
     * — bit-identical across engines before r6.
     *
-    * Validity bound: the largest intermediate is S1⁴, so the formula
-    * is exact while per-group n·x̄ stays under ~1.1·10⁹ cents
-    * (S1⁴ < HUGEINT max 1.7·10³⁸); fixture max is ~10⁹·cents at
-    * sf0.1. Past that, shift to centered two-pass accumulation —
-    * both engines overflow together (Spark decimal → null under
-    * non-ANSI, DuckDB HUGEINT errors), so the gate would catch it.
+    * CENTERED two-pass accumulation (r7 — the 10× gate caught the
+    * one-pass form's S1⁴ at 3.2·10⁴⁰ > Decimal(38,0) once per-group n
+    * reached 2·10⁵ at cent scale; the r6 scaladoc's validity bound
+    * n·x̄ ≲ 1.1·10⁹ cents predicted exactly this): pass 1 computes the
+    * exact integer shift c = S1 div n and remainder e = S1 − n·c
+    * (0 ≤ e < n — central moments are shift-invariant, so centering on
+    * c costs only the tiny e-correction); pass 2 accumulates power
+    * sums of d = x − c in DECIMAL(38,0) ↔ HUGEINT, where the largest
+    * term is Σd⁴ ≈ rows·(max dev)⁴ — 38 digits now hold ~10¹⁸ rows per
+    * group at cent scale instead of the quartic-in-S1 cliff. The final
+    * ratios are ONE identical chain of correctly-rounded double ops in
+    * both engines (casts of exact decimal ints, *, /, sqrt — IEEE
+    * requires each correctly rounded, so identical op order ⇒
+    * identical bits; intermediate magnitudes never approach
+    * double overflow):
+    *   Σ(x−x̄)² = Sc2 − e²/n
+    *   Σ(x−x̄)³ = Sc3 − 3e/n·Sc2 + 2e³/n²
+    *   Σ(x−x̄)⁴ = Sc4 − 4e/n·Sc3 + 6(e/n)²·Sc2 − 3e⁴/n³
+    *   g1 = (Σ(x−x̄)³/n) / (m2·√m2),  g2 = (Σ(x−x̄)⁴/n)/m2² − 3
+    * Precondition: x ≥ 0 per group (fixture contract — value is a
+    * non-negative amount), so Spark `div` (truncating) and DuckDB `//`
+    * (flooring) agree on c. At 100 TB: pass 1's group frame is
+    * config-sized and broadcast into pass 2 — two scans, both
+    * combinable map-side.
     */
   def qAggMoments(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = t(s, dir, "events")
       .select($"event_type", cents($"value").as("x"))
-    ev.groupBy($"event_type")
-      .agg(count(lit(1)).as("n"),
-        sum($"x".cast("decimal(38,0)")).as("s1"),
-        sum(($"x" * $"x").cast("decimal(38,0)")).as("s2"),
-        sum(($"x" * $"x" * $"x").cast("decimal(38,0)")).as("s3"),
-        // x⁴ must promote BEFORE the last multiply: x ≤ 56 021 cents
-        // at sf0.1 puts x⁴ past Long.MaxValue (found by the ANSI
-        // overflow error); x³ ≤ 1.8e14 still fits
-        sum($"x".cast("decimal(38,0)") * ($"x" * $"x" * $"x"))
-          .as("s4"))
-      .withColumn("nd", $"n".cast("decimal(38,0)"))
-      .withColumn("m2", $"nd" * $"s2" - $"s1" * $"s1")
-      .withColumn("m3",
-        $"nd" * $"nd" * $"s3" - lit(3) * $"nd" * $"s1" * $"s2"
-          + lit(2) * $"s1" * $"s1" * $"s1")
-      .withColumn("m4",
-        $"nd" * $"nd" * $"nd" * $"s4"
-          - lit(4) * $"nd" * $"nd" * $"s1" * $"s3"
-          + lit(6) * $"nd" * $"s1" * $"s1" * $"s2"
-          - lit(3) * $"s1" * $"s1" * $"s1" * $"s1")
+    val shift = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("s1"))
+      .withColumn("c0", expr("s1 div n"))
+      .withColumn("rem", $"s1" - $"n" * $"c0")
+      .select($"event_type", $"n", $"c0", $"rem")
+    ev.join(broadcast(shift), "event_type")
+      .withColumn("d", $"x" - $"c0")
+      .groupBy($"event_type", $"n", $"rem")
+      .agg(
+        sum(($"d" * $"d").cast("decimal(38,0)")).as("sc2"),
+        sum(($"d" * $"d" * $"d").cast("decimal(38,0)")).as("sc3"),
+        // d⁴ must promote BEFORE the last multiply (the r5 lesson —
+        // |d| can reach ~10⁵ cents, d⁴ past Long.MaxValue; d³ fits)
+        sum($"d".cast("decimal(38,0)") * ($"d" * $"d" * $"d"))
+          .as("sc4"))
+      .withColumn("nn", $"n".cast("double"))
+      .withColumn("ee", $"rem".cast("double"))
+      .withColumn("s2d", $"sc2".cast("double"))
+      .withColumn("s3d", $"sc3".cast("double"))
+      .withColumn("s4d", $"sc4".cast("double"))
+      .withColumn("t2", $"s2d" - $"ee" * $"ee" / $"nn")
+      .withColumn("t3",
+        $"s3d" - lit(3) * $"ee" / $"nn" * $"s2d"
+          + lit(2) * $"ee" * $"ee" * $"ee" / ($"nn" * $"nn"))
+      .withColumn("t4",
+        $"s4d" - lit(4) * $"ee" / $"nn" * $"s3d"
+          + lit(6) * ($"ee" / $"nn") * ($"ee" / $"nn") * $"s2d"
+          - lit(3) * $"ee" * $"ee" * $"ee" * $"ee"
+            / ($"nn" * $"nn" * $"nn"))
       .select($"event_type", $"n",
-        when($"m2" > 0, r6(
-          $"m3".cast("double") /
-            ($"m2".cast("double") * sqrt($"m2".cast("double")))))
+        when($"t2" > 0, r6(
+          ($"t3" / $"nn") /
+            (($"t2" / $"nn") * sqrt($"t2" / $"nn"))))
           .as("skewness"),
-        when($"m2" > 0, r6(
-          $"m4".cast("double") /
-            ($"m2".cast("double") * $"m2".cast("double")) - 3.0))
+        when($"t2" > 0, r6(
+          ($"t4" / $"nn") /
+            (($"t2" / $"nn") * ($"t2" / $"nn")) - 3.0))
           .as("kurtosis_excess"))
       .orderBy($"event_type")
   }
@@ -808,28 +835,42 @@ object Aggregates {
       """WITH e AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
         |  FROM events),
-        |st AS (
+        |shift AS (
         |  SELECT event_type, count(*) AS n,
-        |    sum(CAST(x AS HUGEINT)) AS s1,
-        |    sum(CAST(x AS HUGEINT) * x) AS s2,
-        |    sum(CAST(x AS HUGEINT) * x * x) AS s3,
-        |    sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+        |    CAST(sum(x) AS BIGINT) // count(*) AS c0,
+        |    CAST(sum(x) AS BIGINT)
+        |      - count(*) * (CAST(sum(x) AS BIGINT) // count(*)) AS rem
         |  FROM e GROUP BY 1),
-        |m AS (
+        |p AS (
+        |  SELECT e.event_type, shift.n, shift.rem, e.x - shift.c0 AS d
+        |  FROM e JOIN shift USING (event_type)),
+        |st AS (
+        |  SELECT event_type, n, rem,
+        |    sum(CAST(d AS HUGEINT) * d) AS sc2,
+        |    sum(CAST(d AS HUGEINT) * d * d) AS sc3,
+        |    sum(CAST(d AS HUGEINT) * (d * d * d)) AS sc4
+        |  FROM p GROUP BY 1, 2, 3),
+        |f AS (
         |  SELECT event_type, n,
-        |    n * s2 - s1 * s1 AS m2,
-        |    n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3,
-        |    n * n * n * s4 - 4 * n * n * s1 * s3
-        |      + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4
-        |  FROM st)
+        |    CAST(n AS DOUBLE) AS nn, CAST(rem AS DOUBLE) AS ee,
+        |    CAST(sc2 AS DOUBLE) AS s2d, CAST(sc3 AS DOUBLE) AS s3d,
+        |    CAST(sc4 AS DOUBLE) AS s4d
+        |  FROM st),
+        |m AS (
+        |  SELECT event_type, n, nn,
+        |    s2d - ee * ee / nn AS t2,
+        |    s3d - 3 * ee / nn * s2d
+        |      + 2 * ee * ee * ee / (nn * nn) AS t3,
+        |    s4d - 4 * ee / nn * s3d
+        |      + 6 * (ee / nn) * (ee / nn) * s2d
+        |      - 3 * ee * ee * ee * ee / (nn * nn * nn) AS t4
+        |  FROM f)
         |SELECT event_type, n,
-        |  CASE WHEN m2 > 0 THEN
-        |    round(CAST(m3 AS DOUBLE)
-        |      / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))), 6)
+        |  CASE WHEN t2 > 0 THEN
+        |    round((t3 / nn) / ((t2 / nn) * sqrt(t2 / nn)), 6)
         |  END AS skewness,
-        |  CASE WHEN m2 > 0 THEN
-        |    round(CAST(m4 AS DOUBLE)
-        |      / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0, 6)
+        |  CASE WHEN t2 > 0 THEN
+        |    round((t4 / nn) / ((t2 / nn) * (t2 / nn)) - 3.0, 6)
         |  END AS kurtosis_excess
         |FROM m ORDER BY event_type""".stripMargin,
 

@@ -230,16 +230,36 @@ object ScaleProbeSf1 {
       println("SYNDIR10=" + synDir(spark, 10))
       spark.stop(); return
     }
+    if (args.contains("gen100")) {
+      println("SYNDIR100=" + synDir(spark, 100))
+      spark.stop(); return
+    }
     if (args.contains("100x")) {
-      // third decade for the adaptive ANN fixes: 200 k vectors
+      // Second decade (VERDICT r6 task 6): 10× → 100× the sf0.1 shape
+      // (500 k docs / 200 k vectors / 60 M lineitems) across the whole
+      // dedup/ANN/graph family, MIN-OF-2 per (key, scale) so the
+      // steady-state exponent is separated from one-time costs (first
+      // execution carries codegen + the per-JVM persisted ivf/edge
+      // index builds — core.persistedIndex logs those separately).
       val d10 = synDir(spark, 10)
       val d100 = synDir(spark, 100)
       run(d10, "q_text_tfidf") // warmup
-      println(f"${"key"}%-20s ${"t_10x"}%8s ${"t_100x"}%8s  exponent")
-      for (k <- Seq("q_sim_ann_lsh", "q_sim_ann_ivf")) {
-        val (t10, n10) = run(d10, k)
-        val (t100, n100) = run(d100, k)
-        println(f"$k%-20s $t10%7.1fs $t100%7.1fs  ${math.log10(t100 / t10)}%.2f      $n10%d/$n100%d")
+      val fam = args.filter(_.startsWith("q_")) match {
+        case only if only.nonEmpty => only.toSeq
+        case _ => Seq(
+          "q_dedup_ngram", "q_dedup_minhash", "q_dedup_components",
+          "q_dedup_incremental", "q_dedup_embed_lsh@t.9",
+          "q_dedup_semantic", "q_sim_ann_lsh", "q_sim_ann_ivf",
+          "q_graph_degree", "q_graph_khop", "q_graph_cooccur",
+          "q_graph_pagerank", "q_sql_recursive", "q_text_tfidf",
+          "q_merge_upsert", "q_join_bucketed")
+      }
+      println(f"${"key"}%-24s ${"t_10x"}%8s ${"t_100x"}%8s  exponent  (min-of-2; first-run t in parens)")
+      for (k <- fam) {
+        val (a10, n10) = run(d10, k); val (b10, _) = run(d10, k)
+        val (a100, n100) = run(d100, k); val (b100, _) = run(d100, k)
+        val t10 = math.min(a10, b10); val t100 = math.min(a100, b100)
+        println(f"$k%-24s $t10%7.1fs $t100%7.1fs  ${math.log10(t100 / t10)}%.2f  ($a10%.1f/$a100%.1f)  rows $n10%d/$n100%d")
       }
       spark.stop(); return
     }

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Author CORRECTNESS_10x.json from a diff_oracle run on the 10x fixture.
+
+Usage:
+  sbt -batch Test/compile && <generate fixture>:
+    java ... graft.ScaleProbeSf1 gen10      # -> /tmp/graft_sfsyn_v2_10
+  SPARK_GRAFT_CPUS=16 tools/run_direct.sh verify /tmp/graft_sfsyn_v2_10 /tmp/v10x
+  python3 tools/gate_10x.py /tmp/graft_sfsyn_v2_10 /tmp/v10x <round>
+
+Runs tools/diff_oracle.py over EVERY key Verify dumped, captures the
+per-key PASS/FAIL/SKIP, and writes CORRECTNESS_10x.json (keys sorted;
+SKIP = declared no-oracle keys, recorded as rows-only). Exits non-zero
+if any key FAILs, so the gate cannot be silently committed red.
+"""
+import json
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+def main():
+    sf_dir, out_dir, rnd = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    here = Path(__file__).parent
+    p = subprocess.run(
+        [sys.executable, str(here / "diff_oracle.py"), sf_dir, out_dir],
+        capture_output=True, text=True)
+    keys = {}
+    n_fail = 0
+    for line in p.stdout.splitlines():
+        m = re.match(r"(PASS|FAIL|SKIP) (\S+?):? \(?(\d+)?", line)
+        if not m:
+            continue
+        st, key, rows = m.group(1), m.group(2), m.group(3)
+        if st == "PASS":
+            keys[key] = {"rows": int(rows), "match": True}
+        elif st == "SKIP":
+            keys[key] = {"rows": int(rows) if rows else None,
+                         "match": None, "note": "declared no-oracle"}
+        else:
+            keys[key] = {"match": False,
+                         "why": line.split(":", 1)[1].strip()[:300]}
+            n_fail += 1
+    doc = {
+        "round": rnd,
+        "fixture": ("ScaleProbeSf1 synthetic at 10x the sf0.1 shape "
+                    "(50k docs / 20k vectors / 1.5M orders / 6M lineitems), "
+                    "deterministic hash-derived generator with real cluster "
+                    "structure, full sf0.1 schemas"),
+        "method": ("graft.Verify on the 10x dir -> tools/diff_oracle.py "
+                   "(DuckDB oracle; rows+schema+values exact, same gate as "
+                   "the driver's t2)"),
+        "why": ("VERDICT r6 task 3: extend the scale-dependent correctness "
+                "gate from the 45 heaviest keys to every oracle key"),
+        "n_pass": sum(1 for v in keys.values() if v.get("match")),
+        "n_fail": n_fail,
+        "n_no_oracle": sum(1 for v in keys.values() if v.get("match") is None),
+        "keys": dict(sorted(keys.items())),
+    }
+    Path("CORRECTNESS_10x.json").write_text(json.dumps(doc, indent=1) + "\n")
+    print(f"pass={doc['n_pass']} fail={n_fail} no_oracle={doc['n_no_oracle']}")
+    for k, v in keys.items():
+        if v.get("match") is False:
+            print(f"FAIL {k}: {v['why']}")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
