@@ -426,7 +426,20 @@ object TrainingOps {
     import graft.functions.DotProduct.dot
     val e = core.cached(LlmOps.normed(s, dir))
     val n = core.statCount(dir + "#embeddings", e)
-    val bits = math.max(8, math.min(16, lshWidth(n)))
+    // Band-key width sized for CANDIDATE volume, not ANN bucket
+    // occupancy (r7 — the second-decade probe filled the disk at
+    // 200 k vectors): with the ANN rule's E[bucket] ≈ 64, Hamming-1
+    // multi-probe multiplies per-vector candidate work by
+    // (1+b)·E[bucket] ≈ 13·64 ≈ 800 per band — ~5·10⁸ raw candidate
+    // pairs whose exact-cosine recheck would shuffle the embeddings
+    // ~100 GB. Targeting E[bucket] ≈ 4 (b = bitlen(⌈n/4⌉−1), so b
+    // grows with log n and raw candidates stay ≈ n·bands·(1+b)·4/2)
+    // cuts that ~16×; recall at the fixture's near-dup distances
+    // (cos ≈ 0.999 ⇒ per-bit p₁ ≈ 0.99) stays ~1 per band — at the
+    // τ = 0.9 BOUNDARY (p₁ ≈ 0.857) per-band recall drops with b, and
+    // a production deployment buys it back with MORE BANDS (linear
+    // cost), never with wider probing (multiplicative cost).
+    val bits = math.max(8, math.min(16, lshWidth(n, 4L)))
     val bandCols = (0 until 4).map { bnd =>
       struct(lit(bnd).as("band"),
         expr(s"""aggregate(slice(emb, ${bnd * 16 + 1}, $bits),
