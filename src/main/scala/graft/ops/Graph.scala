@@ -181,28 +181,39 @@ object Graph {
     * container hot-key risk — one hub customer linked to s suppliers
     * emits s² pairs. The cap (≤ 32 suppliers per customer, mirrored
     * EXACTLY in the oracle — the q_dedup_ngram df-cap pattern) bounds
-    * the fan-out to Σ min(cnt, 32)²; the (s1, s2) count is a
-    * combinable group-by, and rk ≤ 3 over the sup window compiles to
+    * the fan-out to Σ C(min(cnt, 32), 2); pairs are generated
+    * CONTAINER-SIDE (r7): ONE exchange groups each customer's
+    * suppliers into an array (hash agg, no sort), the cap is a cheap
+    * size() filter, and the ≤ C(32,2) = 496 combinations per customer
+    * explode map-side — where the pre-r7 form paid an edge-grain sort
+    * window for the cap plus a full self-join (two more edge-grain
+    * exchanges + SMJ sorts) for the same pairs (second-decade probe:
+    * 97.9 s at 100×, exponent 1.15; the window/self-join overhead was
+    * the excess over linear). The (s1, s2) count stays a combinable
+    * group-by, and rk ≤ 3 over the sup window compiles to
     * WindowGroupLimit (each task pre-prunes to its local top-3).
     */
   def qGraphCooccur(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val eg = custSuppPairs(s, dir)
-    // the capped pair space (Σ min(cnt, 32)² candidates collapsing to
-    // ≤ supplier² counts) materializes AQE-off: the chain is four
-    // small stable stages (window, self-join, two aggs) where
-    // adaptive re-planning is pure overhead (the pagerank rationale);
-    // the cap — not AQE skew-splitting — is this op's hub defense
+    // the capped pair space materializes AQE-off: three small stable
+    // stages (container agg, pair count, then the consumer's top-3)
+    // where adaptive re-planning is pure overhead (the pagerank
+    // rationale); the cap — not AQE skew-splitting — is this op's hub
+    // defense. collect_list order is partition-dependent, but only
+    // the SET matters: combinations are taken positionally and
+    // canonicalized with least/greatest, so the emitted pairs — and
+    // their counts — are order-invariant.
     val common = core.noAqeMaterialized(s) {
-      val kept = eg
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"c")))
-        .filter($"cnt" <= 32)
-        .select($"c", $"s")
-      kept
-        .join(kept.select($"c".as("c2"), $"s".as("s2")),
-          $"c" === $"c2" && $"s" < $"s2")
-        .groupBy($"s".as("s1"), $"s2")
+      eg.groupBy($"c").agg(collect_list($"s").as("ss"))
+        .filter(size($"ss") <= 32)
+        .select(explode(expr(
+          "flatten(transform(ss, (x, i) -> " +
+            "transform(slice(ss, i + 2, size(ss)), " +
+            "y -> struct(least(x, y) AS s1, greatest(x, y) AS s2))))"))
+          .as("p"))
+        .groupBy($"p.s1".as("s1"), $"p.s2".as("s2"))
         .agg(count(lit(1)).as("common"))
     }
     val sym = common.select($"s1".as("sup"), $"s2".as("partner"), $"common")
