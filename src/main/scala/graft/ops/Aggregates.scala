@@ -584,9 +584,14 @@ object Aggregates {
     *   Σ(x−x̄)³ = Sc3 − 3e/n·Sc2 + 2e³/n²
     *   Σ(x−x̄)⁴ = Sc4 − 4e/n·Sc3 + 6(e/n)²·Sc2 − 3e⁴/n³
     *   g1 = (Σ(x−x̄)³/n) / (m2·√m2),  g2 = (Σ(x−x̄)⁴/n)/m2² − 3
-    * Precondition: x ≥ 0 per group (fixture contract — value is a
-    * non-negative amount), so Spark `div` (truncating) and DuckDB `//`
-    * (flooring) agree on c. At 100 TB: pass 1's group frame is
+    * Sign-safe shift (ADVICE r7): c = (S1 − posmod)/n with
+    * posmod = ((S1 % n) + n) % n — since n > 0, posmod ∈ [0, n) in
+    * BOTH engines (their `%` both follow the dividend's sign, and the
+    * +n/%n wrap normalizes it), so S1 − posmod is exactly divisible by
+    * n and trunc-div == floor-div == exact; c and e = posmod agree per
+    * engine for ANY sign of S1, with e ∈ [0, n) as the correction
+    * chain assumes. (The fixture's x ≥ 0 made the old `div` form safe,
+    * but the invariant was unenforced.) At 100 TB: pass 1's group frame is
     * config-sized and broadcast into pass 2 — two scans, both
     * combinable map-side.
     */
@@ -596,8 +601,8 @@ object Aggregates {
       .select($"event_type", cents($"value").as("x"))
     val shift = ev.groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"x").as("s1"))
-      .withColumn("c0", expr("s1 div n"))
-      .withColumn("rem", $"s1" - $"n" * $"c0")
+      .withColumn("rem", expr("((s1 % n) + n) % n"))
+      .withColumn("c0", expr("(s1 - rem) div n"))
       .select($"event_type", $"n", $"c0", $"rem")
     ev.join(broadcast(shift), "event_type")
       .withColumn("d", $"x" - $"c0")
@@ -837,9 +842,11 @@ object Aggregates {
         |  FROM events),
         |shift AS (
         |  SELECT event_type, count(*) AS n,
-        |    CAST(sum(x) AS BIGINT) // count(*) AS c0,
-        |    CAST(sum(x) AS BIGINT)
-        |      - count(*) * (CAST(sum(x) AS BIGINT) // count(*)) AS rem
+        |    ((CAST(sum(x) AS BIGINT) % count(*)) + count(*))
+        |      % count(*) AS rem,
+        |    (CAST(sum(x) AS BIGINT)
+        |      - (((CAST(sum(x) AS BIGINT) % count(*)) + count(*))
+        |         % count(*))) // count(*) AS c0
         |  FROM e GROUP BY 1),
         |p AS (
         |  SELECT e.event_type, shift.n, shift.rem, e.x - shift.c0 AS d

@@ -179,9 +179,11 @@ object Graph {
     *
     * Scale shape: pair generation is the classic self-join-on-
     * container hot-key risk — one hub customer linked to s suppliers
-    * emits s² pairs. The cap (≤ 32 suppliers per customer, mirrored
-    * EXACTLY in the oracle — the q_dedup_ngram df-cap pattern) bounds
-    * the fan-out to Σ C(min(cnt, 32), 2); pairs are generated
+    * emits s² pairs. The hub filter EXCLUDES customers with more than
+    * 32 distinct suppliers entirely (not a truncation to their first
+    * 32 — mirrored EXACTLY by the oracle's HAVING count(*) <= 32, the
+    * q_dedup_ngram df-cap pattern), so surviving customers each emit
+    * at most C(32,2) pairs; pairs are generated
     * CONTAINER-SIDE (r7): ONE exchange groups each customer's
     * suppliers into an array (hash agg, no sort), the cap is a cheap
     * size() filter, and the ≤ C(32,2) = 496 combinations per customer

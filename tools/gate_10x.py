@@ -37,9 +37,22 @@ def main():
             keys[key] = {"rows": int(rows) if rows else None,
                          "match": None, "note": "declared no-oracle"}
         else:
-            keys[key] = {"match": False,
-                         "why": line.split(":", 1)[1].strip()[:300]}
+            parts = line.split(":", 1)
+            why = parts[1].strip() if len(parts) > 1 else line.strip()
+            keys[key] = {"match": False, "why": why[:300]}
             n_fail += 1
+    # ADVICE r7: a crashed oracle run (nonzero rc, or nothing parsed) must
+    # fail loudly instead of writing a green-looking artifact with n_pass=0.
+    if p.returncode != 0 and n_fail == 0:
+        sys.stderr.write(f"diff_oracle.py exited rc={p.returncode} with no "
+                         f"parsed FAILs; refusing to write artifact\n")
+        sys.stderr.write(p.stderr[-4000:])
+        sys.exit(2)
+    if len(keys) < 100:
+        sys.stderr.write(f"only {len(keys)} keys parsed from diff_oracle.py "
+                         f"(expected ~161+); refusing to write artifact\n")
+        sys.stderr.write(p.stderr[-4000:])
+        sys.exit(2)
     doc = {
         "round": rnd,
         "fixture": ("ScaleProbeSf1 synthetic at 10x the sf0.1 shape "
