@@ -117,6 +117,7 @@ object core {
     */
   def persistedIndex(kind: String, dir: String)(build: String => Unit): String =
     indexMemo.computeIfAbsent(kind + "#" + dir, _ => {
+      gcInit
       val sha = java.security.MessageDigest.getInstance("SHA-256")
         .digest(dir.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
       val path = new java.io.File(
@@ -129,6 +130,63 @@ object core {
         f"[graft] built index $kind for $dir in ${(System.nanoTime() - t0) / 1e9}%.2f s")
       path
     })
+
+  /** Index-dir lifecycle (VERDICT r7 task 6 / ADVICE r7): pid-keyed
+    * paths made concurrent JVMs safe but leaked every JVM's private
+    * copies under java.io.tmpdir forever (~100 MB+/run at sf0.1, far
+    * more at probe scales — the r7 embed-LSH probe filled the disk).
+    * Two-sided GC, both crash-safe:
+    *   - shutdown hook: a JVM deletes ITS OWN `-p<pid>` dirs on clean
+    *     exit (the common Bench/Verify/test case);
+    *   - startup sweep (first persistedIndex call): deletes any
+    *     `graft_idx_*-p<pid>` dir whose pid is no longer alive —
+    *     reaping what killed JVMs left behind, while dirs of live
+    *     concurrent JVMs are untouched (their pid resolves).
+    * Both run at most once per JVM; the memo keys stay valid because
+    * only dirs of DEAD pids (or our own, at exit) are removed.
+    */
+  private lazy val gcInit: Unit = {
+    sweepDeadIndexDirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => gcOwnIndexDirs()))
+  }
+
+  private val IdxDir = """graft_idx_.*-p(\d+)""".r
+
+  private def indexDirRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Delete every index dir belonging to a pid that is no longer
+    * alive. Visible for IndexGcSpec.
+    */
+  private[graft] def sweepDeadIndexDirs(): Unit = {
+    val kids = indexDirRoot.listFiles()
+    if (kids != null) kids.foreach { f =>
+      f.getName match {
+        case IdxDir(pid) if !ProcessHandle.of(pid.toLong).isPresent =>
+          deleteRecursively(f)
+        case _ => ()
+      }
+    }
+  }
+
+  /** Delete this JVM's own index dirs (the shutdown-hook action).
+    * Visible for IndexGcSpec.
+    */
+  private[graft] def gcOwnIndexDirs(): Unit = {
+    val mine = s"-p${ProcessHandle.current().pid()}"
+    val kids = indexDirRoot.listFiles()
+    if (kids != null) kids.foreach { f =>
+      f.getName match {
+        case n @ IdxDir(_) if n.endsWith(mine) => deleteRecursively(f)
+        case _ => ()
+      }
+    }
+  }
 
   /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS).
     * What Spark hands back for that physical type has CHANGED across

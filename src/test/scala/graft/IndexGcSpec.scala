@@ -1,0 +1,81 @@
+package graft
+
+import graft.ops.core
+
+/** Pins the r8 persistedIndex lifecycle GC (VERDICT r7 task 6 /
+  * ADVICE r7): pid-keyed index dirs under java.io.tmpdir must not
+  * accumulate across JVMs. Two mechanisms, both exercised directly
+  * (forking real JVMs from ScalaTest would re-pay a full Spark
+  * startup per assertion for no extra coverage):
+  *   - the startup sweep removes dirs whose pid is dead, leaving
+  *     live-pid dirs alone;
+  *   - the shutdown-hook action removes exactly this JVM's dirs.
+  * Together: a second sequential JVM starts with the first one's
+  * dirs already gone (hook on clean exit) or sweeps them (crash),
+  * i.e. no tmpdir growth across sequential JVMs.
+  */
+class IndexGcSpec extends SparkSuite {
+
+  private val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+
+  private def mkIdxDir(name: String): java.io.File = {
+    val d = new java.io.File(tmp, name)
+    d.mkdirs()
+    // nested payload so only a recursive delete can remove it
+    val f = new java.io.File(d, "part-00000.parquet")
+    java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+    d
+  }
+
+  private def deadPid: Long = {
+    var p = 4194000L // just under the default linux pid_max
+    while (ProcessHandle.of(p).isPresent) p -= 1
+    p
+  }
+
+  test("startup sweep deletes dead-pid dirs and keeps live-pid dirs") {
+    val dead = mkIdxDir(s"graft_idx_gcspec-deadbeef-p$deadPid")
+    val live = mkIdxDir(
+      s"graft_idx_gcspec-deadbeef-p${ProcessHandle.current().pid()}")
+    val unrelated = mkIdxDir("graft_gcspec_not_an_index_dir")
+    try {
+      core.sweepDeadIndexDirs()
+      assert(!dead.exists(), "sweep left a dead-pid index dir behind")
+      assert(live.exists(), "sweep deleted a live JVM's index dir")
+      assert(unrelated.exists(), "sweep touched a non-index dir")
+    } finally {
+      Seq(live, unrelated).foreach { d =>
+        new java.io.File(d, "part-00000.parquet").delete()
+        d.delete()
+      }
+    }
+  }
+
+  test("shutdown-hook action deletes exactly this JVM's dirs") {
+    val pid = ProcessHandle.current().pid()
+    val mine = mkIdxDir(s"graft_idx_gcspec2-cafebabe-p$pid")
+    // suffix trap: another pid that ENDS in ours must not match
+    val other = mkIdxDir(s"graft_idx_gcspec2-cafebabe-p9$pid")
+    try {
+      core.gcOwnIndexDirs()
+      assert(!mine.exists(), "hook action left this JVM's index dir")
+      assert(other.exists(),
+        "hook action deleted a dir whose pid merely ends in ours")
+    } finally {
+      new java.io.File(other, "part-00000.parquet").delete()
+      other.delete()
+    }
+  }
+
+  test("persistedIndex still builds exactly once after the GC wiring") {
+    var builds = 0
+    val p1 = core.persistedIndex("gcspec_probe", sf) { path =>
+      builds += 1
+      new java.io.File(path).mkdirs()
+    }
+    val p2 = core.persistedIndex("gcspec_probe", sf) { _ => builds += 1 }
+    assert(p1 == p2)
+    assert(builds == 1, s"expected one build, saw $builds")
+    assert(p1.endsWith(s"-p${ProcessHandle.current().pid()}"))
+  }
+}
