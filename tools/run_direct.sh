@@ -17,6 +17,7 @@ case "$MODE" in
   bench)  MAIN=graft.Bench ;;
   verify) MAIN=graft.Verify ;;
   smoke)  MAIN=graft.EntrySmoke ;;
+  streambench) MAIN=graft.StreamBench ;;
   *) echo "unknown mode $MODE" >&2; exit 2 ;;
 esac
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
