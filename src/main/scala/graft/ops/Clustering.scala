@@ -388,7 +388,16 @@ object Clustering {
     cents.union(promoted)
   }
 
-  def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+  /** The full semantic-pair chain at the RAW level: (a_id, b_id,
+    * cell, rawcos) with the τ = 0.5 recall gate but no output
+    * rounding — the shared core behind the registered build key
+    * ([[qDedupSemantic]]) and the persisted pair artifact
+    * ([[semPairsDir]]). rawcos is the order-identical `graft_dot`
+    * fold, bit-identical to the oracle's list_reduce and exact
+    * through a parquet round-trip, so downstream consumers can
+    * threshold the stored raw value at any production τ ≥ 0.5.
+    */
+  def semanticPairsRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     import graft.functions.DotProduct.dot
@@ -426,8 +435,46 @@ object Clustering {
         try_divide(dot($"emb", $"b_emb"), $"nrm" * $"b_nrm"))
       .filter($"rawcos" >= 0.5)
       .groupBy($"vec_id".as("a_id"), $"b_id")
-      .agg(min($"cent_id").as("cell"), r6(max($"rawcos")).as("cos"))
-      .select($"a_id", $"b_id", $"cell", $"cos")
+      .agg(min($"cent_id").as("cell"), max($"rawcos").as("rawcos"))
+  }
+
+  def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    semanticPairsRaw(s, dir)
+      .select($"a_id", $"b_id", $"cell", r6($"rawcos").as("cos"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** The semantic pair list persisted once per (dir, JVM) — the r7
+    * shared-derived-artifact pattern extended to the single largest
+    * 100×-probe cost (VERDICT r7 task 2): at 100 TB this op is an
+    * index BUILD whose pair output downstream curation serves from,
+    * not a per-query path. [[qDedupSemantic]] keeps COMPUTING the
+    * chain (the registered producer measures the build);
+    * [[qDedupSemanticT9]] reads the artifact. SemanticIndexSpec pins
+    * build-once + read ≡ rebuild.
+    */
+  def semPairsDir(s: SparkSession, dir: String): String =
+    core.persistedIndex("sempairs", dir) { path =>
+      semanticPairsRaw(s, dir).write.mode("overwrite").parquet(path)
+    }
+
+  /** The PRODUCTION operating point (VERDICT r7 task 2b): SemDeDup
+    * thresholds τ ≥ 0.9, where near-dup pairs co-locate tightly in
+    * probe cells — the regime whose 10×→100× exponent measured ≈ 1.0
+    * in the embed-LSH twin. Serves from the persisted pair artifact
+    * (filter + round only); oracle-checked against the full DuckDB
+    * recompute at τ = 0.9, so the production path is correctness-
+    * gated, not just probed. Thresholding the RAW stored cosine is
+    * exact cross-engine: rawcos is an order-identical fold
+    * (graft_dot ↔ list_reduce) and parquet round-trips doubles
+    * bit-exactly.
+    */
+  def qDedupSemanticT9(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(semPairsDir(s, dir))
+      .filter($"rawcos" >= 0.9)
+      .select($"a_id", $"b_id", $"cell", r6($"rawcos").as("cos"))
       .orderBy($"a_id", $"b_id")
   }
 
@@ -436,7 +483,8 @@ object Clustering {
     "q_ml_cluster_prune" -> (qMlClusterPrune _),
     "q_embed_pq" -> (qEmbedPq _),
     "q_sim_ann_pq" -> (qSimAnnPq _),
-    "q_dedup_semantic" -> (qDedupSemantic _))
+    "q_dedup_semantic" -> (qDedupSemantic _),
+    "q_dedup_semantic_t9" -> (qDedupSemanticT9 _))
 
   private def iterSql(prev: String, a: String, c: String): String =
     s"""$a AS (
@@ -550,7 +598,34 @@ object Clustering {
          |      FROM sc)
          |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
 
-    "q_dedup_semantic" ->
+    "q_dedup_semantic" -> semanticSql("0.5"),
+
+    // identical recompute at the production threshold — the Spark
+    // side serves the persisted pair artifact, and the raw-cosine
+    // threshold is exact in both engines (order-identical fold)
+    "q_dedup_semantic_t9" -> semanticSql("0.9"),
+
+    "q_ml_kmeans" ->
+      s"""${kmeansCtes("8")},
+         |sizes AS (SELECT cent_id, count(*) AS n_members FROM a3 GROUP BY 1)
+         |SELECT d.cent_id, s.n_members, d.dim, d.c
+         |FROM c3d d JOIN sizes s USING (cent_id)
+         |ORDER BY d.cent_id, d.dim""".stripMargin,
+
+    "q_ml_cluster_prune" ->
+      s"""${kmeansCtes("8")}
+         |SELECT cent_id, rn, vec_id, round(d2, 6) AS d2 FROM (
+         |  SELECT cent_id, vec_id, d2, row_number() OVER (
+         |    PARTITION BY cent_id ORDER BY d2, vec_id) AS rn
+         |  FROM a3)
+         |WHERE rn <= 10 ORDER BY cent_id, rn""".stripMargin)
+
+  /** The semantic-dedup recompute, parameterized by the cosine
+    * threshold — τ = 0.5 for the registered build key, τ = 0.9 for
+    * the production operating point (the Spark side of which serves
+    * the persisted artifact; this SQL re-derives everything).
+    */
+  private def semanticSql(tau: String): String =
       s"""${kmeansCtes("(SELECT c FROM kp)", 1, kpCte)},
          |tgt AS (
          |  SELECT (count(*) + (SELECT c FROM kp) - 1) // (SELECT c FROM kp)
@@ -594,22 +669,7 @@ object Clustering {
          |        (acc, v) -> acc + v) / (a.nrm * b.nrm) AS rawcos
          |  FROM nm a JOIN nm b ON a.cent_id = b.cent_id
          |    AND a.vec_id < b.vec_id)
-         |WHERE rawcos >= 0.5
+         |WHERE rawcos >= $tau
          |GROUP BY a_id, b_id
-         |ORDER BY a_id, b_id""".stripMargin,
-
-    "q_ml_kmeans" ->
-      s"""${kmeansCtes("8")},
-         |sizes AS (SELECT cent_id, count(*) AS n_members FROM a3 GROUP BY 1)
-         |SELECT d.cent_id, s.n_members, d.dim, d.c
-         |FROM c3d d JOIN sizes s USING (cent_id)
-         |ORDER BY d.cent_id, d.dim""".stripMargin,
-
-    "q_ml_cluster_prune" ->
-      s"""${kmeansCtes("8")}
-         |SELECT cent_id, rn, vec_id, round(d2, 6) AS d2 FROM (
-         |  SELECT cent_id, vec_id, d2, row_number() OVER (
-         |    PARTITION BY cent_id ORDER BY d2, vec_id) AS rn
-         |  FROM a3)
-         |WHERE rn <= 10 ORDER BY cent_id, rn""".stripMargin)
+         |ORDER BY a_id, b_id""".stripMargin
 }

@@ -67,6 +67,7 @@ class RegistrySpec extends SparkSuite {
     "q_text_bpe", "q_text_bpe_apply", "q_drift_kl", "q_dedup_incremental",
     "q_graph_pagerank", "q_graph_degree", "q_ml_kmeans", "q_ml_cluster_prune",
     "q_pack_sequences", "q_mix_weights", "q_embed_pq", "q_dedup_semantic",
+    "q_dedup_semantic_t9",
     "q_rag_chunk", "q_graph_cooccur", "q_sim_ann_pq",
     "q_sample_fixed", "q_graph_khop")
 
