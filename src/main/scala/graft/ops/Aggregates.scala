@@ -650,7 +650,53 @@ object Aggregates {
       .orderBy($"event_type")
   }
 
+  /** Exact heavy hitters by two-pass Misra–Gries (VERDICT r7 task 3):
+    * the fixture corpus is near-uniform, so the skewed item universe
+    * is DERIVED deterministically from the events table with integer
+    * ops both engines compute bit-identically — u = first 8 md5 hex
+    * digits of event_id as a uniform 32-bit integer (the established
+    * sample_hash pattern), level = 33 − length(bin(u+1)) (geometric:
+    * P(level = k) = 2⁻ᵏ — the bin()-length trick the adaptive-LSH
+    * width already mirrors), item = level for the ≤ 6 heavy levels,
+    * else a 1000+u%100000 uniform long tail (~10⁵ rare items). This
+    * stays a pure function of fixture rows — no side parquet for the
+    * oracle to mount (simpler than the generator-dump alternative and
+    * exactly as deterministic).
+    *
+    * Pass 1 runs the REAL sketch ([[graft.functions.MisraGries]],
+    * capacity 128): O(128) state per task regardless of input size —
+    * at 100 TB this is the only pass that sees every row, and it
+    * ships one 128-entry map per partition. Its guarantee (candidates
+    * ⊇ every item with freq > n/129) makes pass 2 exact: recount ONLY
+    * rows whose item is in the candidate set (codegen'd IN-set of
+    * ≤ 128 literals — broadcast-semi-join class, no shuffle of the
+    * non-candidate mass) and keep items with 64·cnt > n. The final
+    * (item, cnt) set is deterministic and fully oracle-checkable even
+    * though which BORDERLINE candidates the sketch retains is
+    * order-dependent — the threshold n/64 sits strictly inside the
+    * n/129 guarantee. The ≤128-entry candidate map is driver-side
+    * metadata (the ntile count-map class), not data.
+    */
+  def qAggHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = t(s, dir, "events")
+      .select(expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), " +
+        "1, 8), 16, 10) AS BIGINT)").as("u"))
+      .withColumn("lvl", expr("33 - length(bin(u + 1))"))
+      .select(when($"lvl" <= 6, $"lvl".cast("long"))
+        .otherwise(lit(1000L) + pmod($"u", lit(100000L))).as("item"))
+    val cand = items.select($"item".cast("string").as("value")).as[String]
+      .select(new graft.functions.MisraGries(128).toColumn)
+      .head().keys.map(_.toLong).toSeq.sorted
+    val n = core.statCount(dir + "#events_n", items)
+    items.filter($"item".isin(cand: _*))
+      .groupBy($"item").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" * 64 > n)
+      .orderBy($"item")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_heavyhitters" -> (qAggHeavyHitters _),
     "q_agg_rollup" -> (qAggRollup _),
     "q_agg_cube" -> (qAggCube _),
     "q_agg_groupingsets" -> (qAggGroupingsets _),
@@ -680,6 +726,23 @@ object Aggregates {
   private val qtyC = centsSql("l_quantity")
 
   val oracle: Map[String, String] = Map(
+    // plain exact group-by + HAVING: the two-pass MG output IS the
+    // exact heavy set, so the oracle needs no sketch emulation; item
+    // derivation mirrors the Spark integer math digit for digit
+    "q_agg_heavyhitters" ->
+      """WITH it AS (
+        |  SELECT CASE WHEN 33 - length(bin(u + 1)) <= 6
+        |              THEN CAST(33 - length(bin(u + 1)) AS BIGINT)
+        |              ELSE 1000 + u % 100000 END AS item
+        |  FROM (
+        |    SELECT ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT AS u
+        |    FROM events))
+        |SELECT item, count(*) AS cnt
+        |FROM it GROUP BY item
+        |HAVING 64 * count(*) > (SELECT count(*) FROM events)
+        |ORDER BY item""".stripMargin,
+
     "q_agg_rollup" ->
       s"""SELECT coalesce(l_returnflag, '$All') AS flag_s,
         |  coalesce(l_linestatus, '$All') AS status_s,

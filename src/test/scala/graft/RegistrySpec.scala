@@ -28,7 +28,7 @@ class RegistrySpec extends SparkSuite {
     "q_agg_argmax", "q_agg_bitmap_distinct", "q_agg_outliers", "q_agg_mode",
     "q_agg_listagg", "q_profile_table", "q_embed_quantize",
     "q_agg_entropy", "q_agg_gini", "q_agg_decay", "q_agg_regr_slope",
-    "q_agg_corr", "q_agg_moments",
+    "q_agg_corr", "q_agg_moments", "q_agg_heavyhitters",
     // §2.5 windows
     "q_win_rownumber", "q_win_rank", "q_win_ntile", "q_win_lag_lead",
     "q_win_runsum", "q_win_moving", "q_win_rangeframe", "q_win_firstlast",
