@@ -160,11 +160,17 @@ object core {
     f.delete(): Unit
   }
 
-  /** Delete every index dir belonging to a pid that is no longer
-    * alive. Visible for IndexGcSpec.
+  /** Delete every index dir under `root` belonging to a pid that is
+    * no longer alive. `root` is parameterized so IndexGcSpec can
+    * exercise the selectivity against a scratch dir — calling the
+    * real-root variants from a test would delete the LIVE test JVM's
+    * own indexes out from under concurrently-running suites (the
+    * indexMemo still points at the deleted paths; observed as
+    * GraphSpec failures in the full parallel suite run).
     */
-  private[graft] def sweepDeadIndexDirs(): Unit = {
-    val kids = indexDirRoot.listFiles()
+  private[graft] def sweepDeadIndexDirs(
+      root: java.io.File = indexDirRoot): Unit = {
+    val kids = root.listFiles()
     if (kids != null) kids.foreach { f =>
       f.getName match {
         case IdxDir(pid) if !ProcessHandle.of(pid.toLong).isPresent =>
@@ -174,12 +180,13 @@ object core {
     }
   }
 
-  /** Delete this JVM's own index dirs (the shutdown-hook action).
-    * Visible for IndexGcSpec.
+  /** Delete this JVM's own index dirs under `root` (the shutdown-hook
+    * action; root parameterized for the same reason as above).
     */
-  private[graft] def gcOwnIndexDirs(): Unit = {
+  private[graft] def gcOwnIndexDirs(
+      root: java.io.File = indexDirRoot): Unit = {
     val mine = s"-p${ProcessHandle.current().pid()}"
-    val kids = indexDirRoot.listFiles()
+    val kids = root.listFiles()
     if (kids != null) kids.foreach { f =>
       f.getName match {
         case n @ IdxDir(_) if n.endsWith(mine) => deleteRecursively(f)

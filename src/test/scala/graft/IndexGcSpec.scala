@@ -13,13 +13,23 @@ import graft.ops.core
   * Together: a second sequential JVM starts with the first one's
   * dirs already gone (hook on clean exit) or sweeps them (crash),
   * i.e. no tmpdir growth across sequential JVMs.
+  *
+  * Both mechanisms run against a SCRATCH root here, never the real
+  * tmpdir: suites run concurrently in this JVM, and gc'ing the real
+  * root would delete live indexes (kmeans assignment, edge list)
+  * out from under them while the indexMemo still points at the
+  * paths — the exact failure mode a first version of this spec
+  * caused in the full suite run.
   */
 class IndexGcSpec extends SparkSuite {
 
-  private val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+  private def freshRoot(): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("graft_gcspec").toFile
+    d
+  }
 
-  private def mkIdxDir(name: String): java.io.File = {
-    val d = new java.io.File(tmp, name)
+  private def mkIdxDir(root: java.io.File, name: String): java.io.File = {
+    val d = new java.io.File(root, name)
     d.mkdirs()
     // nested payload so only a recursive delete can remove it
     val f = new java.io.File(d, "part-00000.parquet")
@@ -34,37 +44,27 @@ class IndexGcSpec extends SparkSuite {
   }
 
   test("startup sweep deletes dead-pid dirs and keeps live-pid dirs") {
-    val dead = mkIdxDir(s"graft_idx_gcspec-deadbeef-p$deadPid")
-    val live = mkIdxDir(
+    val root = freshRoot()
+    val dead = mkIdxDir(root, s"graft_idx_gcspec-deadbeef-p$deadPid")
+    val live = mkIdxDir(root,
       s"graft_idx_gcspec-deadbeef-p${ProcessHandle.current().pid()}")
-    val unrelated = mkIdxDir("graft_gcspec_not_an_index_dir")
-    try {
-      core.sweepDeadIndexDirs()
-      assert(!dead.exists(), "sweep left a dead-pid index dir behind")
-      assert(live.exists(), "sweep deleted a live JVM's index dir")
-      assert(unrelated.exists(), "sweep touched a non-index dir")
-    } finally {
-      Seq(live, unrelated).foreach { d =>
-        new java.io.File(d, "part-00000.parquet").delete()
-        d.delete()
-      }
-    }
+    val unrelated = mkIdxDir(root, "graft_gcspec_not_an_index_dir")
+    core.sweepDeadIndexDirs(root)
+    assert(!dead.exists(), "sweep left a dead-pid index dir behind")
+    assert(live.exists(), "sweep deleted a live JVM's index dir")
+    assert(unrelated.exists(), "sweep touched a non-index dir")
   }
 
   test("shutdown-hook action deletes exactly this JVM's dirs") {
+    val root = freshRoot()
     val pid = ProcessHandle.current().pid()
-    val mine = mkIdxDir(s"graft_idx_gcspec2-cafebabe-p$pid")
+    val mine = mkIdxDir(root, s"graft_idx_gcspec2-cafebabe-p$pid")
     // suffix trap: another pid that ENDS in ours must not match
-    val other = mkIdxDir(s"graft_idx_gcspec2-cafebabe-p9$pid")
-    try {
-      core.gcOwnIndexDirs()
-      assert(!mine.exists(), "hook action left this JVM's index dir")
-      assert(other.exists(),
-        "hook action deleted a dir whose pid merely ends in ours")
-    } finally {
-      new java.io.File(other, "part-00000.parquet").delete()
-      other.delete()
-    }
+    val other = mkIdxDir(root, s"graft_idx_gcspec2-cafebabe-p9$pid")
+    core.gcOwnIndexDirs(root)
+    assert(!mine.exists(), "hook action left this JVM's index dir")
+    assert(other.exists(),
+      "hook action deleted a dir whose pid merely ends in ours")
   }
 
   test("persistedIndex still builds exactly once after the GC wiring") {

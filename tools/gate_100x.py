@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Author CORRECTNESS_100x.json from a diff_oracle run on the 100x fixture.
+
+Usage:
+  java ... graft.ScaleProbeSf1 gen100     # -> /tmp/graft_sfsyn_v2_100
+  SPARK_GRAFT_CPUS=16 tools/run_direct.sh verify /tmp/graft_sfsyn_v2_100 \
+      /tmp/v100x <key ...>
+  python3 tools/gate_100x.py /tmp/graft_sfsyn_v2_100 /tmp/v100x <round> \
+      <key ...> [--excluded key=reason ...]
+
+Runs tools/diff_oracle.py restricted to the given keys, captures the
+per-key PASS/FAIL, and writes CORRECTNESS_100x.json. Keys whose DuckDB
+oracle is computationally infeasible at 100x (an ORACLE limitation —
+the engine side runs; note the reason) are recorded under "excluded"
+via --excluded, never silently dropped. Exits non-zero on any FAIL, on
+a crashed oracle run, or when fewer than 45 keys pass (the VERDICT r7
+task 5 floor).
+"""
+import json
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+def main():
+    sf_dir, out_dir, rnd = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    rest = sys.argv[4:]
+    keys_in, excluded = [], {}
+    it = iter(rest)
+    for a in it:
+        if a == "--excluded":
+            for ex in it:
+                k, _, why = ex.partition("=")
+                excluded[k] = why or "oracle infeasible at 100x"
+        else:
+            keys_in.append(a)
+    here = Path(__file__).parent
+    p = subprocess.run(
+        [sys.executable, str(here / "diff_oracle.py"), sf_dir, out_dir]
+        + keys_in,
+        capture_output=True, text=True)
+    keys = {}
+    n_fail = 0
+    for line in p.stdout.splitlines():
+        m = re.match(r"(PASS|FAIL|SKIP) (\S+?):? \(?(\d+)?", line)
+        if not m:
+            continue
+        st, key, rows = m.group(1), m.group(2), m.group(3)
+        if st == "PASS":
+            keys[key] = {"rows": int(rows), "match": True}
+        elif st == "SKIP":
+            keys[key] = {"rows": int(rows) if rows else None,
+                         "match": None, "note": "declared no-oracle"}
+        else:
+            parts = line.split(":", 1)
+            why = parts[1].strip() if len(parts) > 1 else line.strip()
+            keys[key] = {"match": False, "why": why[:300]}
+            n_fail += 1
+    if p.returncode != 0 and n_fail == 0:
+        sys.stderr.write(f"diff_oracle.py exited rc={p.returncode} with no "
+                         f"parsed FAILs; refusing to write artifact\n")
+        sys.stderr.write(p.stderr[-4000:])
+        sys.exit(2)
+    n_pass = sum(1 for v in keys.values() if v.get("match"))
+    if n_pass < 45:
+        sys.stderr.write(f"only {n_pass} keys passed (< 45 floor); "
+                         f"refusing to write artifact\n")
+        sys.stderr.write(p.stderr[-4000:])
+        sys.exit(2)
+    doc = {
+        "round": rnd,
+        "fixture": ("ScaleProbeSf1 synthetic at 100x the sf0.1 shape "
+                    "(500k docs / 200k vectors / 15M orders / 60M lineitems "
+                    "/ 10M events), full sf0.1 schemas, deterministic "
+                    "hash-derived generator"),
+        "method": ("graft.Verify on the 100x dir -> tools/diff_oracle.py "
+                   "restricted to the listed keys (DuckDB oracle; "
+                   "rows+schema+values exact, same gate as the driver t2)"),
+        "why": ("VERDICT r7 task 5: extend the third-decade gate from the "
+                "22 overflow/determinism-prone keys to the full r6 45-key "
+                "heavy family (dedup/ANN/graph/text/sampling/storage) plus "
+                "the r7 22 and the r8 additions"),
+        "n_pass": n_pass,
+        "n_fail": n_fail,
+        "n_no_oracle": sum(1 for v in keys.values() if v.get("match") is None),
+        "excluded": excluded,
+        "keys": dict(sorted(keys.items())),
+    }
+    Path("CORRECTNESS_100x.json").write_text(json.dumps(doc, indent=1) + "\n")
+    print(f"pass={n_pass} fail={n_fail} "
+          f"no_oracle={doc['n_no_oracle']} excluded={len(excluded)}")
+    for k, v in keys.items():
+        if v.get("match") is False:
+            print(f"FAIL {k}: {v['why']}")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
