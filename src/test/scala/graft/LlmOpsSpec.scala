@@ -12,7 +12,7 @@ class LlmOpsSpec extends SparkSuite {
   private val rowsExpected =
     (LlmOps.queries ++ TrainingOps.queries) -
       ("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed", "q_dedup_ngram",
-        "q_dedup_components", "q_dedup_embed_lsh")
+        "q_dedup_components", "q_dedup_embed_lsh", "q_dedup_embed_lsh_t9")
 
   for ((name, fn) <- rowsExpected) {
     test(s"$name runs and returns rows at sf0.001") {
@@ -21,7 +21,11 @@ class LlmOpsSpec extends SparkSuite {
   }
 
   for (name <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed",
-      "q_dedup_ngram", "q_dedup_components", "q_dedup_embed_lsh")) {
+      "q_dedup_ngram", "q_dedup_components", "q_dedup_embed_lsh",
+      // τ = 0.9 is empty BY SEMANTICS on the i.i.d.-random fixture
+      // (cosine concentration); non-vacuous output pinned at the
+      // clustered 10x gate fixture (490k exact-match pairs)
+      "q_dedup_embed_lsh_t9")) {
     test(s"$name runs (pairs may legitimately be empty at sf0.001)") {
       assert(SparkEntry.queries(name)(spark, sf).count() >= 0)
     }

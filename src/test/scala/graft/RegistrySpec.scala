@@ -62,7 +62,7 @@ class RegistrySpec extends SparkSuite {
     "q_dedup_embed", "q_sim_ann_lsh", "q_sim_ann_ivf",
     "q_sample_hash", "q_split_train_val", "q_multimodal_binary",
     "q_multimodal_decode",
-    "q_dedup_embed_lsh", "q_pipeline_e2e",
+    "q_dedup_embed_lsh", "q_dedup_embed_lsh_t9", "q_pipeline_e2e",
     "q_text_repetition", "q_dedup_chunk", "q_text_lang_keywords",
     "q_text_contamination", "q_sample_stratified", "q_text_perplexity",
     "q_text_bpe", "q_text_bpe_apply", "q_drift_kl", "q_dedup_incremental",
