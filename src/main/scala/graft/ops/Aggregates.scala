@@ -677,14 +677,23 @@ object Aggregates {
     * n/129 guarantee. The ≤128-entry candidate map is driver-side
     * metadata (the ntile count-map class), not data.
     */
-  def qAggHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+  /** The derived skewed item universe (one `item` column) — shared
+    * by the batch key and the streaming Misra–Gries runtime twin
+    * (StreamingHeavyHittersSpec).
+    */
+  def skewedItems(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val items = t(s, dir, "events")
+    t(s, dir, "events")
       .select(expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), " +
         "1, 8), 16, 10) AS BIGINT)").as("u"))
       .withColumn("lvl", expr("33 - length(bin(u + 1))"))
       .select(when($"lvl" <= 6, $"lvl".cast("long"))
         .otherwise(lit(1000L) + pmod($"u", lit(100000L))).as("item"))
+  }
+
+  def qAggHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = skewedItems(s, dir)
     val cand = items.select($"item".cast("string").as("value")).as[String]
       .select(new graft.functions.MisraGries(128).toColumn)
       .head().keys.map(_.toLong).toSeq.sorted
