@@ -24,8 +24,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * one combinable group-by over candidate rows only) and threshold on
   * the recount — that two-pass result is deterministic and exact.
   * The fixture corpus is deliberately near-uniform (no bigram exceeds
-  * 0.2 %), so no registered key uses this; MisraGriesSpec pins the
-  * guarantees on synthetic Zipf data instead, and ScaleProbe runs the
+  * 0.2 %), so the registered key `q_agg_heavyhitters` (r8) derives
+  * its own deterministic skewed item universe from the events table
+  * and runs this sketch as pass 1 of an exact two-pass (candidates →
+  * broadcast recount → threshold); the streaming twin
+  * (MisraGriesProcessor / StreamingHeavyHittersSpec) reduces through
+  * the same logic in typed state. MisraGriesSpec additionally pins
+  * the guarantees on synthetic Zipf data, and ScaleProbe runs the
   * sketch over 5M rows.
   */
 case class MGSummary(counts: mutable.Map[String, Long], err: Long)

@@ -832,10 +832,15 @@ object TrainingOps {
     // analytic recompute of the synthetic pixel function — no binary
     // parsing oracle-side; any Spark-side parser misread shifts the
     // channel sums (see qMultimodalDecode scaladoc)
+    // posmod mirrors of the Spark side's floorMod (the sign-safe
+    // moments-shift pattern): fixture doc_ids are nonnegative, but
+    // the asymmetry of a bare % (sign-following in DuckDB) vs
+    // floorMod would be a latent divergence for any negative id
     "q_multimodal_decode" ->
       """WITH d AS (
-        |  SELECT doc_id, CAST(4 + doc_id % 13 AS INTEGER) AS width,
-        |         CAST(3 + doc_id % 7 AS INTEGER) AS height
+        |  SELECT doc_id,
+        |    CAST(4 + ((doc_id % 13) + 13) % 13 AS INTEGER) AS width,
+        |    CAST(3 + ((doc_id % 7) + 7) % 7 AS INTEGER) AS height
         |  FROM documents),
         |px AS (
         |  SELECT doc_id, width, height,
@@ -844,13 +849,13 @@ object TrainingOps {
         |SELECT doc_id, width, height, CAST(3 AS INTEGER) AS channels,
         |  CAST(width AS BIGINT) * height AS n_pix,
         |  CAST(sum(CASE WHEN j % 3 = 0
-        |                THEN (doc_id * 31 + 7 * j) % 256 END) AS BIGINT)
+        |    THEN (((doc_id * 31 + 7 * j) % 256) + 256) % 256 END) AS BIGINT)
         |    AS sum_r,
         |  CAST(sum(CASE WHEN j % 3 = 1
-        |                THEN (doc_id * 31 + 7 * j) % 256 END) AS BIGINT)
+        |    THEN (((doc_id * 31 + 7 * j) % 256) + 256) % 256 END) AS BIGINT)
         |    AS sum_g,
         |  CAST(sum(CASE WHEN j % 3 = 2
-        |                THEN (doc_id * 31 + 7 * j) % 256 END) AS BIGINT)
+        |    THEN (((doc_id * 31 + 7 * j) % 256) + 256) % 256 END) AS BIGINT)
         |    AS sum_b
         |FROM px GROUP BY doc_id, width, height
         |ORDER BY doc_id""".stripMargin,

@@ -161,19 +161,26 @@ object core {
   }
 
   /** Delete every index dir under `root` belonging to a pid that is
-    * no longer alive. `root` is parameterized so IndexGcSpec can
-    * exercise the selectivity against a scratch dir — calling the
-    * real-root variants from a test would delete the LIVE test JVM's
-    * own indexes out from under concurrently-running suites (the
-    * indexMemo still points at the deleted paths; observed as
-    * GraphSpec failures in the full parallel suite run).
+    * no longer alive — or that bears THIS JVM's pid: the sweep runs
+    * (once) before this JVM's first build, so a dir already carrying
+    * our pid can only be a crashed predecessor's leftover after pid
+    * recycling, and keeping it would fail the ~half of builders that
+    * write without mode(overwrite) with path-already-exists. `root`
+    * is parameterized so IndexGcSpec can exercise the selectivity
+    * against a scratch dir — calling the real-root variants from a
+    * test would delete the LIVE test JVM's own indexes out from under
+    * concurrently-running suites (the indexMemo still points at the
+    * deleted paths; observed as GraphSpec failures in the full
+    * parallel suite run).
     */
   private[graft] def sweepDeadIndexDirs(
       root: java.io.File = indexDirRoot): Unit = {
+    val self = ProcessHandle.current().pid()
     val kids = root.listFiles()
     if (kids != null) kids.foreach { f =>
       f.getName match {
-        case IdxDir(pid) if !ProcessHandle.of(pid.toLong).isPresent =>
+        case IdxDir(pid)
+            if pid.toLong == self || !ProcessHandle.of(pid.toLong).isPresent =>
           deleteRecursively(f)
         case _ => ()
       }

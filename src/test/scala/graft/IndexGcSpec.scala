@@ -43,15 +43,23 @@ class IndexGcSpec extends SparkSuite {
     p
   }
 
-  test("startup sweep deletes dead-pid dirs and keeps live-pid dirs") {
+  test("startup sweep deletes dead-pid AND recycled-own-pid dirs, keeps other live pids") {
     val root = freshRoot()
     val dead = mkIdxDir(root, s"graft_idx_gcspec-deadbeef-p$deadPid")
-    val live = mkIdxDir(root,
+    // a LIVE pid that is not ours (pid 1 always exists): a concurrent
+    // JVM's private copy — must survive
+    val live = mkIdxDir(root, "graft_idx_gcspec-deadbeef-p1")
+    // a dir bearing OUR OWN pid at sweep time can only be a crashed
+    // predecessor's leftover after pid recycling (the sweep runs
+    // before this JVM's first build) — must be reaped
+    val recycled = mkIdxDir(root,
       s"graft_idx_gcspec-deadbeef-p${ProcessHandle.current().pid()}")
     val unrelated = mkIdxDir(root, "graft_gcspec_not_an_index_dir")
     core.sweepDeadIndexDirs(root)
     assert(!dead.exists(), "sweep left a dead-pid index dir behind")
-    assert(live.exists(), "sweep deleted a live JVM's index dir")
+    assert(live.exists(), "sweep deleted a concurrent live JVM's index dir")
+    assert(!recycled.exists(),
+      "sweep kept a stale dir bearing this JVM's own (recycled) pid")
     assert(unrelated.exists(), "sweep touched a non-index dir")
   }
 

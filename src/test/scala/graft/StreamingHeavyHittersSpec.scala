@@ -83,13 +83,41 @@ class StreamingHeavyHittersSpec extends SparkSuite {
   }
 
   test("shard state stays hard-bounded at k entries across batches") {
-    val mg = new MisraGriesProcessor(4)
-    // direct reduce-path check via the underlying aggregator: 100
-    // distinct items through capacity 4 can never hold > 4 counters
-    val agg = new graft.functions.MisraGries(4)
-    var b = agg.zero
-    (0 until 100).foreach(i => b = agg.reduce(b, s"item_$i"))
-    assert(b.counts.size <= 4)
-    assert(mg != null)
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // drive the REAL processor: 300 distinct items per shard across
+      // three micro-batches through capacity 4 — every EMITTED
+      // summary (the state row as written) must hold <= 4 counters,
+      // which fails if the restore/update path ever appends instead
+      // of MG-reducing or stores pre-truncation state
+      val mem = MemoryStream[(Int, String)]
+      val q = mem.toDS().groupByKey(_._1)
+        .transformWithState(new MisraGriesProcessor(4),
+          TimeMode.None(), OutputMode.Update())
+        .toDF("shard", "seq", "items", "counts", "err")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("mg_bound_sink").start()
+      (0 until 3).foreach { batch =>
+        mem.addData((0 until 100).map(i => (i % 2, s"item_${batch}_$i")))
+        q.processAllAvailable()
+      }
+      q.stop()
+      val sizes = spark.table("mg_bound_sink")
+        .select(size($"items").as("n")).as[Int].collect()
+      assert(sizes.nonEmpty && sizes.forall(_ <= 4),
+        s"a shard summary exceeded capacity 4: ${sizes.toSeq}")
+      spark.catalog.dropTempView("mg_bound_sink")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
   }
 }

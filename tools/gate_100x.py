@@ -17,10 +17,11 @@ a crashed oracle run, or when fewer than 45 keys pass (the VERDICT r7
 task 5 floor).
 """
 import json
-import re
 import subprocess
 import sys
 from pathlib import Path
+
+from gatelib import parse_diff_oracle
 
 def main():
     sf_dir, out_dir, rnd = sys.argv[1], sys.argv[2], int(sys.argv[3])
@@ -29,9 +30,18 @@ def main():
     it = iter(rest)
     for a in it:
         if a == "--excluded":
+            # everything after --excluded MUST be key=reason: a bare
+            # key here would otherwise be silently recorded as
+            # excluded instead of gated, losing coverage
             for ex in it:
-                k, _, why = ex.partition("=")
-                excluded[k] = why or "oracle infeasible at 100x"
+                k, eq, why = ex.partition("=")
+                if not eq or not why:
+                    sys.stderr.write(
+                        f"--excluded entry '{ex}' is not key=reason; "
+                        f"if it was meant to be gated, put it BEFORE "
+                        f"--excluded\n")
+                    sys.exit(2)
+                excluded[k] = why
         else:
             keys_in.append(a)
     here = Path(__file__).parent
@@ -39,23 +49,7 @@ def main():
         [sys.executable, str(here / "diff_oracle.py"), sf_dir, out_dir]
         + keys_in,
         capture_output=True, text=True)
-    keys = {}
-    n_fail = 0
-    for line in p.stdout.splitlines():
-        m = re.match(r"(PASS|FAIL|SKIP) (\S+?):? \(?(\d+)?", line)
-        if not m:
-            continue
-        st, key, rows = m.group(1), m.group(2), m.group(3)
-        if st == "PASS":
-            keys[key] = {"rows": int(rows), "match": True}
-        elif st == "SKIP":
-            keys[key] = {"rows": int(rows) if rows else None,
-                         "match": None, "note": "declared no-oracle"}
-        else:
-            parts = line.split(":", 1)
-            why = parts[1].strip() if len(parts) > 1 else line.strip()
-            keys[key] = {"match": False, "why": why[:300]}
-            n_fail += 1
+    keys, n_fail = parse_diff_oracle(p.stdout)
     if p.returncode != 0 and n_fail == 0:
         sys.stderr.write(f"diff_oracle.py exited rc={p.returncode} with no "
                          f"parsed FAILs; refusing to write artifact\n")

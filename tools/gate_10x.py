@@ -13,10 +13,11 @@ SKIP = declared no-oracle keys, recorded as rows-only). Exits non-zero
 if any key FAILs, so the gate cannot be silently committed red.
 """
 import json
-import re
 import subprocess
 import sys
 from pathlib import Path
+
+from gatelib import parse_diff_oracle
 
 def main():
     sf_dir, out_dir, rnd = sys.argv[1], sys.argv[2], int(sys.argv[3])
@@ -24,23 +25,7 @@ def main():
     p = subprocess.run(
         [sys.executable, str(here / "diff_oracle.py"), sf_dir, out_dir],
         capture_output=True, text=True)
-    keys = {}
-    n_fail = 0
-    for line in p.stdout.splitlines():
-        m = re.match(r"(PASS|FAIL|SKIP) (\S+?):? \(?(\d+)?", line)
-        if not m:
-            continue
-        st, key, rows = m.group(1), m.group(2), m.group(3)
-        if st == "PASS":
-            keys[key] = {"rows": int(rows), "match": True}
-        elif st == "SKIP":
-            keys[key] = {"rows": int(rows) if rows else None,
-                         "match": None, "note": "declared no-oracle"}
-        else:
-            parts = line.split(":", 1)
-            why = parts[1].strip() if len(parts) > 1 else line.strip()
-            keys[key] = {"match": False, "why": why[:300]}
-            n_fail += 1
+    keys, n_fail = parse_diff_oracle(p.stdout)
     # ADVICE r7: a crashed oracle run (nonzero rc, or nothing parsed) must
     # fail loudly instead of writing a green-looking artifact with n_pass=0.
     if p.returncode != 0 and n_fail == 0:
