@@ -216,14 +216,17 @@ object StreamBench {
     }
     val wall = (System.nanoTime() - t0) / 1e9
     q.stop()
+    // sorted multisets, not sets (ADVICE r8): a duplicate emission
+    // from a replayed/ragged batch must FAIL the equivalence check,
+    // exactly like the windowed-agg pipeline's ordered compare
     val streamed = spark.table(sink)
       .select($"p_id", $"c_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     val ev = events.toDF()
     val batch = Streaming.attributionJoin(
         shape(ev, "purchase", "p"), shape(ev, "click", "c"))
       .select($"p_id", $"c_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     spark.catalog.dropTempView(sink)
     result(events.length.toLong, lat, wall, streamed == batch)
   }
@@ -274,13 +277,236 @@ object StreamBench {
     }
   }
 
+  /** Deterministic skewed item universe for the heavy-hitters
+    * pipeline: geometric head (item `hot_k` carries ~2^-(k+1) of the
+    * stream) over a uniform cold tail — the classic shape Misra–Gries
+    * exists for. Pure integer hashing, no RNG.
+    */
+  def skewedStreamItems(n: Int): IndexedSeq[String] =
+    (0 until n).map { i =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(i.toString) & 0x7fffffff
+      val lvl = java.lang.Integer.numberOfTrailingZeros(h | (1 << 20))
+      if (lvl < 20) s"hot_$lvl" else s"cold_${h >>> 8}"
+    }
+
+  /** Streaming heavy hitters (VERDICT r8 task 4): the sharded
+    * Misra–Gries `transformWithState` sketch over a skewed item
+    * stream — the repo's most state-disciplined streaming op (O(k)
+    * bytes per shard forever) but previously without a throughput
+    * number. Same matches-batch discipline as the other rows, via the
+    * two-pass contract the batch key uses: union of the final shard
+    * summaries → candidate set (⊇ every globally-heavy item by the
+    * sharded-MG guarantee) → exact recount at threshold n/64 ≡ the
+    * identical exact recount computed in batch over the same items.
+    */
+  def benchHeavyHitters(spark: SparkSession, events: IndexedSeq[SEv],
+      chunk: Int): PipeResult = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val n = events.length
+      val items = skewedStreamItems(n)
+      val shards = feedParts(spark) * 2
+      val tuples = items.map(i => (math.floorMod(i.hashCode, shards), i))
+      val mem = MemoryStream[(Int, String)](feedParts(spark))
+      val sink = freshSink("mg")
+      val q = mem.toDS().groupByKey(_._1)
+        .transformWithState(new graft.streaming.MisraGriesProcessor(128),
+          TimeMode.None(), OutputMode.Update())
+        .toDF("shard", "seq", "items", "counts", "err")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(sink).start()
+      val t0 = System.nanoTime()
+      val lat = timeBatches(q,
+        tuples.grouped(chunk).map(c => () => { mem.addData(c); () }))
+      val wall = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val candidates = spark.table(sink)
+        .groupBy($"shard")
+        .agg(max_by($"items", $"seq").as("items"))
+        .select(explode($"items").as("item"))
+        .as[String].collect().toSet
+      val itemsDf = items.toDF("item")
+      def recountOf(df: DataFrame) = df
+        .groupBy($"item").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" * 64 > n.toLong)
+        .orderBy($"item").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val streamed = recountOf(
+        itemsDf.filter($"item".isin(candidates.toSeq: _*)))
+      val batch = recountOf(itemsDf)
+      spark.catalog.dropTempView(sink)
+      result(n.toLong, lat, wall, streamed == batch && streamed.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  case class StateScaleResult(rows: Long, keys: Long, batches: Int,
+      wallSec: Double, p50Ms: Double, p95Ms: Double,
+      firstThirdP50Ms: Double, lastThirdP50Ms: Double,
+      stateRows: Long, stateBytes: Long, matchesBatch: Boolean) {
+    def rowsPerSec: Double = rows / wallSec
+  }
+
+  /** State-scale probe (VERDICT r8 task 3a): per-key running totals
+    * where the keyed state (`nKeys` distinct users, default 5 M) far
+    * exceeds any micro-batch — the 100 TB streaming risk is state ≫
+    * memory, and the ~31 k-user rows above never leave the RocksDB
+    * memtable. Feeds one insert per key then a second pass of updates
+    * over the first fifth of the keyspace (both store paths), reports
+    * per-batch latency GROWTH (first-third vs last-third p50 — flat
+    * means state size does not degrade per-batch cost) and the state
+    * store's own row/byte counters from the final progress. The
+    * equivalence check is fully distributed (no driver-side map of
+    * 5 M keys): streamed finals == batch group-by, compared with a
+    * two-sided anti-join count.
+    */
+  def benchStateScale(spark: SparkSession, nKeys: Int,
+      chunk: Int): StateScaleResult = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val inserts = (0L until nKeys.toLong).map(k => (k, k % 97L))
+      val updates = (0L until nKeys.toLong / 5).map(k => (k, (k % 89L) + 1L))
+      val tuples = inserts ++ updates
+      val mem = MemoryStream[(Long, Long)](feedParts(spark))
+      val sink = freshSink("scale")
+      val q = mem.toDS().groupByKey(_._1)
+        .transformWithState(new RunningCountProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n", "sum_c")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(sink).start()
+      val t0 = System.nanoTime()
+      val lat = timeBatches(q,
+        tuples.grouped(chunk).map(c => () => { mem.addData(c); () }))
+      val wall = (System.nanoTime() - t0) / 1e9
+      val prog = q.lastProgress
+      val (stateRows, stateBytes) = prog.stateOperators.headOption
+        .map(so => (so.numRowsTotal, so.memoryUsedBytes)).getOrElse((-1L, -1L))
+      q.stop()
+      val streamed = spark.table(sink)
+        .groupBy($"user_id")
+        .agg(max(struct($"n", $"sum_c")).as("fin"))
+        .select($"user_id", $"fin.n".as("n"), $"fin.sum_c".as("sum_c"))
+      val batch = tuples.toDF("user_id", "c")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), sum($"c").as("sum_c"))
+      val diff = streamed.exceptAll(batch).count() +
+        batch.exceptAll(streamed).count()
+      spark.catalog.dropTempView(sink)
+      val third = math.max(1, lat.length / 3)
+      StateScaleResult(tuples.length.toLong, nKeys.toLong, lat.length, wall,
+        pct(lat, 0.5), pct(lat, 0.95),
+        pct(lat.take(third), 0.5), pct(lat.takeRight(third), 0.5),
+        stateRows, stateBytes, diff == 0L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  case class RecoveryResult(events: Long, keys: Long, stateRows: Long,
+      steadyP50Ms: Double, recoveryFirstBatchMs: Double,
+      matchesBatch: Boolean)
+
+  /** Kill-and-restart cost (VERDICT r8 task 3b): RecoverySpec proves a
+    * checkpointed restart is CORRECT; this measures what it COSTS with
+    * real state behind it. Phase A builds `nKeys` keys of running-
+    * total state through a checkpointed transformWithState query and
+    * stops it cleanly; the restarted query's first micro-batch then
+    * pays state-store restore from the checkpoint on every partition.
+    * recovery_first_batch_ms vs the steady p50 is the restart tax.
+    * Exactly-once: per-key totals are monotone, so max(n, sum) per key
+    * across BOTH phases' sinks must equal the batch group-by over all
+    * fed rows — a lost batch reads low, a double-processed one high.
+    */
+  def benchRecovery(spark: SparkSession, nKeys: Int,
+      chunk: Int): RecoveryResult = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_recovery_ckpt").toString
+      // the memory sink cannot recover from a checkpoint in Update
+      // mode — use the production pattern instead: foreachBatch
+      // appending parquet (recovery-capable; a replayed batch's
+      // duplicate append is harmless to the max-of-monotone check,
+      // while state-level double counting still reads high)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_recovery_out").toString
+      val phaseA = (0L until nKeys.toLong).map(k => (k, k % 97L))
+      val phaseB = (0L until nKeys.toLong / 10).map(k => (k, (k % 89L) + 1L))
+      val mem = MemoryStream[(Long, Long)](feedParts(spark))
+      def startQuery(): StreamingQuery =
+        mem.toDS().groupByKey(_._1)
+          .transformWithState(new RunningCountProcessor,
+            TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "n", "sum_c")
+          .writeStream.outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode("append").parquet(outDir)
+          }
+          .start()
+      val qA = startQuery()
+      val latA = timeBatches(qA,
+        phaseA.grouped(chunk).map(c => () => { mem.addData(c); () }))
+      val stateRows = qA.lastProgress.stateOperators.headOption
+        .map(_.numRowsTotal).getOrElse(-1L)
+      qA.stop()
+      // restart from the checkpoint: the first batch pays restore
+      val t0 = System.nanoTime()
+      val qB = startQuery()
+      mem.addData(phaseB)
+      qB.processAllAvailable()
+      val recoveryMs = (System.nanoTime() - t0) / 1e6
+      qB.stop()
+      val streamed = spark.read.parquet(outDir)
+        .groupBy($"user_id")
+        .agg(max(struct($"n", $"sum_c")).as("fin"))
+        .select($"user_id", $"fin.n".as("n"), $"fin.sum_c".as("sum_c"))
+      val batch = (phaseA ++ phaseB).toDF("user_id", "c")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), sum($"c").as("sum_c"))
+      val diff = streamed.exceptAll(batch).count() +
+        batch.exceptAll(streamed).count()
+      RecoveryResult((phaseA.length + phaseB.length).toLong, nKeys.toLong,
+        stateRows, pct(latA, 0.5), recoveryMs, diff == 0L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   // ------------------------------------------------------------ harness
 
   val pipelines: Seq[(String, (SparkSession, IndexedSeq[SEv], Int) => PipeResult)] =
     Seq(
       "windowed_agg" -> (benchWindowedAgg _),
       "interval_join" -> (benchIntervalJoin _),
-      "stateful_count" -> (benchStatefulCount _))
+      "stateful_count" -> (benchStatefulCount _),
+      "heavy_hitters" -> (benchHeavyHitters _))
 
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("STREAMBENCH.json")
@@ -305,16 +531,47 @@ object StreamBench {
         f"matches_batch=${r.matchesBatch})")
       name -> r
     }
+    // state-scale + recovery probes (VERDICT r8 task 3): smaller warm
+    // pass first, then the measured run
+    val stateKeys = sys.env.getOrElse("STREAM_BENCH_STATE_KEYS", "5000000").toInt
+    benchStateScale(spark, 100000, 50000)
+    val sc = benchStateScale(spark, stateKeys, chunk)
+    System.err.println(f"[streambench] state_scale    ${sc.rows} rows / " +
+      f"${sc.keys} keys in ${sc.wallSec}%.2f s = ${sc.rowsPerSec}%.0f rows/s " +
+      f"(p50 ${sc.p50Ms}%.0f ms; first-third ${sc.firstThirdP50Ms}%.0f -> " +
+      f"last-third ${sc.lastThirdP50Ms}%.0f ms; state ${sc.stateRows} rows / " +
+      f"${sc.stateBytes} B; matches_batch=${sc.matchesBatch})")
+    val recovKeys = sys.env.getOrElse("STREAM_BENCH_RECOVERY_KEYS", "1000000").toInt
+    benchRecovery(spark, 50000, 25000)
+    val rc = benchRecovery(spark, recovKeys, chunk)
+    System.err.println(f"[streambench] recovery       ${rc.keys} keys of state: " +
+      f"steady p50 ${rc.steadyP50Ms}%.0f ms, restart first batch " +
+      f"${rc.recoveryFirstBatchMs}%.0f ms (matches_batch=${rc.matchesBatch})")
     val body = results.map { case (name, r) =>
       f""""$name":{"rows":${r.rows},"batches":${r.batches},""" +
         f""""wall_sec":${r.wallSec}%.3f,"rows_per_sec":${r.rowsPerSec}%.0f,""" +
         f""""batch_ms_p50":${r.p50Ms}%.1f,"batch_ms_p95":${r.p95Ms}%.1f,""" +
         f""""batch_ms_max":${r.maxMs}%.1f,"matches_batch":${r.matchesBatch}}"""
     }.mkString(",")
+    val scJson =
+      f""""state_scale":{"rows":${sc.rows},"keys":${sc.keys},""" +
+        f""""batches":${sc.batches},"wall_sec":${sc.wallSec}%.3f,""" +
+        f""""rows_per_sec":${sc.rowsPerSec}%.0f,"batch_ms_p50":${sc.p50Ms}%.1f,""" +
+        f""""batch_ms_p95":${sc.p95Ms}%.1f,""" +
+        f""""batch_ms_p50_first_third":${sc.firstThirdP50Ms}%.1f,""" +
+        f""""batch_ms_p50_last_third":${sc.lastThirdP50Ms}%.1f,""" +
+        f""""state_rows":${sc.stateRows},"state_bytes":${sc.stateBytes},""" +
+        f""""matches_batch":${sc.matchesBatch}}"""
+    val rcJson =
+      f""""recovery":{"events":${rc.events},"keys":${rc.keys},""" +
+        f""""state_rows":${rc.stateRows},""" +
+        f""""steady_batch_ms_p50":${rc.steadyP50Ms}%.1f,""" +
+        f""""recovery_first_batch_ms":${rc.recoveryFirstBatchMs}%.1f,""" +
+        f""""matches_batch":${rc.matchesBatch}}"""
     val json = s"""{"metric":"stream_events_total_sec","value":""" +
       f"${results.map(_._2.wallSec).sum}%.3f," +
       s""""unit":"sec","events":$n,"chunk":$chunk,"cpus":$cpus,""" +
-      s""""pipelines":{$body}}"""
+      s""""pipelines":{$body},$scJson,$rcJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     println(json)

@@ -19,9 +19,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    // run in CLI-arg order when keys are given (scheduling long scale
+    // runs needs cheap-first/heavy-last control; a Map iterates in
+    // arbitrary order), and log per-key progress so a stalled scale
+    // run is identifiable from the log
+    val selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      if (only.isEmpty) SparkEntry.queries.toSeq
+      else args.drop(2).distinct.toSeq.flatMap(n =>
+        SparkEntry.queries.get(n).map(n -> _))
+    selected.foreach { case (name, fn) =>
+      System.err.println(s"[verify] start $name")
+      val t0 = System.nanoTime()
       // withCaches releases this key's tracked caches + localCheckpoint
       // blocks on exit; clearCache stays as a belt-and-braces sweep for
       // anything a future op might pin outside the tracker
@@ -32,6 +40,8 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
+      System.err.println(
+        f"[verify] done $name in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -13,13 +13,24 @@ package graft
   */
 class StreamBenchSpec extends SparkSuite {
 
+  // Dedicated session (ADVICE r8): StreamBench toggles session confs
+  // (noDataMicroBatches, the RocksDB provider) for seconds at a time,
+  // and sbt runs suites concurrently in one JVM — a concurrently
+  // running streaming suite that relies on the eager no-data-batch
+  // default could start a query mid-toggle and stall. newSession()
+  // shares the SparkContext but owns an isolated SQLConf (inheriting
+  // the builder confs, which live in the SparkContext conf), so the
+  // toggles are invisible to every other suite.
+  private lazy val bench: org.apache.spark.sql.SparkSession =
+    spark.newSession()
+
   private lazy val events = StreamBench.orderedEvents(400000)
 
   // one-time codegen/state-store classload, exactly like the main's
   // warm pass — the floor is about steady-state, not first-query cost
   private lazy val warm: Unit = {
     val w = StreamBench.orderedEvents(20000)
-    StreamBench.pipelines.foreach { case (_, fn) => fn(spark, w, w.length) }
+    StreamBench.pipelines.foreach { case (_, fn) => fn(bench, w, w.length) }
   }
 
   /** Floor with one retry: the documented external host steal
@@ -48,21 +59,47 @@ class StreamBenchSpec extends SparkSuite {
   test("windowed agg streams >= 50k events/s at local[4] and matches batch") {
     warm
     floored(50000, "windowed agg") {
-      StreamBench.benchWindowedAgg(spark, events, 100000)
+      StreamBench.benchWindowedAgg(bench, events, 100000)
     }
   }
 
   test("stream-stream interval join matches batch and holds >= 20k events/s") {
     warm
     floored(20000, "interval join") {
-      StreamBench.benchIntervalJoin(spark, events, 100000)
+      StreamBench.benchIntervalJoin(bench, events, 100000)
     }
   }
 
   test("transformWithState running count matches batch and holds >= 50k events/s") {
     warm
     floored(50000, "stateful count") {
-      StreamBench.benchStatefulCount(spark, events, 100000)
+      StreamBench.benchStatefulCount(bench, events, 100000)
     }
+  }
+
+  test("streaming heavy hitters matches its batch recount and holds >= 20k events/s") {
+    warm
+    floored(20000, "heavy hitters") {
+      StreamBench.benchHeavyHitters(bench, events, 100000)
+    }
+  }
+
+  test("state-scale probe: state rows == keys, distributed equivalence holds") {
+    warm
+    val r = StreamBench.benchStateScale(bench, 200000, 50000)
+    assert(r.matchesBatch, "state-scale streamed finals diverged from batch")
+    assert(r.stateRows == 200000L,
+      s"state store reports ${r.stateRows} rows for 200000 keys")
+  }
+
+  test("recovery probe: restarted totals are exactly-once") {
+    warm
+    val r = StreamBench.benchRecovery(bench, 100000, 50000)
+    assert(r.matchesBatch,
+      "post-restart totals diverged from the batch group-by (lost or " +
+        "double-processed batch)")
+    assert(r.stateRows == 100000L,
+      s"phase-A state rows ${r.stateRows} != 100000 keys")
+    assert(r.recoveryFirstBatchMs > 0)
   }
 }

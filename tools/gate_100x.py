@@ -45,6 +45,24 @@ def main():
         else:
             keys_in.append(a)
     here = Path(__file__).parent
+    # ADVICE r8: an --excluded entry was never validated — a typo'd or
+    # renamed key would record a plausible-looking exclusion while the
+    # real key silently went ungated. Excluded keys must (a) not also be
+    # gated in this run and (b) exist in the repo's oracle key list
+    # (Verify dumps oracle_sql.json next to the results).
+    both = sorted(set(excluded) & set(keys_in))
+    if both:
+        sys.stderr.write(f"keys both gated and excluded: {both}\n")
+        sys.exit(2)
+    oracle_json = Path(out_dir) / "oracle_sql.json"
+    if oracle_json.exists():
+        known = set(json.loads(oracle_json.read_text()))
+        bogus = sorted(set(excluded) - known)
+        if bogus:
+            sys.stderr.write(
+                f"--excluded keys not in the oracle key list: {bogus} — "
+                f"typo'd exclusions hide lost coverage\n")
+            sys.exit(2)
     p = subprocess.run(
         [sys.executable, str(here / "diff_oracle.py"), sf_dir, out_dir]
         + keys_in,
