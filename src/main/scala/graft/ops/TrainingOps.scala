@@ -425,12 +425,26 @@ object TrainingOps {
       val probes = sig.select($"vec_id", $"band", explode(array(
           ($"bv" +: (0 until 8).map(j => $"bv".bitwiseXOR(lit(1L << j)))): _*))
         .as("pv"))
+      // no per-batch distinct: within one band a Hamming-≤1 pair
+      // matches EXACTLY one probe key (the identity when equal, the
+      // single differing-bit flip otherwise), so candidates carry no
+      // intra-band duplicates and a distinct here would only pay an
+      // O(candidates) shuffle (~11 GB/band at the 100× fixture) to
+      // remove cross-band dups the final distinct removes anyway
       val cand = probes.as("x").join(sig.as("y"),
           $"x.band" === $"y.band" && $"x.pv" === $"y.bv" &&
           $"x.vec_id" < $"y.vec_id")
         .select($"x.vec_id".as("a_id"), $"y.vec_id".as("b_id"))
-        .distinct()
-      val surv = cand.join(a, "a_id").join(b, "b_id")
+      // BROADCAST both embedding sides: the r9 100× attempt died on
+      // disk because cand⋈a (SMJ) fed a second exchange whose rows
+      // carried the 512-byte a_emb — ~48 GB of shuffle write per
+      // band. With both sides broadcast (≈0.5 KB/vector: viable to
+      // ~10 M vectors per executor GB; past that, block the b side
+      // with this same batch loop) the candidate stream flows from
+      // the band join through the dot+filter IN ONE STAGE — the
+      // ~7e8-row intermediate never touches disk, and the batch's
+      // only shuffles are the metadata-sized sig/probe exchanges.
+      val surv = cand.join(broadcast(a), "a_id").join(broadcast(b), "b_id")
         .withColumn("rawcos",
           try_divide(dot($"a_emb", $"b_emb"), $"a_nrm" * $"b_nrm"))
         // threshold on the raw cosine (bit-identical fold across
