@@ -94,51 +94,84 @@ object TrainingOps {
       .orderBy($"doc_id")
   }
 
-  /** 16-bit SimHash from xxhash64 word hashes: bit j of the signature
-    * is the sign of Σ_tokens (±tf) by hash bit j. Near-dup pairs =
+  /** SimHash from xxhash64 word hashes: bit j of the signature is the
+    * sign of Σ_tokens (±tf) by hash bit j. Near-dup pairs =
     * same-language docs within Hamming distance 4. xxhash64 has no
-    * DuckDB twin → no oracle; property-tested in TrainingOpsSpec.
+    * DuckDB twin → no oracle; property-tested in LlmOpsSpec and
+    * evidence-bounded (banded recall vs all-pairs) at sf0.001/sf0.01.
+    *
+    * `width` (16/32/64 signature bits) comes from [[simhashWidth]];
+    * the default keeps every ≤16 k-doc fixture on the original 16-bit
+    * layout bit-for-bit.
     */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
+  def simhashSignatures(docs: DataFrame, width: Int = 16): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val tok = docs.select($"doc_id", $"lang",
       explode(split($"text", " ")).as("word"))
       .withColumn("h", xxhash64($"word"))
-    val bitSums = (0 until 16).map(j =>
+    val bitSums = (0 until width).map(j =>
       sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"s$j"))
-    val sig = (0 until 16).map(j =>
+    // distinct powers of two, so the sum is a bitwise OR — exact for
+    // all 64 bits (bit 63 just makes the Long signature negative)
+    val sig = (0 until width).map(j =>
       when(col(s"s$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _)
     tok.groupBy($"doc_id", $"lang")
       .agg(bitSums.head, bitSums.tail: _*)
       .select($"doc_id", $"lang", sig.as("simhash"))
   }
 
-  /** Simhash band layout: 5 bands over the 16 bits (4+3+3+3+3 as
-    * (offset, width)). With Hamming ≤ 4 flipped bits and 5 bands, the
-    * pigeonhole principle guarantees at least one band with zero
-    * flips — so banded candidate generation has EXACT recall vs the
-    * all-pairs join (pinned by a property test). NB 4 bands of 4
-    * would NOT suffice: 4 flips can hit all 4 bands.
+  /** Adaptive SimHash signature width: 16 bits up to 16 k docs (the
+    * original layout — every committed fixture, spec, and EVIDENCE
+    * bound lives in this regime), 32 to 256 k, 64 beyond. A FIXED
+    * 16-bit signature is the round-5 fixed-width trap twice over at
+    * the probe decades: the band equi-join's Σbucket² is n²·5/2^3 per
+    * language, and — worse — the OUTPUT itself degenerates, because
+    * real (shared-vocabulary) documents correlate signature bits far
+    * above the uniform model: at the 50 k-doc 10× fixture, 30% of ALL
+    * same-language pairs sit within Hamming ≤ 4 of a 16-bit signature
+    * (74 M "near-dup" rows, 128 s — measured r9). Widening with n
+    * keeps the Hamming-4 ball a vanishing fraction of signature space,
+    * so "near-dup" keeps meaning near-dup at every decade; the width
+    * is a deterministic integer function of the stats-class row count
+    * (the [[lshWidth]] / statCount precedent).
     */
-  private val SimhashBands = Seq((0, 4), (4, 3), (7, 3), (10, 3), (13, 3))
+  private[graft] def simhashWidth(n: Long): Int =
+    if (n <= 16384L) 16 else if (n <= 262144L) 32 else 64
+
+  /** Simhash band layouts per signature width, as (offset, width):
+    * 5 bands in every regime, so with Hamming ≤ 4 flipped bits the
+    * pigeonhole principle guarantees at least one band with zero
+    * flips — banded candidate generation has EXACT recall vs the
+    * all-pairs join at any width (pinned by a property test). NB 4
+    * bands of 4 would NOT suffice: 4 flips can hit all 4 bands.
+    */
+  private[graft] def simhashBands(width: Int): Seq[(Int, Int)] = width match {
+    case 16 => Seq((0, 4), (4, 3), (7, 3), (10, 3), (13, 3))
+    case 32 => Seq((0, 7), (7, 7), (14, 6), (20, 6), (26, 6))
+    case 64 => Seq((0, 13), (13, 13), (26, 13), (39, 13), (52, 12))
+    case w  => throw new IllegalArgumentException(s"simhash width $w")
+  }
 
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    simhashPairsBanded(simhashSignatures(t(s, dir, "documents")).transform(core.cached))
+    val docs = t(s, dir, "documents")
+    val w = simhashWidth(core.statCount(dir + "#documents", docs))
+    simhashPairsBanded(simhashSignatures(docs, w).transform(core.cached), w)
   }
 
   /** Banded Hamming-≤4 pairs: equi-join on (lang, band, band-bits)
     * buckets — shuffle-friendly and skew-bounded, replacing r1's
     * same-language all-pairs join (O(n²) per language at scale).
     */
-  private[graft] def simhashPairsBanded(sig: DataFrame): DataFrame = {
+  private[graft] def simhashPairsBanded(sig: DataFrame,
+                                        width: Int = 16): DataFrame = {
     val s = sig.sparkSession
     import s.implicits._
-    val bandCols = SimhashBands.zipWithIndex.map { case ((off, len), i) =>
+    val bandCols = simhashBands(width).zipWithIndex.map { case ((off, len), i) =>
       struct(lit(i).as("band"),
-        shiftright($"simhash", off).bitwiseAND(lit((1 << len) - 1).cast("long"))
+        shiftright($"simhash", off).bitwiseAND(lit((1L << len) - 1L).cast("long"))
           .as("bv"))
     }
     // the full signature rides along in the bucket rows (8 bytes), so

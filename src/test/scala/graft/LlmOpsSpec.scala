@@ -271,6 +271,35 @@ class LlmOpsSpec extends SparkSuite {
       s"banded=${banded.size} allpairs=${allp.size}; sets must be identical")
   }
 
+  test("simhash banding keeps exact recall at the 32/64-bit widths") {
+    // the adaptive widths (r9): the pigeonhole recall argument must
+    // hold for every band layout, not just the 16-bit one the small
+    // fixtures exercise
+    val docs = core.t(spark, sf, "documents")
+    for (w <- Seq(32, 64)) {
+      val sig = TrainingOps.simhashSignatures(docs, w).cache()
+      val banded = TrainingOps.simhashPairsBanded(sig, w)
+        .collect().map(_.toSeq).toSet
+      val allp = TrainingOps.simhashPairsAllPairs(sig)
+        .collect().map(_.toSeq).toSet
+      assert(banded == allp,
+        s"w=$w banded=${banded.size} allpairs=${allp.size}; must be identical")
+      // each band layout must tile [0, w) exactly
+      val bands = TrainingOps.simhashBands(w)
+      assert(bands.size == 5 && bands.map(_._2).sum == w &&
+        bands.sliding(2).forall { case Seq((o1, l1), (o2, _)) => o1 + l1 == o2 },
+        s"w=$w band layout must be a 5-band tiling: $bands")
+      sig.unpersist()
+    }
+    // width thresholds: 16-bit up to 16 k docs (all committed fixture
+    // scales), then 32, then 64
+    assert(TrainingOps.simhashWidth(500L) == 16)
+    assert(TrainingOps.simhashWidth(16384L) == 16)
+    assert(TrainingOps.simhashWidth(16385L) == 32)
+    assert(TrainingOps.simhashWidth(262144L) == 32)
+    assert(TrainingOps.simhashWidth(262145L) == 64)
+  }
+
   test("IVF ANN: partitions every vector and never beats brute force") {
     import spark.implicits._
     val ivf = TrainingOps.qSimAnnIvf(spark, sf).cache()
