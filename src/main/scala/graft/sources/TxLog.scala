@@ -262,6 +262,56 @@ object TxLog {
     commit(table, "append", currentVersion(table), adds, Nil)
   }
 
+  /** Idempotent append for EXACTLY-ONCE streaming sinks: the commit's
+    * meta line records `(writerId, epoch)`, and a replayed epoch — a
+    * restart from checkpoint re-runs the last micro-batch with the
+    * same `batchId` — finds its own earlier commit in the log and
+    * becomes a no-op, so the sink is exactly-once end to end on top
+    * of the source's replayed offsets. This is the Delta
+    * `txn`-action / foreachBatch-idempotency pattern:
+    *
+    * {{{
+    * ds.writeStream.foreachBatch { (df, id) =>
+    *   TxLog.appendOnce(spark, table, df, "my-query", id); ()
+    * }
+    * }}}
+    *
+    * Structured Streaming guarantees a single live writer per
+    * (query, epoch) — concurrent DIFFERENT writers/epochs interleave
+    * freely through the normal append rebase. The epoch scan walks
+    * commit meta lines (the log is never vacuumed); a production
+    * variant would fold the per-writer high-water mark into the
+    * checkpoint like everything else.
+    */
+  def appendOnce(s: SparkSession, table: String, df: DataFrame,
+                 writerId: String, epoch: Long): Long = {
+    val cur = currentVersion(table)
+    if (lastEpoch(table, cur, writerId).exists(_ >= epoch)) return cur
+    val adds = stage(s, table, df)
+    commit(table, s"txn $writerId $epoch", cur, adds, Nil)
+  }
+
+  /** Highest epoch `writerId` has committed at or below `v`, scanning
+    * commit meta lines newest-first (replays in practice re-run only
+    * the LAST epoch, so the scan usually stops immediately).
+    */
+  private[graft] def lastEpoch(table: String, v: Long,
+                               writerId: String): Option[Long] = {
+    var i = v
+    while (i >= 1) {
+      Files.readAllLines(commitPath(table, i)).asScala
+        .find(_.startsWith("meta txn ")) match {
+        case Some(line) =>
+          val parts = line.split(' ') // meta txn <writer> <epoch> <readV>
+          if (parts.length >= 4 && parts(2) == writerId)
+            return Some(parts(3).toLong)
+        case None => ()
+      }
+      i -= 1
+    }
+    None
+  }
+
   /** Transactional full overwrite: removes every file live at the read
     * version. A concurrent rewrite of any of them conflicts.
     */

@@ -167,6 +167,47 @@ class TxLogSpec extends SparkSuite {
       (1 to (TxLog.checkpointEvery + 3)).map(i => i.toLong -> s"r$i").toSet)
   }
 
+  test("appendOnce: a replayed epoch is a no-op (exactly-once sink)") {
+    val t = freshTable()
+    assert(TxLog.appendOnce(spark, t, mk(1L -> "a"), "q", 0L) == 1L)
+    assert(TxLog.appendOnce(spark, t, mk(2L -> "b"), "q", 1L) == 2L)
+    // a restart from checkpoint re-runs the last micro-batch with the
+    // same batchId — the sink must detect its own earlier commit
+    assert(TxLog.appendOnce(spark, t, mk(2L -> "b"), "q", 1L) == 2L)
+    assert(rows(TxLog.read(spark, t)) == Set(1L -> "a", 2L -> "b"))
+    // a DIFFERENT writer's epoch 1 is independent
+    assert(TxLog.appendOnce(spark, t, mk(3L -> "c"), "q2", 1L) == 3L)
+    assert(TxLog.lastEpoch(t, 3L, "q") == Some(1L))
+    assert(TxLog.lastEpoch(t, 3L, "q2") == Some(1L))
+  }
+
+  test("foreachBatch into TxLog across a checkpointed restart stays exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("graft_txlog_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    def start() = mem.toDF.toDF("id", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        TxLog.appendOnce(spark, t, df, "ing", id); ()
+      }.start()
+
+    val q1 = start()
+    mem.addData((1L, "a"), (2L, "b"))
+    q1.processAllAvailable(); q1.stop()
+    // replay the already-committed epoch by hand — the exact call a
+    // post-crash restart makes before its checkpoint catches up
+    TxLog.appendOnce(spark, t,
+      Seq(1L -> "a", 2L -> "b").toDF("id", "v"), "ing", 0L)
+    val q2 = start()
+    mem.addData((3L, "c"))
+    q2.processAllAvailable(); q2.stop()
+    assert(rows(TxLog.read(spark, t)) ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c"),
+      "replayed micro-batch must not duplicate rows")
+  }
+
   test("vacuum deletes only unreferenced files; current read unaffected") {
     val t = freshTable()
     TxLog.append(spark, t, mk(1L -> "old"))
