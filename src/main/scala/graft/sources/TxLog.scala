@@ -109,6 +109,7 @@ object TxLog {
     finally Files.deleteIfExists(tmp)
 
   private def writeTmp(table: String, lines: Seq[String]): JPath = {
+    Files.createDirectories(logDir(table))
     val tmp = logDir(table).resolve(
       s".tmp-${java.util.UUID.randomUUID().toString}")
     Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
@@ -289,6 +290,76 @@ object TxLog {
     if (lastEpoch(table, cur, writerId).exists(_ >= epoch)) return cur
     val adds = stage(s, table, df)
     commit(table, s"txn $writerId $epoch", cur, adds, Nil)
+  }
+
+  /** Data files added in versions `(from, to]` by APPEND-class commits
+    * — the incremental-consumption (change-data-feed) read. Compaction
+    * commits are content-neutral rewrites and are skipped; an
+    * overwrite/upsert in the range cannot be represented as pure
+    * appends and throws — the same rule a Delta streaming source
+    * enforces (fail on changes, never silently re-emit or drop).
+    */
+  private[graft] def changedFiles(table: String, from: Long,
+                                  to: Long): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    ((from + 1) to to).foreach { v =>
+      val lines = Files.readAllLines(commitPath(table, v)).asScala
+      val op = lines.find(_.startsWith("meta "))
+        .map(_.split(' ')(1)).getOrElse("append")
+      op match {
+        case "append" | "txn" =>
+          lines.foreach { l =>
+            l.split(' ') match {
+              case Array("add", f) => out += s"$table/$f"
+              case _               => ()
+            }
+          }
+        case "compact" => () // content-neutral: nothing new to emit
+        case other =>
+          throw new IllegalStateException(
+            s"version $v is a '$other' rewrite — not incrementally " +
+            s"consumable as appends (the streaming-source rule)")
+      }
+    }
+    out.result()
+  }
+
+  /** Incremental read of the rows appended in `(fromVersion, toVersion]`
+    * (default: current). Empty ranges yield no files → the caller
+    * checks [[changedFiles]] first or catches the empty-read require.
+    */
+  def readChanges(s: SparkSession, table: String, fromVersion: Long,
+                  toVersion: Option[Long] = None): DataFrame = {
+    val to = toVersion.getOrElse(currentVersion(table))
+    val files = changedFiles(table, fromVersion, to)
+    require(files.nonEmpty, s"no appended files in ($fromVersion, $to]")
+    s.read.parquet(files: _*)
+  }
+
+  /** One EXACTLY-ONCE incremental sync micro-batch from `src` to
+    * `dst`: reads the rows appended to `src` since this writer's
+    * high-water mark (recorded in `dst` as the txn epoch = the src
+    * version consumed) and appends them idempotently. Re-running after
+    * any crash/replay is a no-op until `src` grows — chaining
+    * `syncOnce` table-to-table is the bronze→silver→gold incremental
+    * pipeline, with end-to-end exactly-once riding on [[appendOnce]].
+    * Returns the number of src versions consumed (0 = already caught
+    * up).
+    */
+  def syncOnce(s: SparkSession, src: String, dst: String,
+               writerId: String): Long = {
+    val hw = lastEpoch(dst, currentVersion(dst), writerId).getOrElse(0L)
+    val cur = currentVersion(src)
+    if (cur <= hw) return 0L
+    val files = changedFiles(src, hw, cur)
+    if (files.isEmpty) {
+      // only content-neutral commits in range: still advance the
+      // high-water mark so the range is never re-walked
+      commit(dst, s"txn $writerId $cur", currentVersion(dst), Nil, Nil)
+    } else {
+      appendOnce(s, dst, s.read.parquet(files: _*), writerId, cur)
+    }
+    cur - hw
   }
 
   /** Highest epoch `writerId` has committed at or below `v`, scanning

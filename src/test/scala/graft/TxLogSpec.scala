@@ -208,6 +208,40 @@ class TxLogSpec extends SparkSuite {
       "replayed micro-batch must not duplicate rows")
   }
 
+  test("readChanges: append-only ranges stream; rewrites throw; compaction is silent") {
+    val t = freshTable()
+    TxLog.append(spark, t, mk(1L -> "a"))
+    TxLog.append(spark, t, mk(2L -> "b"))
+    assert(rows(TxLog.readChanges(spark, t, 1L)) == Set(2L -> "b"))
+    assert(rows(TxLog.readChanges(spark, t, 0L)) == Set(1L -> "a", 2L -> "b"))
+    val vc = TxLog.compact(spark, t)
+    // the compaction itself emits nothing new
+    assert(TxLog.changedFiles(t, 2L, vc).isEmpty)
+    TxLog.overwrite(spark, t, mk(9L -> "z"))
+    intercept[IllegalStateException](TxLog.readChanges(spark, t, vc))
+  }
+
+  test("syncOnce chain: bronze->silver->gold stays exactly-once under replays") {
+    val bronze = freshTable(); val silver = freshTable(); val gold = freshTable()
+    TxLog.append(spark, bronze, mk(1L -> "a"))
+    TxLog.append(spark, bronze, mk(2L -> "b"))
+    assert(TxLog.syncOnce(spark, bronze, silver, "b2s") == 2L)
+    assert(TxLog.syncOnce(spark, silver, gold, "s2g") == 1L)
+    // replays: nothing moves until upstream grows
+    assert(TxLog.syncOnce(spark, bronze, silver, "b2s") == 0L)
+    assert(TxLog.syncOnce(spark, silver, gold, "s2g") == 0L)
+    assert(rows(TxLog.read(spark, gold)) == Set(1L -> "a", 2L -> "b"))
+    // new bronze data + a content-neutral compaction flow through once
+    TxLog.append(spark, bronze, mk(3L -> "c"))
+    TxLog.compact(spark, bronze)
+    assert(TxLog.syncOnce(spark, bronze, silver, "b2s") == 2L)
+    assert(TxLog.syncOnce(spark, bronze, silver, "b2s") == 0L)
+    TxLog.syncOnce(spark, silver, gold, "s2g")
+    assert(rows(TxLog.read(spark, gold)) ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c"),
+      "each row must reach gold exactly once through the chain")
+  }
+
   test("vacuum deletes only unreferenced files; current read unaffected") {
     val t = freshTable()
     TxLog.append(spark, t, mk(1L -> "old"))
