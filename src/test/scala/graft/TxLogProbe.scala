@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.TxLog
+
+/** One-shot TxLog measurement probe (run via `Test/runMain
+  * graft.TxLogProbe`): commit throughput over many small transactions,
+  * snapshot latency at log depth (the checkpoint-bounded replay
+  * claim), and streaming-ingest rows/s through the exactly-once
+  * foreachBatch sink. Numbers land in SCALING.md's round-9 section;
+  * this main exists so they are reproducible, like ScaleProbeSf1.
+  */
+object TxLogProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]").appName("txlog-probe")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // --- commit throughput + snapshot latency at depth -------------
+    val t = java.nio.file.Files.createTempDirectory("graft_txprobe")
+      .toAbsolutePath.toString
+    val commits = 200
+    val t0 = System.nanoTime()
+    (1 to commits).foreach(i =>
+      TxLog.append(spark, t, Seq((i.toLong, s"r$i")).toDF("id", "v")))
+    val commitSec = (System.nanoTime() - t0) / 1e9
+    val s0 = System.nanoTime()
+    val snap = TxLog.snapshot(t)
+    val snapMs = (System.nanoTime() - s0) / 1e6
+    val f0 = System.nanoTime()
+    val fullFiles = TxLog.changedFiles(t, 0L, snap.version)
+    val fullMs = (System.nanoTime() - f0) / 1e6
+    println(f"[txprobe] $commits%d commits in $commitSec%.1f s " +
+      f"(${commits / commitSec}%.0f commits/s incl. parquet staging); " +
+      f"snapshot(v=${snap.version}%d) = $snapMs%.1f ms " +
+      f"(checkpoint replay, ${snap.files.size}%d files) vs " +
+      f"full $commits%d-commit log walk $fullMs%.1f ms " +
+      f"(${fullFiles.size}%d files)")
+
+    // --- streaming ingest through the exactly-once sink ------------
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ingest = java.nio.file.Files.createTempDirectory("graft_txingest")
+      .toAbsolutePath.toString
+    val mem = MemoryStream[Long](numPartitions = 4)
+    val q = mem.toDF.toDF("id").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_txingest_ck").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        TxLog.appendOnce(spark, ingest, df, "probe", id); ()
+      }.start()
+    val rows = 1000000L
+    val chunk = 100000L
+    val g0 = System.nanoTime()
+    (0L until rows / chunk).foreach { b =>
+      mem.addData((b * chunk) until ((b + 1) * chunk))
+      q.processAllAvailable()
+    }
+    val ingestSec = (System.nanoTime() - g0) / 1e9
+    q.stop()
+    val got = TxLog.read(spark, ingest).count()
+    println(f"[txprobe] streaming ingest $rows%d rows in $ingestSec%.1f s " +
+      f"(${rows / ingestSec}%.0f rows/s, ${rows / chunk}%d micro-batch " +
+      f"commits, table count $got%d, exactly_once=${got == rows}%b)")
+    spark.stop()
+  }
+}
