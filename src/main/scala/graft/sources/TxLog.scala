@@ -440,14 +440,23 @@ object TxLog {
   /** Delete data files referenced by NO version in (retainVersions ago,
     * current] — destructive to deeper time travel, exactly like
     * production vacuums. Returns the deleted file names.
+    *
+    * Comparison is on NORMALIZED absolute paths, so a relative `table`
+    * string cannot mismatch the keep-set and delete live files. Like
+    * every production vacuum, this races an IN-FLIGHT writer's staged
+    * files (staged-but-uncommitted parquet is unreferenced by any
+    * version): run vacuum with a retention window longer than any
+    * write's staging time, or not concurrently with writers.
     */
   def vacuum(table: String, retainVersions: Int = 0): Seq[String] = {
+    def abs(p: String): String =
+      Paths.get(p).toAbsolutePath.normalize.toString
     val cur = currentVersion(table)
     val keep = ((cur - retainVersions) max 1L to cur)
-      .flatMap(v => snapshot(table, Some(v)).files).toSet
+      .flatMap(v => snapshot(table, Some(v)).files).map(abs).toSet
     val dead = Files.list(Paths.get(table)).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(_.toString).filterNot(keep.contains).toSeq
+      .map(_.toString).filterNot(f => keep.contains(abs(f))).toSeq
     dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
     dead.map(relative(table, _))
   }
