@@ -181,10 +181,13 @@ object TxLog {
 
   /** Read a pinned [[Snapshot]] — the isolation primitive: the frame
     * sees exactly the snapshot's files regardless of later commits.
+    * `mergeSchema` makes ADDITIVE schema evolution work across
+    * versions: files written before a column existed read it as null
+    * (the lakehouse append-evolution rule; pinned in TxLogSpec).
     */
   def readSnapshot(s: SparkSession, snap: Snapshot): DataFrame = {
     require(snap.files.nonEmpty, s"version ${snap.version} has no files")
-    s.read.parquet(snap.files: _*)
+    s.read.option("mergeSchema", "true").parquet(snap.files: _*)
   }
 
   /** Stage `df` as new parquet files in the table dir; returns the

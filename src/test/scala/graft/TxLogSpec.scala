@@ -242,6 +242,20 @@ class TxLogSpec extends SparkSuite {
       "each row must reach gold exactly once through the chain")
   }
 
+  test("additive schema evolution: old files read the new column as null") {
+    val t = freshTable()
+    TxLog.append(spark, t, mk(1L -> "a"))
+    TxLog.append(spark, t,
+      Seq((2L, "b", 7L)).toDF("id", "v", "extra"))
+    val df = TxLog.read(spark, t)
+    assert(df.columns.toSet == Set("id", "v", "extra"))
+    val got = df.select("id", "extra").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got == Map(1L -> None, 2L -> Some(7L)),
+      "pre-evolution files must read the new column as null")
+  }
+
   test("vacuum deletes only unreferenced files; current read unaffected") {
     val t = freshTable()
     TxLog.append(spark, t, mk(1L -> "old"))
