@@ -7,8 +7,20 @@
 # done, so DuckDB gets the whole disk (the r8 lesson: the two cannot
 # share it).
 cd /root/repo || exit 2
+# gated keys = every oracle key with a dump present, minus exclusions
+# (derived from the dump itself, not an ephemeral /tmp key list)
+KEYS=$(python3 - <<'EOF'
+import json, os
+d = '/tmp/v100x_r9_a'
+oracle = set(json.load(open(os.path.join(d, 'oracle_sql.json'))))
+skip = {'q_dedup_semantic', 'q_dedup_semantic_t9', 'q_dedup_components',
+        'q_dedup_embed_lsh', 'q_dedup_embed_lsh_t9'}
+print(' '.join(sorted(k for k in oracle
+                      if k not in skip and os.path.isdir(os.path.join(d, k)))))
+EOF
+)
 python3 tools/gate_100x.py /tmp/graft_sfsyn_v2_100 /tmp/v100x_r9_a 9 \
-  $(cat /tmp/keys157.txt) \
+  $KEYS \
   --excluded \
   "q_dedup_semantic=DuckDB oracle infeasible at 100x: the sqrt(n)-cell kmeans+pair SQL spills >70 GB temp and dies on disk (engine side completes in ~6 min); covered by the cross-JVM selfcheck section below and exact under the full 10x gate" \
   "q_dedup_semantic_t9=same oracle SQL as q_dedup_semantic at tau=0.9 - same 100x spill death; engine side serves the persisted pair artifact; covered by the selfcheck, exact under the 10x gate and SemanticIndexSpec's clustered-fixture recall pin" \
