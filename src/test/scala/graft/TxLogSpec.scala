@@ -242,6 +242,36 @@ class TxLogSpec extends SparkSuite {
       "each row must reach gold exactly once through the chain")
   }
 
+  test("compaction racing concurrent appends loses no rows") {
+    val t = freshTable()
+    TxLog.append(spark, t, mk(0L -> "seed"))
+    val pool = Executors.newFixedThreadPool(2)
+    val appender = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit =
+        (1 to 12).foreach(i => TxLog.append(spark, t, mk(i.toLong -> s"a$i")))
+    })
+    val compactor = pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = {
+        var ok = 0
+        (1 to 4).foreach { _ =>
+          try { TxLog.compact(spark, t); ok += 1 }
+          catch { case _: java.util.ConcurrentModificationException => () }
+        }
+        ok
+      }
+    })
+    appender.get(180, TimeUnit.SECONDS)
+    val compactions = compactor.get(180, TimeUnit.SECONDS)
+    pool.shutdown()
+    // every append survives every interleaved compaction: a compact
+    // rebases over appends it didn't see (their files stay live) and
+    // only ever removes the files it actually read
+    assert(rows(TxLog.read(spark, t)) ==
+      ((0 to 12).map(i => i.toLong ->
+        (if (i == 0) "seed" else s"a$i")).toSet),
+      s"rows lost under $compactions interleaved compactions")
+  }
+
   test("additive schema evolution: old files read the new column as null") {
     val t = freshTable()
     TxLog.append(spark, t, mk(1L -> "a"))
