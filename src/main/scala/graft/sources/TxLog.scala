@@ -3,16 +3,30 @@ package graft.sources
 import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets.UTF_8
 
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods.{compact => jsonCompact, parse, render}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** A minimal ACID table format over parquet — commit log, snapshot
   * isolation, time travel, optimistic concurrency, merge-on-write
-  * upsert, compaction, vacuum, and log checkpoints — with zero
-  * dependencies beyond Spark itself.
+  * upsert with METADATA-ONLY file pruning, schema enforcement,
+  * compaction, vacuum, and log checkpoints — with zero dependencies
+  * beyond Spark itself.
   *
   * Capability contract: /root/reference/README.md:2 ("transformations
   * on ... collections") — at warehouse scale a mutable collection IS
@@ -27,13 +41,38 @@ import org.apache.spark.sql.functions._
   * {{{
   * <table>/part-<uuid>.parquet            data files (immutable)
   * <table>/_graft_log/<v%020d>.commit     one file per commit
-  * <table>/_graft_log/<v%020d>.checkpoint consolidated live-file list
+  * <table>/_graft_log/<v%020d>.checkpoint consolidated log state
   * }}}
   *
-  * A commit file is line-oriented (`meta <op> <readVersion>`, then
-  * `add <file>` / `remove <file>` lines): the FORMAT is the contract,
-  * not the syntax — a JSON syntax would add a parser dependency and
-  * change nothing about the protocol.
+  * A commit file is line-oriented; the FORMAT is the contract, not the
+  * syntax:
+  *
+  * {{{
+  * meta <op> <readVersion>          op = append|overwrite|upsert|compact
+  * meta txn <writer> <epoch> <readVersion>   (exactly-once appends)
+  * schema <spark-schema-json>       the table schema AFTER this commit
+  * add <file> <stats-json>          stats = {"rows":N,"cols":{c:{min,max}}}
+  * add <file>                       (stats unavailable for any column)
+  * remove <file>
+  * }}}
+  *
+  * File names in commits AND checkpoints are relative to the table
+  * root, so the log is relocatable and immune to path-spelling drift
+  * (the vacuum lesson of commit 933d26a, now applied everywhere: any
+  * comparison of paths goes through one normalized [[abs]]).
+  *
+  * == Per-file column statistics (round 10) ==
+  *
+  * [[stage]] reads each staged file's PARQUET FOOTER (row count +
+  * per-column chunk min/max — metadata, not data) and records them on
+  * the `add` line; checkpoints carry them forward. [[upsert]] prunes
+  * its locate step with them: only files whose recorded key range
+  * intersects the update keys are scanned at all, so a point update
+  * to a table of F files reads O(files-that-can-match), not O(F) —
+  * the min/max-pruning every production format does from its log.
+  * Stats cover top-level INT32/INT64/FLOAT/DOUBLE/UTF8 columns
+  * (timestamps/dates ride their integer physical order); a column or
+  * file without stats is conservatively never pruned.
   *
   * == Protocol ==
   *
@@ -46,22 +85,38 @@ import org.apache.spark.sql.functions._
   * POSIX twin of the HDFS `create(overwrite=false)` / object-store
   * `If-None-Match` primitive every production log format commits
   * with). Losing a race means reloading the log and either REBASING
-  * (appends and compactions conflict with nothing / only with
-  * overlapping removes) or failing with
-  * `ConcurrentModificationException` (two writers rewrote the same
-  * files — the serializable outcome).
+  * or failing with `ConcurrentModificationException`:
+  *
+  *  - appends and compactions conflict only with commits that removed
+  *    files they read (checked against the rebased live set);
+  *  - an UPSERT additionally conflicts with any intervening non-compact
+  *    commit that ADDED files — a racing append may have inserted rows
+  *    with keys the upsert replaces, and committing over it would leave
+  *    duplicate keys (the Delta `ConcurrentAppendException` rule).
+  *
+  * == Schema enforcement (round 10) ==
+  *
+  * Every data commit records the table schema after it. Appends and
+  * upserts validate the writer's frame against the current table
+  * schema at commit time: NEW columns are allowed (additive evolution
+  * — old files read them as null via `mergeSchema`), but a DROPPED
+  * column or a TYPE CHANGE on an existing column throws — the
+  * production write-path contract. `overwrite` replaces the schema.
   *
   * == Why each piece scales to 100 TB ==
   *
-  *  - The log holds METADATA (file paths), never data: replay cost is
-  *    O(files), and [[checkpointEvery]] bounds it to O(files) from the
-  *    last checkpoint — the Delta/Iceberg checkpoint pattern.
+  *  - The log holds METADATA (file paths + footer stats), never data:
+  *    replay cost is O(files) from the last checkpoint
+  *    ([[checkpointEvery]]) — the Delta/Iceberg checkpoint pattern.
   *  - Snapshot isolation is free: data files are immutable, so a
   *    [[Snapshot]] pins a consistent table forever (until [[vacuum]]).
-  *  - [[upsert]] is merge-on-write with FILE-LEVEL pruning: only
-  *    files that actually contain a matching key are rewritten (found
-  *    by a semi-join on `input_file_name`), so a point update to a
-  *    100 TB table rewrites a few files, not the table.
+  *  - [[upsert]] prunes by stats BEFORE any scan, then rewrites only
+  *    files that actually contain a matching key: a point update to a
+  *    100 TB table reads and rewrites a few files, not the table.
+  *  - Exactly-once writer high-water marks fold into checkpoints, so
+  *    [[lastEpoch]] reads at most [[checkpointEvery]] commits + one
+  *    checkpoint — O(1) per micro-batch even with many interleaved
+  *    writers, not O(versions).
   *  - [[compact]] moves data once (executor-side bin-pack) and swaps
   *    file lists in one metadata commit; readers never block.
   *  - The single-writer-per-version bottleneck is the metadata
@@ -69,19 +124,35 @@ import org.apache.spark.sql.functions._
   *    fully parallel.
   *
   * Pinned by TxLogSpec: append/read, time travel, snapshot isolation
-  * under concurrent overwrite, 8-thread concurrent appends, rebase vs
-  * conflict rules, upsert file pruning, compaction equivalence,
-  * checkpoint-vs-full-replay equality, vacuum.
+  * under concurrent overwrite, 8-thread concurrent appends,
+  * cross-process concurrent appends, rebase vs conflict rules
+  * (including upsert-vs-append), stats-pruned upsert locate, schema
+  * enforcement negatives, compaction equivalence,
+  * checkpoint-vs-full-replay equality (files, schema, AND writer
+  * high-water marks), and vacuum.
   */
 object TxLog {
 
-  /** An immutable view of the table at `version`: `files` are the live
-    * data files (absolute paths). Reading a snapshot is unaffected by
-    * later commits — files are immutable and vacuum-protected while
-    * referenced by any retained version a reader may still time-travel
-    * to.
+  /** Column min/max from the parquet footer. Values are Long (all
+    * integer physical types, incl. timestamp micros / date days),
+    * Double, or String — compared only against like-typed values.
     */
-  final case class Snapshot(version: Long, files: Vector[String])
+  final case class ColStats(min: Any, max: Any)
+
+  /** Footer stats for one data file: exact row count + per-column
+    * min/max for every top-level column whose physical type maps
+    * cleanly (others are simply absent — never pruned on).
+    */
+  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+
+  /** An immutable view of the table at `version`: `files` are the live
+    * data files (absolute paths) and `stats` their footer statistics
+    * (keyed by the same path strings; a file may be absent). Reading a
+    * snapshot is unaffected by later commits — files are immutable and
+    * vacuum-protected while referenced by any retained version.
+    */
+  final case class Snapshot(version: Long, files: Vector[String],
+                            stats: Map[String, FileStats] = Map.empty)
 
   /** Commits between checkpoints; replay reads at most this many
     * commit files past the newest checkpoint.
@@ -95,6 +166,10 @@ object TxLog {
 
   private def checkpointPath(table: String, v: Long): JPath =
     logDir(table).resolve(f"$v%020d.checkpoint")
+
+  /** The one normalized spelling every path comparison goes through. */
+  private def abs(p: String): String =
+    Paths.get(p).toAbsolutePath.normalize.toString
 
   /** Atomic exclusive publish: hard-link `tmp` to `target`, which
     * fails (atomically, in the filesystem) if `target` already exists.
@@ -136,39 +211,193 @@ object TxLog {
     if (cps.isEmpty) None else Some(cps.max)
   }
 
-  /** The live file set at `asOf` (default: current). Replays the log
-    * from the newest checkpoint at or below `asOf`; fails loudly on a
-    * version that was never committed.
+  // ------------------------------------------------------------------
+  // Footer statistics
+  // ------------------------------------------------------------------
+
+  /** Read `{rows, per-column min/max}` from a parquet file's FOOTER —
+    * metadata-only, no data pages touched. Multi-row-group files merge
+    * block stats; a column missing stats in ANY block is dropped
+    * (pruning must never overclaim). Unmappable physical types
+    * (decimals-as-binary, nested paths, int96) are skipped.
     */
-  def snapshot(table: String, asOf: Option[Long] = None): Snapshot = {
+  private[graft] def footerStats(file: JPath): Option[FileStats] = try {
+    val in = HadoopInputFile.fromPath(new HPath(file.toUri), new Configuration())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val merged = mutable.Map.empty[String, ColStats]
+      val dropped = mutable.Set.empty[String]
+      blocks.foreach { b =>
+        b.getColumns.asScala.foreach { cc =>
+          val path = cc.getPath.toArray
+          if (path.length == 1) {
+            val name = path(0)
+            val st = cc.getStatistics
+            val pt = cc.getPrimitiveType
+            val vals: Option[(Any, Any)] =
+              if (st == null || !st.hasNonNullValue) None
+              else pt.getPrimitiveTypeName match {
+                case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+                  Some((st.genericGetMin.asInstanceOf[Number].longValue(),
+                        st.genericGetMax.asInstanceOf[Number].longValue()))
+                case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
+                  Some((st.genericGetMin.asInstanceOf[Number].doubleValue(),
+                        st.genericGetMax.asInstanceOf[Number].doubleValue()))
+                case PrimitiveTypeName.BINARY
+                    if pt.getLogicalTypeAnnotation.isInstanceOf[
+                      LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                  Some((st.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8,
+                        st.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8))
+                case _ => None
+              }
+            vals match {
+              case None => dropped += name
+              case Some((mn, mx)) =>
+                merged.get(name) match {
+                  case None => merged(name) = ColStats(mn, mx)
+                  case Some(prev) =>
+                    merged(name) = ColStats(
+                      if (lt(mn, prev.min).contains(true)) mn else prev.min,
+                      if (lt(prev.max, mx).contains(true)) mx else prev.max)
+                }
+            }
+          }
+        }
+      }
+      dropped.foreach(merged.remove)
+      Some(FileStats(rows, merged.toMap))
+    } finally reader.close()
+  } catch { case NonFatal(_) => None }
+
+  /** Typed less-than on stats values; None = incomparable (never
+    * prune).
+    */
+  private def lt(a: Any, b: Any): Option[Boolean] = (a, b) match {
+    case (x: Long, y: Long)     => Some(x < y)
+    case (x: Double, y: Double) => Some(x < y)
+    case (x: String, y: String) => Some(x < y)
+    case _                      => None
+  }
+
+  private def statsToJson(fs: FileStats): String = {
+    def j(v: Any): JValue = v match {
+      case l: Long   => JLong(l)
+      case d: Double => JDouble(d)
+      case s: String => JString(s)
+    }
+    val cols = JObject(fs.cols.toList.sortBy(_._1).map { case (c, cs) =>
+      c -> (JObject(List("min" -> j(cs.min), "max" -> j(cs.max))): JValue)
+    })
+    jsonCompact(render(JObject(List(
+      "rows" -> (JLong(fs.rows): JValue), "cols" -> (cols: JValue)))))
+  }
+
+  private[graft] def parseStats(s: String): Option[FileStats] = try {
+    def un(v: JValue): Option[Any] = v match {
+      case JInt(i)     => Some(i.toLong)
+      case JLong(l)    => Some(l)
+      case JDouble(d)  => Some(d)
+      case JDecimal(d) => Some(d.toDouble)
+      case JString(x)  => Some(x)
+      case _           => None
+    }
+    val jv = parse(s)
+    val rows = un(jv \ "rows") match {
+      case Some(l: Long) => l
+      case _             => return None
+    }
+    val cols = (jv \ "cols") match {
+      case JObject(fields) => fields.flatMap { case (c, o) =>
+        for { mn <- un(o \ "min"); mx <- un(o \ "max") }
+          yield c -> ColStats(mn, mx)
+      }.toMap
+      case _ => Map.empty[String, ColStats]
+    }
+    Some(FileStats(rows, cols))
+  } catch { case NonFatal(_) => None }
+
+  // ------------------------------------------------------------------
+  // Log replay
+  // ------------------------------------------------------------------
+
+  /** Everything the log knows at one version: live files (relative
+    * name → stats), per-writer txn high-water marks, and the table
+    * schema json. One replay serves [[snapshot]], [[maybeCheckpoint]],
+    * and the checkpoint side of [[lastEpoch]]/[[tableSchema]].
+    */
+  private final class LogState {
+    val files = mutable.LinkedHashMap.empty[String, Option[FileStats]]
+    val txns = mutable.Map.empty[String, Long]
+    var schemaJson: Option[String] = None
+  }
+
+  private def applyCommitLine(st: LogState, line: String): Unit =
+    if (line.startsWith("add ")) {
+      val parts = line.split(" ", 3)
+      st.files(parts(1)) =
+        if (parts.length >= 3) parseStats(parts(2)) else None
+    } else if (line.startsWith("remove ")) {
+      st.files.remove(line.substring("remove ".length))
+    } else if (line.startsWith("schema ")) {
+      st.schemaJson = Some(line.substring("schema ".length))
+    } else if (line.startsWith("meta txn ")) {
+      val parts = line.split(" ") // meta txn <writer> <epoch> <readV>
+      if (parts.length >= 4) {
+        val (w, e) = (parts(2), parts(3).toLong)
+        if (st.txns.getOrElse(w, Long.MinValue) < e) st.txns(w) = e
+      }
+    } else () // other meta line
+
+  private def applyCheckpointLine(st: LogState, line: String): Unit =
+    if (line.startsWith("file ")) {
+      val parts = line.split(" ", 3)
+      st.files(parts(1)) =
+        if (parts.length >= 3) parseStats(parts(2)) else None
+    } else if (line.startsWith("txn ")) {
+      val parts = line.split(" ")
+      if (parts.length >= 3) st.txns(parts(1)) = parts(2).toLong
+    } else if (line.startsWith("schema ")) {
+      st.schemaJson = Some(line.substring("schema ".length))
+    } else ()
+
+  private def replay(table: String, v: Long): LogState = {
+    val st = new LogState
+    if (v == 0L) return st
     val dir = logDir(table)
-    val v = asOf.getOrElse(currentVersion(table))
-    if (v == 0L) return Snapshot(0L, Vector.empty)
-    require(Files.exists(commitPath(table, v)),
-      s"version $v was never committed at $table")
-    val base = if (Files.isDirectory(dir)) {
-      latestCheckpointAt(dir).filter(_ <= v)
-        .filter(cp => asOf.isEmpty || Files.exists(checkpointPath(table, cp)))
-    } else None
-    var files = scala.collection.mutable.LinkedHashSet.empty[String]
+    val base =
+      if (Files.isDirectory(dir)) latestCheckpointAt(dir).filter(_ <= v)
+      else None
     val start = base match {
       case Some(cp) =>
-        Files.readAllLines(checkpointPath(table, cp)).asScala.foreach { l =>
-          if (l.nonEmpty) files += l
-        }
+        Files.readAllLines(checkpointPath(table, cp)).asScala
+          .foreach(l => if (l.nonEmpty) applyCheckpointLine(st, l))
         cp + 1
       case None => 1L
     }
     (start to v).foreach { i =>
-      Files.readAllLines(commitPath(table, i)).asScala.foreach { line =>
-        line.split(' ') match {
-          case Array("add", f)    => files += s"$table/$f"
-          case Array("remove", f) => files -= s"$table/$f"
-          case _                  => () // meta line
-        }
-      }
+      Files.readAllLines(commitPath(table, i)).asScala
+        .foreach(applyCommitLine(st, _))
     }
-    Snapshot(v, files.toVector)
+    st
+  }
+
+  /** The live file set (+ footer stats) at `asOf` (default: current).
+    * Replays the log from the newest checkpoint at or below `asOf`;
+    * fails loudly on a version that was never committed.
+    */
+  def snapshot(table: String, asOf: Option[Long] = None): Snapshot = {
+    val v = asOf.getOrElse(currentVersion(table))
+    if (v == 0L) return Snapshot(0L, Vector.empty)
+    require(Files.exists(commitPath(table, v)),
+      s"version $v was never committed at $table")
+    val st = replay(table, v)
+    val files = st.files.keysIterator.map(r => s"$table/$r").toVector
+    val stats = st.files.iterator.collect {
+      case (r, Some(fs)) => s"$table/$r" -> fs
+    }.toMap
+    Snapshot(v, files, stats)
   }
 
   /** Snapshot-isolated read; `asOfVersion` time-travels. An empty
@@ -190,11 +419,12 @@ object TxLog {
     s.read.option("mergeSchema", "true").parquet(snap.files: _*)
   }
 
-  /** Stage `df` as new parquet files in the table dir; returns the
-    * staged file names (relative to the table root). Staged files are
-    * invisible until a commit references them.
+  /** Stage `df` as new parquet files in the table dir; returns
+    * `(name, footer-stats)` pairs (names relative to the table root).
+    * Staged files are invisible until a commit references them.
     */
-  private def stage(s: SparkSession, table: String, df: DataFrame): Seq[String] = {
+  private def stage(s: SparkSession, table: String,
+                    df: DataFrame): Seq[(String, Option[FileStats])] = {
     Files.createDirectories(logDir(table))
     val stageDir = Paths.get(table,
       s".stage-${java.util.UUID.randomUUID().toString}")
@@ -203,8 +433,9 @@ object TxLog {
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
     val names = parts.map { p =>
       val name = s"part-${java.util.UUID.randomUUID().toString}.parquet"
-      Files.move(p, Paths.get(table, name), StandardCopyOption.ATOMIC_MOVE)
-      name
+      val dest = Paths.get(table, name)
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      name -> footerStats(dest)
     }
     // best-effort scrub of the emptied stage dir (_SUCCESS etc.)
     try {
@@ -214,31 +445,127 @@ object TxLog {
     names
   }
 
+  // ------------------------------------------------------------------
+  // Schema enforcement
+  // ------------------------------------------------------------------
+
+  /** The table schema at `v` — the newest `schema` line at or below
+    * it (commit walk bounded by the newest checkpoint, which carries
+    * the schema forward). None for pre-schema logs / empty tables.
+    */
+  private[graft] def tableSchema(table: String, v: Long): Option[StructType] = {
+    val dir = logDir(table)
+    val cp = if (Files.isDirectory(dir)) latestCheckpointAt(dir).filter(_ <= v)
+             else None
+    var i = v
+    val floor = cp.getOrElse(0L)
+    while (i > floor) {
+      Files.readAllLines(commitPath(table, i)).asScala
+        .find(_.startsWith("schema ")) match {
+        case Some(l) => return decodeSchema(l.substring("schema ".length))
+        case None    => ()
+      }
+      i -= 1
+    }
+    cp.flatMap { c =>
+      Files.readAllLines(checkpointPath(table, c)).asScala
+        .find(_.startsWith("schema "))
+        .flatMap(l => decodeSchema(l.substring("schema ".length)))
+    }
+  }
+
+  private def decodeSchema(json: String): Option[StructType] =
+    try Some(DataType.fromJson(json).asInstanceOf[StructType])
+    catch { case NonFatal(_) => None }
+
+  /** Validate an append-class write against the current table schema
+    * and return the post-commit (merged) schema. New columns are
+    * additive evolution; a dropped column or a changed type throws —
+    * the production write-path contract.
+    */
+  private def mergedWriteSchema(table: String, v: Long,
+                                incoming: StructType,
+                                op: String): StructType =
+    tableSchema(table, v) match {
+      case None => incoming
+      case Some(existing) =>
+        val in = incoming.fields.map(f => f.name -> f).toMap
+        existing.fields.foreach { ef =>
+          in.get(ef.name) match {
+            case None => throw new IllegalArgumentException(
+              s"incompatible $op at $table: column '${ef.name}' is " +
+              s"missing from the written frame (dropping a column " +
+              s"requires overwrite)")
+            case Some(f)
+                if f.dataType.catalogString != ef.dataType.catalogString =>
+              throw new IllegalArgumentException(
+                s"incompatible $op at $table: column '${ef.name}' type " +
+                s"${f.dataType.catalogString} != table type " +
+                s"${ef.dataType.catalogString}")
+            case _ => ()
+          }
+        }
+        val known = existing.fieldNames.toSet
+        StructType(existing.fields ++
+          incoming.fields.filterNot(f => known.contains(f.name)))
+    }
+
+  private def schemaLine(schema: StructType): String = s"schema ${schema.json}"
+
+  // ------------------------------------------------------------------
+  // Commit
+  // ------------------------------------------------------------------
+
   /** Commit `adds`/`removes` read at `readVersion`. On a version race:
     * rebase when every intervening commit leaves our `removes` intact
-    * (pure appends, or disjoint rewrites), else throw
-    * `ConcurrentModificationException` — two writers rewrote the same
-    * files and one must lose.
+    * AND (for upserts) added no new data files; else throw
+    * `ConcurrentModificationException`. Pure appends and compactions
+    * rebase freely; two writers rewriting the same files, or an append
+    * racing an upsert whose keys it may share, must serialize.
     */
   private[graft] def commit(table: String, op: String, readVersion: Long,
-                            adds: Seq[String], removes: Seq[String]): Long = {
+                            adds: Seq[(String, Option[FileStats])],
+                            removes: Seq[String],
+                            schemaJson: Option[String] = None): Long = {
     var base = readVersion
     var attempts = 0
     while (true) {
       attempts += 1
       require(attempts <= 100, s"commit livelock at $table")
       val v = base + 1
-      val lines = s"meta $op $readVersion" +:
-        (removes.map("remove " + _) ++ adds.map("add " + _))
+      val lines = (s"meta $op $readVersion" +: schemaJson.map("schema " + _).toSeq) ++
+        removes.map("remove " + _) ++
+        adds.map { case (f, st) =>
+          st match {
+            case Some(fs) => s"add $f ${statsToJson(fs)}"
+            case None     => s"add $f"
+          }
+        }
       if (publish(writeTmp(table, lines), commitPath(table, v))) {
         maybeCheckpoint(table, v)
         return v
       }
       // lost the race: everything in (base, now] is someone else's
       val now = currentVersion(table)
+      if (op == "upsert") {
+        // a racing non-compact commit may have added rows whose keys
+        // this upsert replaces — committing over it would leave
+        // duplicate keys (ConcurrentAppendException semantics)
+        ((base + 1) to now).foreach { i =>
+          val raced = Files.readAllLines(commitPath(table, i)).asScala
+          val racedOp = raced.find(_.startsWith("meta "))
+            .map(_.split(" ")(1)).getOrElse("append")
+          if (racedOp != "compact" && raced.exists(_.startsWith("add ")))
+            throw new java.util.ConcurrentModificationException(
+              s"upsert at $table read v$readVersion but a concurrent " +
+              s"'$racedOp' at v$i added files that may contain matching " +
+              s"keys — retry the upsert against the new version")
+        }
+      }
       if (removes.nonEmpty) {
-        val live = snapshot(table, Some(now)).files.toSet
-        val gone = removes.map(r => s"$table/$r").filterNot(live.contains)
+        val live = snapshot(table, Some(now)).files.map(abs).toSet
+        val gone = removes.map(r => abs(s"$table/$r"))
+          .filterNot(live.contains)
         if (gone.nonEmpty)
           throw new java.util.ConcurrentModificationException(
             s"$op at $table read v$readVersion but ${gone.size} of its " +
@@ -249,21 +576,34 @@ object TxLog {
     -1L // unreachable
   }
 
-  /** Write a checkpoint at `v` if due: the full live file list, so
-    * replay never walks more than [[checkpointEvery]] commits. Written
-    * via the same atomic publish; a lost race means someone else wrote
-    * the identical checkpoint.
+  /** Write a checkpoint at `v` if due: the full log state — live files
+    * with their stats, per-writer txn high-water marks, and the table
+    * schema — so replay, [[lastEpoch]], and [[tableSchema]] never walk
+    * more than [[checkpointEvery]] commits. File names are RELATIVE
+    * (the log stays relocatable). Written via the same atomic publish;
+    * a lost race means someone else wrote the identical checkpoint.
     */
   private def maybeCheckpoint(table: String, v: Long): Unit =
     if (v % checkpointEvery == 0) {
-      val files = snapshot(table, Some(v)).files
-      publish(writeTmp(table, files), checkpointPath(table, v))
+      val st = replay(table, v)
+      val lines =
+        st.schemaJson.map("schema " + _).toSeq ++
+        st.txns.toSeq.sortBy(_._1).map { case (w, e) => s"txn $w $e" } ++
+        st.files.iterator.map { case (r, fs) =>
+          fs match {
+            case Some(s) => s"file $r ${statsToJson(s)}"
+            case None    => s"file $r"
+          }
+        }
+      publish(writeTmp(table, lines), checkpointPath(table, v))
     }
 
   /** Transactional append — conflicts with nothing; races rebase. */
   def append(s: SparkSession, table: String, df: DataFrame): Long = {
+    val cur = currentVersion(table)
+    val merged = mergedWriteSchema(table, cur, df.schema, "append")
     val adds = stage(s, table, df)
-    commit(table, "append", currentVersion(table), adds, Nil)
+    commit(table, "append", cur, adds, Nil, Some(merged.json))
   }
 
   /** Idempotent append for EXACTLY-ONCE streaming sinks: the commit's
@@ -282,18 +622,26 @@ object TxLog {
     *
     * Structured Streaming guarantees a single live writer per
     * (query, epoch) — concurrent DIFFERENT writers/epochs interleave
-    * freely through the normal append rebase. The epoch scan walks
-    * commit meta lines (the log is never vacuumed); a production
-    * variant would fold the per-writer high-water mark into the
-    * checkpoint like everything else.
+    * freely through the normal append rebase. Writer high-water marks
+    * fold into checkpoints, so the [[lastEpoch]] probe reads at most
+    * [[checkpointEvery]] commits + one checkpoint per micro-batch.
     */
   def appendOnce(s: SparkSession, table: String, df: DataFrame,
                  writerId: String, epoch: Long): Long = {
+    requireWriterId(writerId)
     val cur = currentVersion(table)
     if (lastEpoch(table, cur, writerId).exists(_ >= epoch)) return cur
+    val merged = mergedWriteSchema(table, cur, df.schema, "appendOnce")
     val adds = stage(s, table, df)
-    commit(table, s"txn $writerId $epoch", cur, adds, Nil)
+    commit(table, s"txn $writerId $epoch", cur, adds, Nil, Some(merged.json))
   }
+
+  /** writerId is a token in the space-delimited meta line — whitespace
+    * would shift the epoch parse for every later reader of the table.
+    */
+  private def requireWriterId(writerId: String): Unit =
+    require(writerId.nonEmpty && !writerId.exists(_.isWhitespace),
+      s"writerId must be non-empty and whitespace-free: '$writerId'")
 
   /** Data files added in versions `(from, to]` by APPEND-class commits
     * — the incremental-consumption (change-data-feed) read. Compaction
@@ -308,14 +656,11 @@ object TxLog {
     ((from + 1) to to).foreach { v =>
       val lines = Files.readAllLines(commitPath(table, v)).asScala
       val op = lines.find(_.startsWith("meta "))
-        .map(_.split(' ')(1)).getOrElse("append")
+        .map(_.split(" ")(1)).getOrElse("append")
       op match {
         case "append" | "txn" =>
           lines.foreach { l =>
-            l.split(' ') match {
-              case Array("add", f) => out += s"$table/$f"
-              case _               => ()
-            }
+            if (l.startsWith("add ")) out += s"$table/${l.split(" ", 3)(1)}"
           }
         case "compact" => () // content-neutral: nothing new to emit
         case other =>
@@ -351,6 +696,7 @@ object TxLog {
     */
   def syncOnce(s: SparkSession, src: String, dst: String,
                writerId: String): Long = {
+    requireWriterId(writerId)
     val hw = lastEpoch(dst, currentVersion(dst), writerId).getOrElse(0L)
     val cur = currentVersion(src)
     if (cur <= hw) return 0L
@@ -365,66 +711,171 @@ object TxLog {
     cur - hw
   }
 
-  /** Highest epoch `writerId` has committed at or below `v`, scanning
-    * commit meta lines newest-first (replays in practice re-run only
-    * the LAST epoch, so the scan usually stops immediately).
+  /** Highest epoch `writerId` has committed at or below `v`. Walks
+    * commit meta lines newest-first only down to the newest checkpoint
+    * (whose `txn` lines hold every writer's folded high-water mark),
+    * so the probe is O([[checkpointEvery]]) regardless of log depth or
+    * how many writers interleave.
     */
   private[graft] def lastEpoch(table: String, v: Long,
                                writerId: String): Option[Long] = {
+    val dir = logDir(table)
+    val cp = if (Files.isDirectory(dir)) latestCheckpointAt(dir).filter(_ <= v)
+             else None
+    val floor = cp.getOrElse(0L)
     var i = v
-    while (i >= 1) {
+    while (i > floor) {
       Files.readAllLines(commitPath(table, i)).asScala
         .find(_.startsWith("meta txn ")) match {
         case Some(line) =>
-          val parts = line.split(' ') // meta txn <writer> <epoch> <readV>
+          val parts = line.split(" ") // meta txn <writer> <epoch> <readV>
           if (parts.length >= 4 && parts(2) == writerId)
             return Some(parts(3).toLong)
         case None => ()
       }
       i -= 1
     }
-    None
+    cp.flatMap { c =>
+      Files.readAllLines(checkpointPath(table, c)).asScala
+        .find(_.startsWith(s"txn $writerId "))
+        .map(_.split(" ")(2).toLong)
+    }
   }
 
   /** Transactional full overwrite: removes every file live at the read
-    * version. A concurrent rewrite of any of them conflicts.
+    * version; the table schema is REPLACED by the written frame's (the
+    * one write that may drop or retype columns).
     */
   def overwrite(s: SparkSession, table: String, df: DataFrame): Long = {
     val snap = snapshot(table)
     val adds = stage(s, table, df)
     commit(table, "overwrite", snap.version, adds,
-      snap.files.map(relative(table, _)))
+      snap.files.map(relative(table, _)), Some(df.schema.json))
+  }
+
+  // ------------------------------------------------------------------
+  // Upsert with metadata-only locate pruning
+  // ------------------------------------------------------------------
+
+  /** Update keys small enough to prune per-key (vs per-range); above
+    * this the locate prunes on the updates' [min, max] span only.
+    */
+  private val keyPruneLimit = 1024
+
+  /** Which live files COULD contain one of the update keys, decided
+    * from footer stats alone — no data read. A file without stats for
+    * `key` is conservatively a candidate. `keys` (when the update key
+    * set is small) prunes per-key; otherwise the update span prunes
+    * by range intersection.
+    */
+  private[graft] def pruneCandidates(snap: Snapshot, key: String,
+                                     umin: Any, umax: Any,
+                                     keys: Option[Seq[Any]]): Vector[String] =
+    snap.files.filter { f =>
+      snap.stats.get(f).flatMap(_.cols.get(key)) match {
+        case None => true
+        case Some(cs) => keys match {
+          case Some(ks) => ks.exists(k =>
+            !lt(k, cs.min).contains(true) && !lt(cs.max, k).contains(true))
+          case None =>
+            !(lt(cs.max, umin).contains(true) || lt(umax, cs.min).contains(true))
+        }
+      }
+    }
+
+  /** The locate step, exposed for tests/probes: stats-prune to
+    * candidate files, then semi-join ONLY those on `key` to find the
+    * files that actually contain a matching key. Returns
+    * `(candidates, touched)` — both subsets of `snap.files`, touched ⊆
+    * candidates. With `useStats = false` every file is a candidate
+    * (the pre-round-10 full-scan locate, kept measurable for the
+    * probe's A/B).
+    */
+  private[graft] def locateTouched(s: SparkSession, snap: Snapshot,
+                                   updates: DataFrame, key: String,
+                                   useStats: Boolean = true)
+      : (Vector[String], Vector[String]) = {
+    val candidates =
+      if (!useStats) snap.files
+      else {
+        val bounds = updates.agg(min(col(key)), max(col(key))).head()
+        normKey(bounds.get(0)).zip(normKey(bounds.get(1))) match {
+          case None => Vector.empty // no non-null update keys: nothing matches
+          case Some((umin, umax)) =>
+            val sample = updates.select(col(key)).distinct()
+              .limit(keyPruneLimit + 1).collect().flatMap(r => normKey(r.get(0)))
+            val keys =
+              if (sample.length <= keyPruneLimit) Some(sample.toSeq) else None
+            pruneCandidates(snap, key, umin, umax, keys)
+        }
+      }
+    if (candidates.isEmpty) return (candidates, Vector.empty)
+    val touched = readSnapshot(s, Snapshot(snap.version, candidates))
+      .withColumn("_graft_file", input_file_name())
+      .join(updates.select(col(key)), Seq(key), "left_semi")
+      .select(col("_graft_file")).distinct()
+      .collect().map(r => abs(Paths.get(new java.net.URI(r.getString(0)).getPath).toString))
+      .toSet
+    (candidates, snap.files.filter(f => touched.contains(abs(f))))
+  }
+
+  /** Spark Row key values normalized to the stats value domain (Long /
+    * Double / String); timestamps → micros, dates → epoch days — the
+    * same integer physical order parquet footers record. None = null
+    * or an unprunable type.
+    */
+  private def normKey(v: Any): Option[Any] = v match {
+    case null                     => None
+    case i: java.lang.Integer     => Some(i.longValue)
+    case l: java.lang.Long        => Some(l.longValue)
+    case s: java.lang.Short       => Some(s.longValue)
+    case b: java.lang.Byte        => Some(b.longValue)
+    case f: java.lang.Float       => Some(f.doubleValue)
+    case d: java.lang.Double      => Some(d.doubleValue)
+    case s: String                => Some(s)
+    case t: java.sql.Timestamp    =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
+    case i: java.time.Instant     =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case d: java.sql.Date         => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate   => Some(d.toEpochDay)
+    case _                        => None
   }
 
   /** Merge-on-write upsert: rows in `updates` replace rows with equal
-    * `key`; unmatched update rows are inserted. Only files that
-    * actually CONTAIN a matching key are rewritten (semi-join on
-    * `input_file_name`) — the file-level pruning that makes a point
-    * update to a huge table a few-file operation. Returns the new
-    * version.
+    * `key`; unmatched update rows are inserted. The locate step is
+    * METADATA-PRUNED: footer min/max stats eliminate files whose key
+    * range cannot intersect the update keys before any scan, and the
+    * semi-join on `input_file_name` then narrows the survivors to the
+    * files that actually contain a match — a point update to a huge
+    * table reads O(matching files), not O(table). Returns the new
+    * version. A concurrent non-compact commit that adds files
+    * conflicts (see [[commit]]).
     */
   def upsert(s: SparkSession, table: String, updates: DataFrame,
              key: String): Long = {
     val snap = snapshot(table)
-    val cur = readSnapshot(s, snap)
-      .withColumn("_graft_file", input_file_name())
-    val touched = cur.join(updates.select(col(key)), Seq(key), "left_semi")
-      .select(col("_graft_file")).distinct()
-      .collect().map(_.getString(0))
-      .map(f => Paths.get(new java.net.URI(f).getPath).toString).toSet
-    if (touched.isEmpty && updates.isEmpty) return snap.version
-    // survivors from touched files + all update rows, one rewrite
-    val touchedFiles = snap.files.filter(f =>
-      touched.contains(Paths.get(f).toAbsolutePath.toString) ||
-        touched.contains(f))
-    val survivors =
-      if (touchedFiles.isEmpty) updates.limit(0)
-      else readSnapshot(s, Snapshot(snap.version, touchedFiles))
-        .join(updates.select(col(key)), Seq(key), "left_anti")
-    val rewritten = survivors.unionByName(updates)
-    val adds = stage(s, table, rewritten)
-    commit(table, "upsert", snap.version, adds,
-      touchedFiles.map(relative(table, _)))
+    val merged = mergedWriteSchema(table, snap.version, updates.schema, "upsert")
+    if (snap.files.isEmpty) {
+      val adds = stage(s, table, updates)
+      return commit(table, "upsert", snap.version, adds, Nil, Some(merged.json))
+    }
+    // the update frame feeds the locate agg, the key sample, the
+    // anti-join, and the union — pin one evaluation
+    val u = updates.persist()
+    try {
+      val (_, touchedFiles) = locateTouched(s, snap, u, key)
+      if (touchedFiles.isEmpty && u.isEmpty) return snap.version
+      // survivors from touched files + all update rows, one rewrite
+      val survivors =
+        if (touchedFiles.isEmpty) u.limit(0)
+        else readSnapshot(s, Snapshot(snap.version, touchedFiles))
+          .join(u.select(col(key)), Seq(key), "left_anti")
+      val rewritten = survivors.unionByName(u, allowMissingColumns = true)
+      val adds = stage(s, table, rewritten)
+      commit(table, "upsert", snap.version, adds,
+        touchedFiles.map(relative(table, _)), Some(merged.json))
+    } finally u.unpersist()
   }
 
   /** Bin-pack the live files into `targetFiles` and swap the lists in
@@ -434,10 +885,10 @@ object TxLog {
     */
   def compact(s: SparkSession, table: String, targetFiles: Int = 1): Long = {
     val snap = snapshot(table)
-    val adds = stage(s, table,
-      readSnapshot(s, snap).repartition(targetFiles))
+    val frame = readSnapshot(s, snap).repartition(targetFiles)
+    val adds = stage(s, table, frame)
     commit(table, "compact", snap.version, adds,
-      snap.files.map(relative(table, _)))
+      snap.files.map(relative(table, _)), Some(frame.schema.json))
   }
 
   /** Delete data files referenced by NO version in (retainVersions ago,
@@ -452,8 +903,6 @@ object TxLog {
     * write's staging time, or not concurrently with writers.
     */
   def vacuum(table: String, retainVersions: Int = 0): Seq[String] = {
-    def abs(p: String): String =
-      Paths.get(p).toAbsolutePath.normalize.toString
     val cur = currentVersion(table)
     val keep = ((cur - retainVersions) max 1L to cur)
       .flatMap(v => snapshot(table, Some(v)).files).map(abs).toSet

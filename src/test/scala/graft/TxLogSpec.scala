@@ -3,6 +3,8 @@ package graft
 import java.nio.file.{Files, Paths}
 import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 
 import graft.sources.TxLog
@@ -284,6 +286,187 @@ class TxLogSpec extends SparkSuite {
       .toMap
     assert(got == Map(1L -> None, 2L -> Some(7L)),
       "pre-evolution files must read the new column as null")
+  }
+
+  // ---------------------------------------------------------------
+  // Round 10: footer stats, metadata-pruned locate, schema
+  // enforcement, upsert-vs-append conflict, checkpointed writer HWMs,
+  // relocatable logs, cross-process races
+  // ---------------------------------------------------------------
+
+  test("footer stats land in the log and prune the upsert locate step") {
+    val t = freshTable()
+    TxLog.append(spark, t, mk(1L -> "a", 10L -> "b").coalesce(1))  // ids 1..10
+    TxLog.append(spark, t, mk(11L -> "c", 20L -> "d").coalesce(1)) // ids 11..20
+    TxLog.append(spark, t, mk(21L -> "e", 25L -> "f").coalesce(1)) // ids 21..25
+    val snap = TxLog.snapshot(t)
+    assert(snap.files.size == 3)
+    // every add line carried stats with exact id min/max + row counts
+    assert(snap.stats.size == 3, "all three files must have footer stats")
+    val ranges = snap.files.map(f => snap.stats(f).cols("id"))
+      .map(cs => (cs.min, cs.max)).toSet
+    assert(ranges == Set((1L, 10L), (11L, 20L), (21L, 25L)))
+    assert(snap.files.map(f => snap.stats(f).rows).sum == 6L)
+    // metadata-only pruning: key 25 admits exactly one file
+    val cand = TxLog.pruneCandidates(snap, "id", 25L, 25L, Some(Seq(25L)))
+    assert(cand.size == 1 && snap.stats(cand.head).cols("id") ==
+      TxLog.ColStats(21L, 25L))
+    // the locate step scans ONLY that candidate, and finds it touched
+    val (candidates, touched) =
+      TxLog.locateTouched(spark, snap, mk(25L -> "F"), "id")
+    assert(candidates == cand, "locate must scan only stats-admitted files")
+    assert(touched == cand)
+    // without stats the same locate scans the whole table — the A/B
+    val (noStats, _) =
+      TxLog.locateTouched(spark, snap, mk(25L -> "F"), "id", useStats = false)
+    assert(noStats.size == 3)
+    // and the end-to-end upsert stays correct
+    TxLog.upsert(spark, t, mk(25L -> "F", 99L -> "new"), "id")
+    assert(rows(TxLog.read(spark, t)) == Set(1L -> "a", 10L -> "b",
+      11L -> "c", 20L -> "d", 21L -> "e", 25L -> "F", 99L -> "new"))
+  }
+
+  test("string-key stats prune too (binary/UTF8 footer path)") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark, t,
+      Seq(("apple", 1L), ("cherry", 2L)).toDF("k", "n").coalesce(1))
+    TxLog.append(spark, t,
+      Seq(("xray", 3L), ("zulu", 4L)).toDF("k", "n").coalesce(1))
+    val snap = TxLog.snapshot(t)
+    val cand = TxLog.pruneCandidates(snap, "k", "yankee", "yankee",
+      Some(Seq("yankee")))
+    assert(cand.size == 1 &&
+      snap.stats(cand.head).cols("k") == TxLog.ColStats("xray", "zulu"))
+  }
+
+  test("schema enforcement: type change and dropped column are rejected") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark, t, mk(1L -> "a"))
+    // type change on an existing column
+    val typeChange = intercept[IllegalArgumentException] {
+      TxLog.append(spark, t, Seq((2L, 7)).toDF("id", "v")) // v: int != string
+    }
+    assert(typeChange.getMessage.contains("type"))
+    // dropped column
+    val dropped = intercept[IllegalArgumentException] {
+      TxLog.append(spark, t, Seq(3L).toDF("id"))
+    }
+    assert(dropped.getMessage.contains("missing"))
+    // upsert enforces the same contract
+    intercept[IllegalArgumentException] {
+      TxLog.upsert(spark, t, Seq((1L, 9)).toDF("id", "v"), "id")
+    }
+    // overwrite may retype — it replaces the schema...
+    TxLog.overwrite(spark, t, Seq((1L, 9)).toDF("id", "v"))
+    // ...after which the OLD string shape is what's now incompatible
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, t, mk(2L -> "b"))
+    }
+    TxLog.append(spark, t, Seq((2L, 8)).toDF("id", "v"))
+    assert(TxLog.read(spark, t).count() == 2)
+  }
+
+  test("upsert conflicts with a concurrent append (duplicate-key rule)") {
+    val t = freshTable()
+    TxLog.append(spark, t, mk(1L -> "a"))
+    val stale = TxLog.snapshot(t).version
+    // a concurrent append lands after the upsert's read
+    TxLog.append(spark, t, mk(2L -> "b"))
+    // even a pure-insert upsert (no removes) must NOT commit over it —
+    // the appended rows may share keys with the upsert's updates
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.commit(t, "upsert", stale, Seq.empty, Seq.empty)
+    }
+    // a compact racing the upsert is content-neutral: rebase is fine
+    val t2 = freshTable()
+    TxLog.append(spark, t2, mk(1L -> "a"))
+    TxLog.append(spark, t2, mk(2L -> "b"))
+    val stale2 = TxLog.snapshot(t2).version
+    TxLog.compact(spark, t2)
+    assert(TxLog.commit(t2, "upsert", stale2, Seq.empty, Seq.empty) > 0)
+  }
+
+  test("checkpoints fold writer high-water marks and schema; lastEpoch is O(checkpointEvery)") {
+    val t = freshTable()
+    // writer "early" commits once, then falls silent while another
+    // writer pushes the log past a checkpoint
+    TxLog.appendOnce(spark, t, mk(0L -> "e"), "early", 5L)
+    (1 to TxLog.checkpointEvery + 2).foreach(i =>
+      TxLog.appendOnce(spark, t, mk(i.toLong -> s"r$i"), "busy", i.toLong))
+    val cur = TxLog.currentVersion(t)
+    assert(cur > TxLog.checkpointEvery)
+    val cp = Paths.get(t, "_graft_log",
+      f"${TxLog.checkpointEvery.toLong}%020d.checkpoint")
+    assert(Files.exists(cp))
+    val cpLines = Files.readAllLines(cp)
+    assert(cpLines.asScala.exists(_.startsWith("txn early 5")),
+      "the silent writer's HWM must be folded into the checkpoint")
+    assert(cpLines.asScala.exists(_.startsWith("schema ")),
+      "the table schema must be folded into the checkpoint")
+    assert(cpLines.asScala.filter(_.startsWith("file ")).forall(l =>
+      !l.split(" ", 3)(1).startsWith("/")),
+      "checkpoint file entries must be RELATIVE names")
+    // "early"'s newest txn commit is below the checkpoint: only the
+    // checkpoint can answer this without an O(versions) walk
+    assert(TxLog.lastEpoch(t, cur, "early") == Some(5L))
+    assert(TxLog.lastEpoch(t, cur, "busy") ==
+      Some((TxLog.checkpointEvery + 2).toLong))
+    assert(TxLog.lastEpoch(t, cur, "nobody") == None)
+    // replay-from-checkpoint and full replay agree on schema too
+    assert(TxLog.tableSchema(t, cur).map(_.fieldNames.toSeq) ==
+      Some(Seq("id", "v")))
+  }
+
+  test("writerId with whitespace is rejected before it corrupts the log") {
+    val t = freshTable()
+    intercept[IllegalArgumentException] {
+      TxLog.appendOnce(spark, t, mk(1L -> "a"), "bad id", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.syncOnce(spark, t, t, "worse\tid")
+    }
+  }
+
+  test("the log is relocatable: move the table dir, read/write continue") {
+    val t = freshTable()
+    (1 to TxLog.checkpointEvery + 1).foreach(i =>
+      TxLog.append(spark, t, mk(i.toLong -> s"r$i")))
+    val moved = freshTable() + "_moved"
+    Files.move(Paths.get(t), Paths.get(moved))
+    assert(rows(TxLog.read(spark, moved)) ==
+      (1 to TxLog.checkpointEvery + 1).map(i => i.toLong -> s"r$i").toSet,
+      "relative log paths must survive a table move")
+    // writes at the new location still remove checkpoint-era files
+    TxLog.overwrite(spark, moved, mk(99L -> "z"))
+    assert(rows(TxLog.read(spark, moved)) == Set(99L -> "z"))
+    val deleted = TxLog.vacuum(moved, retainVersions = 0)
+    assert(deleted.nonEmpty, "pre-move files must be vacuumable post-move")
+  }
+
+  test("cross-process concurrent appenders: two extra JVMs, nothing lost") {
+    val t = freshTable()
+    val java = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    def spawn(tag: String): Process =
+      new ProcessBuilder(java, "-Xmx1g", "-cp", cp, "graft.TxLogRacer",
+        t, tag, "4").redirectErrorStream(true)
+        .redirectOutput(ProcessBuilder.Redirect.DISCARD).start()
+    val p1 = spawn("x")
+    val p2 = spawn("y")
+    // the parent races its own appends against both child JVMs
+    (1 to 4).foreach(i => TxLog.append(spark, t, mk(i.toLong -> s"z$i")))
+    assert(p1.waitFor(180, TimeUnit.SECONDS) && p1.exitValue() == 0,
+      "child appender 1 must commit all its appends")
+    assert(p2.waitFor(180, TimeUnit.SECONDS) && p2.exitValue() == 0,
+      "child appender 2 must commit all its appends")
+    assert(TxLog.currentVersion(t) == 12L,
+      "12 appends across 3 processes must win 12 contiguous versions")
+    assert(rows(TxLog.read(spark, t)) ==
+      (1 to 4).flatMap(i => Seq(i.toLong -> s"x$i", i.toLong -> s"y$i",
+        i.toLong -> s"z$i")).toSet,
+      "every row from every process must be present exactly once")
   }
 
   test("vacuum deletes only unreferenced files; current read unaffected") {
