@@ -54,7 +54,15 @@ object PlanAudit {
       "q_ml_kmeans, q_text_bpe, q_text_bpe_apply): `toString` re-prints an InMemoryRelation's child " +
       "plan at every reference, so operator counts tally each cached " +
       "subtree once PER PRINT, not per execution — the cached pipeline " +
-      "runs once and every other reference is an InMemoryTableScan.\n"
+      "runs once and every other reference is an InMemoryTableScan.\n\n" +
+      "Declared cost classes (r10): q_sim_cosine_topk, q_dedup_embed, " +
+      "and q_sim_knn_label are the deliberate O(n²) ground-truth " +
+      "baselines; q_dedup_embed_lsh (τ=0.5) is the bounded-n recall " +
+      "baseline of the LSH family — sign-LSH's ρ(τ=0.5) ≈ 0.585 lower-" +
+      "bounds any constant-recall banding at n^1.585, so its scale " +
+      "grade is by declaration (SCALING.md round-10), with " +
+      "q_dedup_embed_lsh_t9 (exponent 1.01) and q_dedup_semantic " +
+      "(1.30) as the production paths at this semantics class.\n"
 
     for (name <- allKeys) {
       var txt = ""
