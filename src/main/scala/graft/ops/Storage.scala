@@ -222,21 +222,35 @@ object Storage {
       .select(col("o_orderkey"), col("o_orderstatus"), col("total_c"))
   }
 
-  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
-    val snap = core.t(s, dir, "orders")
+  /** The orders-derived snapshot frame qMergeUpsert merges into —
+    * shared with TxLogIntegrationSpec, which replays the same merge as
+    * a streaming CDC loop over a TxLog table.
+    */
+  private[graft] def mergeSnapshot(s: SparkSession, dir: String): DataFrame =
+    core.t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"),
         core.cents(col("o_totalprice")).as("total_c"))
-    // Insert re-key offset DERIVED from the data, not a constant
-    // (ADVICE r5): the smallest power of 10 above max(o_orderkey),
-    // computed as '1' + one '0' per digit — pure string/integer
-    // arithmetic, identical in DuckDB, and collision-free at ANY
-    // snapshot scale (the fixed +1e7 collided once TPC-H sf ≳ 1.7).
-    // 1-row broadcast frame; `mx` also rides along so n_inserted can
-    // test `key > mx` (inserted ⟺ above every original key).
-    val off = snap.agg(max(col("o_orderkey")).as("mx"))
+
+  /** Insert re-key offset DERIVED from the data, not a constant
+    * (ADVICE r5): the smallest power of 10 above max(o_orderkey),
+    * computed as '1' + one '0' per digit — pure string/integer
+    * arithmetic, identical in DuckDB, and collision-free at ANY
+    * snapshot scale (the fixed +1e7 collided once TPC-H sf ≳ 1.7).
+    * 1-row broadcast frame; `mx` also rides along so n_inserted can
+    * test `key > mx` (inserted ⟺ above every original key).
+    */
+  private[graft] def mergeOffset(snap: DataFrame): DataFrame =
+    snap.agg(max(col("o_orderkey")).as("mx"))
       .select(col("mx"), expr(
         "CAST(concat('1', repeat('0', length(CAST(mx AS STRING)))) AS BIGINT)")
         .as("off"))
+
+  /** The deterministic changeset (updates / deletes / inserts with an
+    * `op` tag) qMergeUpsert derives from the snapshot so the oracle
+    * can reconstruct it. Keys are disjoint across the three classes.
+    */
+  private[graft] def mergeChangeset(snap: DataFrame,
+                                    off: DataFrame): DataFrame = {
     val upd = snap
       .filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") % 17 =!= 3)
       .select(col("o_orderkey"), lit("F").as("o_orderstatus"),
@@ -249,7 +263,15 @@ object Storage {
       .select((col("o_orderkey") + col("off")).as("o_orderkey"),
         lit("O").as("o_orderstatus"),
         (col("o_orderkey") % 9973 * 100).as("total_c"), lit("I").as("op"))
-    val merged = mergeChanges(snap, upd.union(del).union(ins))
+    upd.union(del).union(ins)
+  }
+
+  /** The presentation aggregate over a merged table — shared between
+    * the registered key and the TxLog CDC replay so "frame equality"
+    * compares the same expression over both execution paths.
+    */
+  private[graft] def mergeSummary(merged: DataFrame,
+                                  off: DataFrame): DataFrame =
     merged.crossJoin(broadcast(off))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
@@ -257,6 +279,12 @@ object Storage {
         sum(when(col("o_orderkey") > col("mx"), 1L).otherwise(0L))
           .as("n_inserted"))
       .orderBy(col("o_orderstatus"))
+
+  def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val snap = mergeSnapshot(s, dir)
+    val off = mergeOffset(snap)
+    val merged = mergeChanges(snap, mergeChangeset(snap, off))
+    mergeSummary(merged, off)
   }
 
   /** Small-file compaction — the other half of layout governance

@@ -547,19 +547,20 @@ object TxLog {
       }
       // lost the race: everything in (base, now] is someone else's
       val now = currentVersion(table)
-      if (op == "upsert") {
+      if (op == "upsert" || op == "delete") {
         // a racing non-compact commit may have added rows whose keys
-        // this upsert replaces — committing over it would leave
-        // duplicate keys (ConcurrentAppendException semantics)
+        // this upsert replaces (or this delete should remove) —
+        // committing over it would leave duplicate/undead keys
+        // (ConcurrentAppendException semantics)
         ((base + 1) to now).foreach { i =>
           val raced = Files.readAllLines(commitPath(table, i)).asScala
           val racedOp = raced.find(_.startsWith("meta "))
             .map(_.split(" ")(1)).getOrElse("append")
           if (racedOp != "compact" && raced.exists(_.startsWith("add ")))
             throw new java.util.ConcurrentModificationException(
-              s"upsert at $table read v$readVersion but a concurrent " +
+              s"$op at $table read v$readVersion but a concurrent " +
               s"'$racedOp' at v$i added files that may contain matching " +
-              s"keys — retry the upsert against the new version")
+              s"keys — retry against the new version")
         }
       }
       if (removes.nonEmpty) {
@@ -876,6 +877,30 @@ object TxLog {
       commit(table, "upsert", snap.version, adds,
         touchedFiles.map(relative(table, _)), Some(merged.json))
     } finally u.unpersist()
+  }
+
+  /** Merge-on-write DELETE: rows whose `key` appears in `keys` are
+    * removed. Same metadata-pruned locate as [[upsert]] — only files
+    * that actually contain a matching key are rewritten, so a point
+    * delete to a huge table reads O(matching files), not O(table).
+    * Returns the new version (unchanged when nothing matched). Like
+    * upsert, a concurrent non-compact commit that adds files conflicts
+    * — the appended rows might match the delete predicate.
+    */
+  def delete(s: SparkSession, table: String, keys: DataFrame,
+             key: String): Long = {
+    val snap = snapshot(table)
+    if (snap.files.isEmpty) return snap.version
+    val k = keys.select(col(key)).persist()
+    try {
+      val (_, touchedFiles) = locateTouched(s, snap, k, key)
+      if (touchedFiles.isEmpty) return snap.version
+      val survivors = readSnapshot(s, Snapshot(snap.version, touchedFiles))
+        .join(k, Seq(key), "left_anti")
+      val adds = stage(s, table, survivors)
+      commit(table, "delete", snap.version, adds,
+        touchedFiles.map(relative(table, _)))
+    } finally k.unpersist()
   }
 
   /** Bin-pack the live files into `targetFiles` and swap the lists in

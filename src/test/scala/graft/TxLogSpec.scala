@@ -469,6 +469,23 @@ class TxLogSpec extends SparkSuite {
       "every row from every process must be present exactly once")
   }
 
+  test("delete removes matching keys and rewrites only touched files") {
+    val t = freshTable()
+    TxLog.append(spark, t, mk(1L -> "a", 2L -> "b").coalesce(1))
+    TxLog.append(spark, t, mk(11L -> "c", 12L -> "d").coalesce(1))
+    val before = TxLog.snapshot(t).files.toSet
+    TxLog.delete(spark, t, mk(11L -> "_").select("id"), "id")
+    assert(rows(TxLog.read(spark, t)) ==
+      Set(1L -> "a", 2L -> "b", 12L -> "d"))
+    assert((TxLog.snapshot(t).files.toSet & before).nonEmpty,
+      "the file without matching keys must not be rewritten")
+    // deleting absent keys is version-neutral (stats prune to nothing)
+    val v = TxLog.currentVersion(t)
+    assert(TxLog.delete(spark, t, mk(99L -> "_").select("id"), "id") == v)
+    // a delete in a version range breaks CDC reads like any rewrite
+    intercept[IllegalStateException](TxLog.readChanges(spark, t, 2L))
+  }
+
   test("vacuum deletes only unreferenced files; current read unaffected") {
     val t = freshTable()
     TxLog.append(spark, t, mk(1L -> "old"))
