@@ -23,10 +23,20 @@ object Verify {
     // runs needs cheap-first/heavy-last control; a Map iterates in
     // arbitrary order), and log per-key progress so a stalled scale
     // run is identifiable from the log
+    // ADVICE r9: an unknown/typo'd requested key must fail LOUDLY —
+    // silently dropping it produces no dump dir, which then silently
+    // exits scale-gate coverage (the exact class the gate coverage
+    // checks exist to stop)
+    val unknown = args.drop(2).distinct.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      unknown.foreach(n => System.err.println(s"[verify] unknown key $n"))
+      sys.exit(2)
+    }
     val selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       if (only.isEmpty) SparkEntry.queries.toSeq
       else args.drop(2).distinct.toSeq.flatMap(n =>
         SparkEntry.queries.get(n).map(n -> _))
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     selected.foreach { case (name, fn) =>
       System.err.println(s"[verify] start $name")
       val t0 = System.nanoTime()
@@ -40,12 +50,17 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
-      System.err.println(
-        f"[verify] done $name in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val sec = (System.nanoTime() - t0) / 1e9
+      timings(name) = sec
+      System.err.println(f"[verify] done $name in $sec%.1f s")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // per-key wall seconds, for the scale gates' no-oracle drift probes
+    Files.writeString(Paths.get(s"$outDir/timings.json"),
+      timings.map { case (k, v) => f""""$k": $v%.2f""" }
+        .mkString("{", ",", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

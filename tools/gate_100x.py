@@ -21,7 +21,7 @@ import subprocess
 import sys
 from pathlib import Path
 
-from gatelib import parse_diff_oracle
+from gatelib import parse_diff_oracle, probe_no_oracle
 
 def main():
     sf_dir, out_dir, rnd = sys.argv[1], sys.argv[2], int(sys.argv[3])
@@ -63,6 +63,18 @@ def main():
                 f"--excluded keys not in the oracle key list: {bogus} — "
                 f"typo'd exclusions hide lost coverage\n")
             sys.exit(2)
+        # ADVICE r9: gated ∪ excluded must COVER the full oracle key
+        # list — an oracle key whose engine-side dump failed or was
+        # never run would otherwise be absent from both sets while the
+        # artifact reports all-PASS ("never silently dropped" means
+        # exactly this check)
+        uncovered = sorted(known - set(keys_in) - set(excluded))
+        if uncovered:
+            sys.stderr.write(
+                f"{len(uncovered)} oracle keys neither gated nor "
+                f"excluded: {uncovered} — every oracle key must be one "
+                f"or the other\n")
+            sys.exit(2)
     p = subprocess.run(
         [sys.executable, str(here / "diff_oracle.py"), sf_dir, out_dir]
         + keys_in,
@@ -79,6 +91,7 @@ def main():
                          f"refusing to write artifact\n")
         sys.stderr.write(p.stderr[-4000:])
         sys.exit(2)
+    probes, n_probe_fail = probe_no_oracle(out_dir, "100x")
     doc = {
         "round": rnd,
         "fixture": ("ScaleProbeSf1 synthetic at 100x the sf0.1 shape "
@@ -96,15 +109,20 @@ def main():
         "n_fail": n_fail,
         "n_no_oracle": sum(1 for v in keys.values() if v.get("match") is None),
         "excluded": excluded,
+        "no_oracle_probes": probes,
         "keys": dict(sorted(keys.items())),
     }
     Path("CORRECTNESS_100x.json").write_text(json.dumps(doc, indent=1) + "\n")
     print(f"pass={n_pass} fail={n_fail} "
-          f"no_oracle={doc['n_no_oracle']} excluded={len(excluded)}")
+          f"no_oracle={doc['n_no_oracle']} excluded={len(excluded)} "
+          f"probe_fail={n_probe_fail}")
     for k, v in keys.items():
         if v.get("match") is False:
             print(f"FAIL {k}: {v['why']}")
-    sys.exit(1 if n_fail else 0)
+    for k, v in probes.items():
+        if v.get("status") == "FAIL":
+            print(f"PROBE FAIL {k}: {v['why']}")
+    sys.exit(1 if (n_fail or n_probe_fail) else 0)
 
 if __name__ == "__main__":
     main()

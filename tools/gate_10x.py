@@ -17,7 +17,7 @@ import subprocess
 import sys
 from pathlib import Path
 
-from gatelib import parse_diff_oracle
+from gatelib import parse_diff_oracle, probe_no_oracle
 
 def main():
     sf_dir, out_dir, rnd = sys.argv[1], sys.argv[2], int(sys.argv[3])
@@ -38,6 +38,10 @@ def main():
                          f"(expected ~161+); refusing to write artifact\n")
         sys.stderr.write(p.stderr[-4000:])
         sys.exit(2)
+    # VERDICT r9 task 5: the no-oracle keys must EXECUTE at the decade
+    # and stay within their committed row/time envelopes — a green
+    # oracle gate alone proved blind to the simhash degeneration
+    probes, n_probe_fail = probe_no_oracle(out_dir, "10x")
     doc = {
         "round": rnd,
         "fixture": ("ScaleProbeSf1 synthetic at 10x the sf0.1 shape "
@@ -52,14 +56,19 @@ def main():
         "n_pass": sum(1 for v in keys.values() if v.get("match")),
         "n_fail": n_fail,
         "n_no_oracle": sum(1 for v in keys.values() if v.get("match") is None),
+        "no_oracle_probes": probes,
         "keys": dict(sorted(keys.items())),
     }
     Path("CORRECTNESS_10x.json").write_text(json.dumps(doc, indent=1) + "\n")
-    print(f"pass={doc['n_pass']} fail={n_fail} no_oracle={doc['n_no_oracle']}")
+    print(f"pass={doc['n_pass']} fail={n_fail} no_oracle={doc['n_no_oracle']} "
+          f"probe_fail={n_probe_fail}")
     for k, v in keys.items():
         if v.get("match") is False:
             print(f"FAIL {k}: {v['why']}")
-    sys.exit(1 if n_fail else 0)
+    for k, v in probes.items():
+        if v.get("status") == "FAIL":
+            print(f"PROBE FAIL {k}: {v['why']}")
+    sys.exit(1 if (n_fail or n_probe_fail) else 0)
 
 if __name__ == "__main__":
     main()
