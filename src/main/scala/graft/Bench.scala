@@ -95,6 +95,20 @@ object Bench {
     // driver capture tail-truncated the big per-query line and lost
     // the total entirely (BENCH_r01.json parsed:null).
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}}""")
+    // VERDICT r9 wrong #3 / task 6: the driver's tail capture keeps
+    // only ~60 of the 170 per-key timings from stdout, so the full
+    // profile is ALSO persisted as its own artifact (committed per
+    // round as BENCH_keys.json) — round-over-round per-key regression
+    // checks then cover the whole contract from artifacts alone.
+    val keysOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_KEYS_OUT",
+      "BENCH_keys.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(keysOut),
+      s"""{"written":"${java.time.Instant.now()}","sf":"$sfDir",""" +
+      s""""cpus":$cpus,"total":$total,"n_failed":${failed.size},""" +
+      s""""failed":$failedJson,"queries":$qs}""" + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH keys artifact write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
