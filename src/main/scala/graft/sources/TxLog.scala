@@ -239,7 +239,8 @@ object TxLog {
             val vals: Option[(Any, Any)] =
               if (st == null || !st.hasNonNullValue) None
               else pt.getPrimitiveTypeName match {
-                case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+                case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64
+                    if intAnnotationProbesSafely(pt.getLogicalTypeAnnotation) =>
                   Some((st.genericGetMin.asInstanceOf[Number].longValue(),
                         st.genericGetMax.asInstanceOf[Number].longValue()))
                 case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
@@ -271,13 +272,41 @@ object TxLog {
     } finally reader.close()
   } catch { case NonFatal(_) => None }
 
-  /** Typed less-than on stats values; None = incomparable (never
-    * prune).
+  /** Is an INT32/INT64 column's raw long order the order [[normKey]]
+    * probes in? Plain ints, signed ints, DATE (epoch days), and
+    * TIMESTAMP in MICROS qualify. Everything else is skipped —
+    * TIMESTAMP(MILLIS)/(NANOS) footers (externally staged files, or a
+    * future Spark outputTimestampType change — cf. the round-6 nanos
+    * inference drift) would compare micros against millis/nanos and
+    * OVERCLAIM; unsigned ints order differently above 2^63; TIME and
+    * decimal-as-int are different value domains entirely. Skipped =
+    * conservatively never pruned (round-11 ADVICE fix).
     */
-  private def lt(a: Any, b: Any): Option[Boolean] = (a, b) match {
+  private def intAnnotationProbesSafely(
+      ann: LogicalTypeAnnotation): Boolean = ann match {
+    case null => true
+    case a: LogicalTypeAnnotation.IntLogicalTypeAnnotation => a.isSigned
+    case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
+    case a: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+      a.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+    case _ => false
+  }
+
+  /** Typed less-than on stats values; None = incomparable (never
+    * prune). Strings compare by UNSIGNED UTF-8 BYTE order — the order
+    * parquet computes UTF8 footer min/max under — NOT Java's UTF-16
+    * code-unit order: the two diverge for supplementary code points vs
+    * U+E000..U+FFFF (an emoji sorts ABOVE U+F000 in byte order but
+    * BELOW it in UTF-16), and comparing in the wrong order can prune a
+    * file that really contains the key (round-11 ADVICE fix; pinned in
+    * TxLogSpec).
+    */
+  private[sources] def lt(a: Any, b: Any): Option[Boolean] = (a, b) match {
     case (x: Long, y: Long)     => Some(x < y)
     case (x: Double, y: Double) => Some(x < y)
-    case (x: String, y: String) => Some(x < y)
+    case (x: String, y: String) =>
+      Some(java.util.Arrays.compareUnsigned(
+        x.getBytes(UTF_8), y.getBytes(UTF_8)) < 0)
     case _                      => None
   }
 
@@ -348,8 +377,18 @@ object TxLog {
         val (w, e) = (parts(2), parts(3).toLong)
         if (st.txns.getOrElse(w, Long.MinValue) < e) st.txns(w) = e
       }
-    } else () // other meta line
+    } else if (line.startsWith("meta ")) {
+      () // other meta line (op/readVersion — replay doesn't need it)
+    } else throw new IllegalStateException(
+      s"unrecognized commit line (foreign or future log format — " +
+      s"refusing to silently drop state): '${line.take(80)}'")
 
+  /** Checkpoint lines are file/txn/schema ONLY; anything else throws.
+    * Pre-r10 checkpoints were plain full-path lines — silently
+    * ignoring an unrecognized line would replay such a table as an
+    * EMPTY/partial file set instead of failing loudly (round-11
+    * ADVICE fix).
+    */
   private def applyCheckpointLine(st: LogState, line: String): Unit =
     if (line.startsWith("file ")) {
       val parts = line.split(" ", 3)
@@ -360,7 +399,9 @@ object TxLog {
       if (parts.length >= 3) st.txns(parts(1)) = parts(2).toLong
     } else if (line.startsWith("schema ")) {
       st.schemaJson = Some(line.substring("schema ".length))
-    } else ()
+    } else throw new IllegalStateException(
+      s"unrecognized checkpoint line (old or foreign checkpoint format " +
+      s"— refusing to silently lose files): '${line.take(80)}'")
 
   private def replay(table: String, v: Long): LogState = {
     val st = new LogState
@@ -378,7 +419,7 @@ object TxLog {
     }
     (start to v).foreach { i =>
       Files.readAllLines(commitPath(table, i)).asScala
-        .foreach(applyCommitLine(st, _))
+        .foreach(l => if (l.nonEmpty) applyCommitLine(st, l))
     }
     st
   }
@@ -800,8 +841,18 @@ object TxLog {
       if (!useStats) snap.files
       else {
         val bounds = updates.agg(min(col(key)), max(col(key))).head()
-        normKey(bounds.get(0)).zip(normKey(bounds.get(1))) match {
-          case None => Vector.empty // no non-null update keys: nothing matches
+        if (bounds.isNullAt(0) || bounds.isNullAt(1))
+          Vector.empty // no non-null update keys: nothing matches (SQL
+                       // equality on null never joins)
+        else normKey(bounds.get(0)).zip(normKey(bounds.get(1))) match {
+          case None =>
+            // non-null keys of a type normKey can't map to the stats
+            // domain (DecimalType, Boolean, binary, …): stats can't
+            // decide anything, so EVERY file is a candidate and the
+            // semi-join below does the narrowing — conflating this
+            // with the all-null case silently skipped the rewrite and
+            // left duplicate/undead keys (round-11 ADVICE high fix)
+            snap.files
           case Some((umin, umax)) =>
             val sample = updates.select(col(key)).distinct()
               .limit(keyPruneLimit + 1).collect().flatMap(r => normKey(r.get(0)))
@@ -825,7 +876,7 @@ object TxLog {
     * same integer physical order parquet footers record. None = null
     * or an unprunable type.
     */
-  private def normKey(v: Any): Option[Any] = v match {
+  private[sources] def normKey(v: Any): Option[Any] = v match {
     case null                     => None
     case i: java.lang.Integer     => Some(i.longValue)
     case l: java.lang.Long        => Some(l.longValue)
@@ -838,6 +889,12 @@ object TxLog {
       Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
     case i: java.time.Instant     =>
       Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    // TIMESTAMP_NTZ surfaces as LocalDateTime; its parquet physical
+    // form is INT64 MICROS (isAdjustedToUTC=false), i.e. micros from
+    // the epoch wall-clock — live in this repo (core.events is NTZ)
+    case t: java.time.LocalDateTime =>
+      Some(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        t.getNano / 1000L)
     case d: java.sql.Date         => Some(d.toLocalDate.toEpochDay)
     case d: java.time.LocalDate   => Some(d.toEpochDay)
     case _                        => None

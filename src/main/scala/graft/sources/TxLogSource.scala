@@ -1,7 +1,9 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -35,7 +37,7 @@ import org.apache.spark.sql.types.StructType
   * Row-materialization step at the DSv1 boundary).
   */
 class TxLogSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "txlog"
 
@@ -74,8 +76,105 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
     }
     new TxLogRelation(sqlContext, path, None)
   }
+
+  // ---- streaming: the table AS a stream (readStream.format("txlog"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = pathOf(parameters)
+    val st = schema
+      .orElse(TxLog.tableSchema(path, TxLog.currentVersion(path)))
+      .getOrElse(TxLog.read(sqlContext.sparkSession, path).schema)
+    (shortName(), st)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val path = pathOf(parameters)
+    val st = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    val starting =
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+    new TxLogStreamSource(sqlContext.sparkSession, path, st, starting)
+  }
 }
 
+/** A TxLog table AS A STREAM — the lakehouse "table is a queue"
+  * primitive (the Delta streaming-source idea, built on this log's
+  * own [[TxLog.changedFiles]] CDF walk):
+  *
+  * {{{
+  * spark.readStream.format("txlog").option("path", t).load()
+  *   .writeStream…   // each new APPEND commit becomes a micro-batch
+  * }}}
+  *
+  * Offsets ARE table versions: `getOffset` reports the current
+  * committed version, and a batch reads exactly the files added by
+  * append-class commits in `(startVersion, endVersion]` — no
+  * rescanning, no directory listing, O(new commits) per trigger. With
+  * checkpointing the version range is replayed identically after a
+  * restart, so the source is exactly-once end to end (data files are
+  * immutable and vacuum-protected while referenced). Compactions are
+  * content-neutral and silently skipped; an upsert/overwrite/delete
+  * in the range THROWS — the same fail-loudly rule production
+  * streaming sources enforce rather than re-emitting or dropping
+  * rows. `startingVersion` (default 0 = full history first) skips
+  * the backlog. Additively-evolved columns read as null from files
+  * that predate them, exactly like the batch path.
+  *
+  * Combined with [[TxLog.appendOnce]] (the exactly-once SINK) this
+  * closes the loop: TxLog tables chain into streaming
+  * bronze→silver→gold pipelines with exactly-once on both edges.
+  * Pinned in TxLogStreamSpec.
+  */
+class TxLogStreamSource(spark: SparkSession, table: String,
+    override val schema: StructType, startingVersion: Long)
+    extends Source {
+
+  private def toVersion(o: V1Offset): Long = o match {
+    case LongOffset(v)          => v
+    case SerializedOffset(json) => json.trim.toLong
+    case other                  => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[V1Offset] = {
+    val v = TxLog.currentVersion(table)
+    if (v > startingVersion) Some(LongOffset(v)) else None
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(toVersion).getOrElse(startingVersion)
+    val files = TxLog.changedFiles(table, from, toVersion(end))
+    if (files.isEmpty) GraftBridge.emptyStreamingFrame(spark, schema)
+    else {
+      val base = spark.read.option("mergeSchema", "true").parquet(files: _*)
+      val present = base.columns.toSet
+      val aligned = schema.fields.filterNot(f => present.contains(f.name))
+        .foldLeft(base)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      GraftBridge.tagStreaming(aligned)
+    }
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"TxLogStreamSource[$table]"
+}
+
+/** CATALOG-TABLE STALENESS (round-11 ADVICE note): this relation pins
+  * its snapshot (and schema) at creation, and Spark's SessionCatalog
+  * caches resolved DSv1 relations for catalog tables — after
+  * `CREATE TABLE t USING txlog`, a `SELECT` can keep serving the
+  * pinned snapshot across later TxLog commits until
+  * `REFRESH TABLE t` (or `spark.catalog.refreshTable`), exactly like
+  * any cached file-source table. This is intentional for
+  * `read.format("txlog")` frames (one consistent version per
+  * relation, however long the query runs) and the standard Spark
+  * contract for catalog tables; pinned in TxLogSourceSpec
+  * ("catalog table serves the pinned snapshot until REFRESH TABLE").
+  */
 class TxLogRelation(override val sqlContext: SQLContext, path: String,
                     asOf: Option[Long])
     extends BaseRelation with PrunedFilteredScan {
@@ -84,18 +183,45 @@ class TxLogRelation(override val sqlContext: SQLContext, path: String,
   // consistent version, however long the query runs
   private val snap = TxLog.snapshot(path, asOf)
 
-  private def frame: DataFrame =
-    TxLog.readSnapshot(sqlContext.sparkSession, snap)
+  private def readFiles(files: Vector[String]): DataFrame =
+    TxLog.readSnapshot(sqlContext.sparkSession,
+      TxLog.Snapshot(snap.version, files, snap.stats))
 
   // the log's recorded schema (includes additive evolution across
   // versions) when present; else inferred from the snapshot's files
   override val schema: StructType =
-    TxLog.tableSchema(path, snap.version).getOrElse(frame.schema)
+    TxLog.tableSchema(path, snap.version)
+      .getOrElse(readFiles(snap.files).schema)
 
+  /** Scan with FILE SKIPPING: the pushed filters are first evaluated
+    * against each live file's footer min/max from the log (metadata
+    * only — [[TxLogRelation.admits]]), and files whose recorded range
+    * cannot satisfy them are never opened — the read-path twin of
+    * upsert's locate pruning and what every production table format
+    * does from its statistics. Survivors then get column pruning +
+    * the same filters pushed into the parquet scan (row-group/page
+    * pruning), and Spark re-applies every filter on top (skipping is
+    * an optimization, never a correctness dependency — a file or
+    * column without stats is always read).
+    */
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
+    val spark = sqlContext.sparkSession
+    val survivors = snap.files.filter { f =>
+      val fs = snap.stats.get(f)
+      filters.forall(TxLogRelation.admits(fs, _))
+    }
+    val base =
+      if (survivors.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else readFiles(survivors)
+    // surviving old files may predate additively-evolved columns the
+    // table schema (and requiredColumns) carry — read them as null
+    val present = base.columns.toSet
+    val aligned = schema.fields.filterNot(f => present.contains(f.name))
+      .foldLeft(base)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
     val pushed = filters.flatMap(TxLogRelation.toColumn)
-    val filtered = pushed.foldLeft(frame)(_.filter(_))
+    val filtered = pushed.foldLeft(aligned)(_.filter(_))
     val pruned =
       if (requiredColumns.isEmpty) filtered.select(lit(1)) // count(*)-style
       else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
@@ -110,6 +236,74 @@ class TxLogRelation(override val sqlContext: SQLContext, path: String,
 }
 
 object TxLogRelation {
+
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  /** May a file with footer stats `fs` contain rows satisfying `f`?
+    * `true` = must read (conservative: missing stats, unmappable
+    * value types, and filter classes that need null counts — which the
+    * log doesn't record — always admit). Comparisons run in the same
+    * normalized domain as upsert pruning ([[TxLog.normKey]] /
+    * [[TxLog.lt]]): integer physical order for ints/dates/timestamp-
+    * micros, unsigned UTF-8 byte order for strings.
+    */
+  private[graft] def admits(fs: Option[TxLog.FileStats], f: Filter): Boolean = {
+    def range(a: String): Option[TxLog.ColStats] = fs.flatMap(_.cols.get(a))
+    // k ∈ [min, max] possible?
+    def mayEqual(a: String, v: Any): Boolean =
+      (range(a), TxLog.normKey(v)) match {
+        case (Some(cs), Some(k)) =>
+          !(TxLog.lt(k, cs.min).contains(true) ||
+            TxLog.lt(cs.max, k).contains(true))
+        case _ => true
+      }
+    // some x > v (strict) / x >= v possible?
+    def mayExceed(a: String, v: Any, strict: Boolean): Boolean =
+      (range(a), TxLog.normKey(v)) match {
+        case (Some(cs), Some(k)) =>
+          if (strict) !TxLog.lt(k, cs.max).contains(false)
+          else !TxLog.lt(cs.max, k).contains(true)
+        case _ => true
+      }
+    // some x < v (strict) / x <= v possible?
+    def mayUndercut(a: String, v: Any, strict: Boolean): Boolean =
+      (range(a), TxLog.normKey(v)) match {
+        case (Some(cs), Some(k)) =>
+          if (strict) !TxLog.lt(cs.min, k).contains(false)
+          else !TxLog.lt(k, cs.min).contains(true)
+        case _ => true
+      }
+    // some x with byte-prefix v possible? Any such x is >= v in byte
+    // order, and if min > v WITHOUT having the prefix, every x >= min
+    // already diverged above v's bytes — no prefix match can follow.
+    def mayPrefix(a: String, v: String): Boolean = range(a) match {
+      case Some(TxLog.ColStats(mn: String, mx: String)) =>
+        val (vb, mnb, mxb) =
+          (v.getBytes(UTF_8), mn.getBytes(UTF_8), mx.getBytes(UTF_8))
+        val maxBelowPrefix = java.util.Arrays.compareUnsigned(mxb, vb) < 0
+        val minStartsWith = mnb.length >= vb.length &&
+          java.util.Arrays.equals(mnb, 0, vb.length, vb, 0, vb.length)
+        val minAbovePrefix =
+          java.util.Arrays.compareUnsigned(vb, mnb) < 0 && !minStartsWith
+        !(maxBelowPrefix || minAbovePrefix)
+      case _ => true
+    }
+    f match {
+      case EqualTo(a, v)            => mayEqual(a, v)
+      case EqualNullSafe(a, v)      => v == null || mayEqual(a, v)
+      case In(a, vs)                => vs.isEmpty || vs.exists(mayEqual(a, _))
+      case GreaterThan(a, v)        => mayExceed(a, v, strict = true)
+      case GreaterThanOrEqual(a, v) => mayExceed(a, v, strict = false)
+      case LessThan(a, v)           => mayUndercut(a, v, strict = true)
+      case LessThanOrEqual(a, v)    => mayUndercut(a, v, strict = false)
+      case StringStartsWith(a, v)   => mayPrefix(a, v)
+      case And(l, r)                => admits(fs, l) && admits(fs, r)
+      case Or(l, r)                 => admits(fs, l) || admits(fs, r)
+      case _                        => true // IsNull/Not/contains/…: no
+                                            // null counts in the log
+    }
+  }
+
   /** Best-effort DSv1 Filter → Column translation; None = cannot push
     * (Spark still applies the filter itself). Covers the classes the
     * parquet reader can use as row-group/page pruners.

@@ -11,4 +11,33 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Re-tag a batch frame's leaf relations as streaming — what a DSv1
+    * streaming `Source.getBatch` must return (MicroBatchExecution
+    * asserts `isStreaming` on the returned plan; FileStreamSource
+    * builds its `LogicalRelation(…, isStreaming = true)` the same
+    * way). The relation itself is untouched, so the parquet columnar
+    * scan, column pruning, and predicate pushdown all survive.
+    */
+  def tagStreaming(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val analyzed = df.queryExecution.analyzed
+    val tagged = analyzed.transform {
+      case lr: LogicalRelation if !lr.isStreaming =>
+        lr.copy(isStreaming = true)
+    }
+    classic.Dataset.ofRows(
+      df.sparkSession.asInstanceOf[classic.SparkSession], tagged)
+  }
+
+  /** An empty frame whose plan is streaming-tagged — the shape a DSv1
+    * source returns for a content-neutral offset range.
+    */
+  def emptyStreamingFrame(s: SparkSession,
+                          schema: types.StructType): DataFrame = {
+    val cs = s.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      cs.sparkContext.emptyRDD[catalyst.InternalRow], schema,
+      isStreaming = true)
+  }
 }

@@ -103,4 +103,84 @@ class TxLogSourceSpec extends SparkSuite {
     assert(TxLogRelation.toColumn(
       org.apache.spark.sql.sources.AlwaysTrue()).isEmpty)
   }
+
+  // ---------------------------------------------------------------
+  // Round 11: stats-based FILE SKIPPING on the read path
+  // ---------------------------------------------------------------
+
+  test("admits: filter-vs-footer-stats semantics, conservative by default") {
+    import org.apache.spark.sql.sources._
+    val fs = Some(TxLog.FileStats(10, Map(
+      "id" -> TxLog.ColStats(10L, 20L),
+      "s"  -> TxLog.ColStats("apple", "banana"))))
+    def a(f: Filter): Boolean = TxLogRelation.admits(fs, f)
+    // point/range lookups against [10, 20]
+    assert(!a(EqualTo("id", 5)) && a(EqualTo("id", 15)) && a(EqualTo("id", 20)))
+    assert(!a(GreaterThan("id", 20)) && a(GreaterThan("id", 19)))
+    assert(!a(GreaterThanOrEqual("id", 21)) && a(GreaterThanOrEqual("id", 20)))
+    assert(!a(LessThan("id", 10)) && a(LessThan("id", 11)))
+    assert(!a(LessThanOrEqual("id", 9)) && a(LessThanOrEqual("id", 10)))
+    assert(!a(In("id", Array(1, 2, 3))) && a(In("id", Array(1, 15))))
+    // prefix pruning in byte order against ["apple", "banana"]
+    assert(!a(StringStartsWith("s", "zebra")), "prefix above max must prune")
+    assert(!a(StringStartsWith("s", "aa")),
+      "prefix range entirely below min must prune")
+    assert(a(StringStartsWith("s", "app")) && a(StringStartsWith("s", "b")))
+    // boolean structure
+    assert(!a(And(EqualTo("id", 15), EqualTo("id", 5))))
+    assert(a(Or(EqualTo("id", 5), EqualTo("id", 15))))
+    assert(!a(Or(EqualTo("id", 5), EqualTo("id", 6))))
+    // conservative: no null counts, no stats, unknown column, odd types
+    assert(a(IsNull("id")) && a(IsNotNull("id")))
+    assert(a(Not(EqualTo("id", 15))))
+    assert(a(EqualTo("nostats", 5)))
+    assert(a(EqualTo("id", java.math.BigDecimal.ONE)))
+    assert(TxLogRelation.admits(None, EqualTo("id", 5)))
+    assert(a(EqualNullSafe("id", null)))
+  }
+
+  test("file skipping: a file whose stats cannot match is never opened") {
+    val t = freshTable()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.format("txlog").mode(SaveMode.Append).option("path", t).save()
+    Seq((100L, "x"), (200L, "y")).toDF("id", "v").coalesce(1)
+      .write.format("txlog").mode(SaveMode.Append).option("path", t).save()
+    val snap = TxLog.snapshot(t)
+    assert(snap.files.size == 2 && snap.stats.size == 2)
+    // physically delete the high-range file: if the filtered read
+    // still succeeds, skipping decided from METADATA alone and the
+    // file was genuinely never opened (without skipping this read
+    // dies with FileNotFound)
+    val big = snap.files.find(f =>
+      snap.stats(f).cols("id") == TxLog.ColStats(100L, 200L)).get
+    Files.delete(java.nio.file.Paths.get(big))
+    val got = spark.read.format("txlog").option("path", t).load()
+      .filter($"id" === 1L).select("v").as[String].collect().toSeq
+    assert(got == Seq("a"))
+    // a range predicate that only the surviving file admits also works
+    assert(spark.read.format("txlog").option("path", t).load()
+      .filter($"id" < 50L).count() == 2)
+    // and an all-files-pruned predicate returns empty, not an error
+    assert(spark.read.format("txlog").option("path", t).load()
+      .filter($"id" === 99999L).count() == 0)
+  }
+
+  test("catalog table: REFRESH TABLE picks up later TxLog commits") {
+    val t = freshTable()
+    Seq((1L, "a")).toDF("id", "v").write.format("txlog")
+      .mode(SaveMode.Append).option("path", t).save()
+    spark.sql(s"CREATE TABLE txlog_refresh_tbl USING txlog " +
+      s"OPTIONS (path '$t')")
+    try {
+      assert(spark.sql("SELECT count(*) FROM txlog_refresh_tbl")
+        .head().getLong(0) == 1L)
+      TxLog.append(spark, t, Seq((2L, "b")).toDF("id", "v"))
+      // the cached relation may keep serving its pinned snapshot —
+      // the documented contract is that REFRESH TABLE re-resolves it
+      spark.sql("REFRESH TABLE txlog_refresh_tbl")
+      assert(spark.sql("SELECT count(*) FROM txlog_refresh_tbl")
+        .head().getLong(0) == 2L,
+        "REFRESH TABLE must re-pin the relation at the newest version")
+    } finally spark.sql("DROP TABLE txlog_refresh_tbl")
+  }
 }

@@ -496,4 +496,135 @@ class TxLogSpec extends SparkSuite {
     // deeper time travel is now destructively gone — documented
     intercept[Exception](TxLog.read(spark, t, Some(1L)).collect())
   }
+
+  // ---------------------------------------------------------------
+  // Round 11: the ADVICE r10 fixes — unprunable key types must fall
+  // back to scan (not silently skip the rewrite), string stats
+  // compare in UTF-8 byte order, unknown checkpoint lines fail
+  // loudly, timestamp stats are unit-checked, NTZ keys prune
+  // ---------------------------------------------------------------
+
+  test("upsert/delete with a stats-unmappable key type (decimal) still rewrites") {
+    val t = freshTable()
+    def mkd(pairs: (String, String)*): DataFrame =
+      pairs.map { case (d, v) => (BigDecimal(d), v) }.toDF("id", "v")
+    TxLog.append(spark, t, mkd("1.5" -> "a", "2.5" -> "b"))
+    // normKey has no mapping for DecimalType: the locate must fall
+    // back to scanning every file, NOT treat the keys as absent —
+    // the old conflation inserted without rewriting (duplicate keys)
+    TxLog.upsert(spark, t, mkd("2.5" -> "B2"), "id")
+    val got = TxLog.read(spark, t).select("id", "v")
+      .as[(BigDecimal, String)].collect()
+    assert(got.length == 2, s"duplicate keys after decimal upsert: ${got.toSeq}")
+    assert(got.toMap == Map(BigDecimal("1.5") -> "a", BigDecimal("2.5") -> "B2"))
+    // ...and delete must not be a silent no-op
+    TxLog.delete(spark, t, mkd("1.5" -> "_").select("id"), "id")
+    val left = TxLog.read(spark, t).select("id", "v")
+      .as[(BigDecimal, String)].collect()
+    assert(left.toSeq == Seq(BigDecimal("2.5") -> "B2"),
+      "delete on an unprunable key type must still remove the rows")
+  }
+
+  test("upsert whose update keys are ALL null inserts without rewriting") {
+    val t = freshTable()
+    def mkn(pairs: (Option[Long], String)*): DataFrame = pairs.toDF("id", "v")
+    TxLog.append(spark, t, mkn(Some(1L) -> "a"))
+    val before = TxLog.snapshot(t).files.toSet
+    // SQL equality on null joins nothing: the rows are pure inserts
+    TxLog.upsert(spark, t, mkn(None -> "n1", None -> "n2"), "id")
+    assert((TxLog.snapshot(t).files.toSet & before) == before,
+      "no existing file can match a null key — none may be rewritten")
+    val got = TxLog.read(spark, t).select("id", "v")
+      .as[(Option[Long], String)].collect().toSet
+    assert(got == Set(Some(1L) -> "a", None -> "n1", None -> "n2"))
+  }
+
+  test("TIMESTAMP_NTZ keys prune by stats and upsert correctly") {
+    val t = freshTable()
+    def ntz(s: String): java.time.LocalDateTime =
+      java.time.LocalDateTime.parse(s)
+    def mkt(pairs: (String, String)*): DataFrame =
+      pairs.map { case (ts, v) => (ntz(ts), v) }.toDF("ts", "v")
+    TxLog.append(spark, t,
+      mkt("2024-01-01T00:00:00" -> "a", "2024-01-31T00:00:00" -> "b").coalesce(1))
+    TxLog.append(spark, t,
+      mkt("2024-06-01T00:00:00" -> "c", "2024-06-30T00:00:00" -> "d").coalesce(1))
+    val snap = TxLog.snapshot(t)
+    // NTZ is INT64 MICROS in parquet: stats recorded and prunable
+    val (candidates, touched) =
+      TxLog.locateTouched(spark, snap, mkt("2024-06-01T00:00:00" -> "C"), "ts")
+    assert(candidates.size == 1,
+      s"an NTZ point key must stats-prune to one file, got $candidates")
+    assert(touched == candidates)
+    TxLog.upsert(spark, t, mkt("2024-06-01T00:00:00" -> "C"), "ts")
+    val got = TxLog.read(spark, t).select("ts", "v")
+      .as[(java.time.LocalDateTime, String)].collect().toSet
+    assert(got == Set(ntz("2024-01-01T00:00:00") -> "a",
+      ntz("2024-01-31T00:00:00") -> "b", ntz("2024-06-01T00:00:00") -> "C",
+      ntz("2024-06-30T00:00:00") -> "d"))
+  }
+
+  test("string stats compare in UTF-8 byte order (supplementary planes)") {
+    val t = freshTable()
+    // parquet computes UTF8 min/max under UNSIGNED BYTE order, where
+    // U+E000 (EE 80 80) < U+F000 (EF 80 80) < U+1F600 (F0 9F 98 80) —
+    // but Java UTF-16 order puts the emoji (surrogates 0xD83D…) FIRST.
+    // A UTF-16 comparison concludes  > max and wrongly prunes.
+    TxLog.append(spark, t,
+      Seq(("", "a"), ("", "b"), ("😀", "c"))
+        .toDF("k", "v").coalesce(1))
+    val snap = TxLog.snapshot(t)
+    assert(snap.stats.nonEmpty && snap.stats.head._2.cols.contains("k"))
+    val cand = TxLog.pruneCandidates(snap, "k", "", "",
+      Some(Seq("")))
+    assert(cand == snap.files,
+      "a key inside the byte-order range must never be pruned")
+    TxLog.upsert(spark, t, Seq(("", "B")).toDF("k", "v"), "k")
+    val got = TxLog.read(spark, t).select("k", "v")
+      .as[(String, String)].collect()
+    assert(got.length == 3, s"duplicate keys after upsert: ${got.toSeq}")
+    assert(got.toMap ==
+      Map("" -> "a", "" -> "B", "😀" -> "c"))
+  }
+
+  test("an unrecognized checkpoint line fails loudly instead of losing files") {
+    val t = freshTable()
+    TxLog.append(spark, t, mk(1L -> "a"))
+    // simulate a pre-r10 (or foreign) checkpoint: a plain full-path line
+    Files.write(Paths.get(t, "_graft_log", f"${1L}%020d.checkpoint"),
+      s"$t/part-legacy.parquet".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException](TxLog.snapshot(t))
+    assert(e.getMessage.contains("checkpoint"),
+      s"must name the checkpoint as the problem: ${e.getMessage}")
+  }
+
+  test("footer stats are unit-checked: non-micros timestamps are never recorded") {
+    val conf = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(conf)
+    def statsOf(dir: java.nio.file.Path): TxLog.FileStats = {
+      val f = Files.list(dir).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      TxLog.footerStats(f).get
+    }
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+    try {
+      // MILLIS: raw longs are in the wrong unit for normKey's micros —
+      // pruning on them would overclaim, so the column must be skipped
+      spark.conf.set(conf, "TIMESTAMP_MILLIS")
+      val dMillis = Files.createTempDirectory("graft_stats_ms")
+      Seq((1L, ts)).toDF("id", "t").coalesce(1)
+        .write.mode("overwrite").parquet(dMillis.toString)
+      val ms = statsOf(dMillis)
+      assert(ms.cols.contains("id") && !ms.cols.contains("t"),
+        s"TIMESTAMP_MILLIS stats must be skipped, got ${ms.cols.keySet}")
+      // MICROS: the same column IS recorded, as epoch micros
+      spark.conf.set(conf, "TIMESTAMP_MICROS")
+      val dMicros = Files.createTempDirectory("graft_stats_us")
+      Seq((1L, ts)).toDF("id", "t").coalesce(1)
+        .write.mode("overwrite").parquet(dMicros.toString)
+      val us = statsOf(dMicros)
+      assert(us.cols.contains("t"),
+        s"TIMESTAMP_MICROS stats must be recorded, got ${us.cols.keySet}")
+    } finally spark.conf.set(conf, prev)
+  }
 }

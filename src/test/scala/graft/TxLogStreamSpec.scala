@@ -1,0 +1,166 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.sources.TxLog
+
+/** The TxLog STREAMING SOURCE (`readStream.format("txlog")`) — the
+  * table-as-a-queue half of the lakehouse loop (the sink half,
+  * appendOnce, is pinned in TxLogSpec/SinkSpec): offsets are table
+  * versions, each trigger reads exactly the files appended since the
+  * last offset, restarts replay identical version ranges from the
+  * checkpoint (exactly-once), compactions are silent, rewrites fail
+  * the query loudly, and `startingVersion` skips the backlog.
+  */
+class TxLogStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_txstream").toAbsolutePath.toString
+
+  private def mk(pairs: (Long, String)*): DataFrame = pairs.toDF("id", "v")
+
+  test("each append commit becomes a micro-batch; restart is exactly-once") {
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("graft_txstream_ckpt").toString
+    TxLog.append(spark, t, mk(1L -> "a"))
+
+    // (batchId, rows) pairs observed across both query incarnations
+    val seen = mutable.ArrayBuffer.empty[(Long, Set[(Long, String)])]
+    def start() = spark.readStream.format("txlog").option("path", t).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val rows = df.select("id", "v").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        seen.synchronized { seen += id -> rows }; ()
+      }.start()
+
+    val q1 = start()
+    q1.processAllAvailable()
+    assert(seen.synchronized(seen.flatMap(_._2).toSet) == Set(1L -> "a"),
+      "the backlog (startingVersion default 0) is the first batch")
+    TxLog.append(spark, t, mk(2L -> "b"))
+    q1.processAllAvailable()
+    assert(seen.synchronized(seen.flatMap(_._2).toSet) ==
+      Set(1L -> "a", 2L -> "b"))
+    q1.stop()
+
+    // two commits while the query is down land in ONE catch-up batch,
+    // and nothing already committed is re-emitted after the restart
+    TxLog.append(spark, t, mk(3L -> "c"))
+    TxLog.append(spark, t, mk(4L -> "d"))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val all = seen.synchronized(seen.toVector)
+    val rows = all.flatMap(_._2)
+    assert(rows.toSet ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    assert(rows.size == rows.toSet.size,
+      s"no row may be emitted twice across the restart: $all")
+  }
+
+  test("compaction mid-stream is silent; an upsert fails the query loudly") {
+    val t = freshTable()
+    TxLog.append(spark, t, mk(1L -> "a"))
+    TxLog.append(spark, t, mk(2L -> "b"))
+    val seen = mutable.Set.empty[(Long, String)]
+    val q = spark.readStream.format("txlog").option("path", t).load()
+      .writeStream.foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.select("id", "v").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        seen.synchronized { seen ++= rows }; ()
+      }.start()
+    q.processAllAvailable()
+    assert(seen.synchronized(seen.toSet) == Set(1L -> "a", 2L -> "b"))
+    // a compaction advances the version but emits nothing (its files
+    // are content-neutral rewrites)
+    TxLog.compact(spark, t)
+    q.processAllAvailable()
+    assert(seen.synchronized(seen.toSet) == Set(1L -> "a", 2L -> "b"),
+      "compaction must not re-emit rows through the stream")
+    // an upsert cannot be represented as appends: the query must FAIL
+    // (never silently drop or duplicate), the streaming-source rule
+    TxLog.upsert(spark, t, mk(1L -> "A2"), "id")
+    intercept[StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(30000)
+    }
+    assert(!q.isActive)
+  }
+
+  test("startingVersion skips the backlog; schema comes from the log") {
+    val t = freshTable()
+    TxLog.append(spark, t, mk(1L -> "backlog"))
+    TxLog.append(spark, t, mk(2L -> "backlog"))
+    val cur = TxLog.currentVersion(t)
+    val src = spark.readStream.format("txlog").option("path", t)
+      .option("startingVersion", cur.toString).load()
+    assert(src.schema.fieldNames.toSeq == Seq("id", "v"),
+      "streaming schema must come from the table log")
+    val seen = mutable.Set.empty[(Long, String)]
+    val q = src.writeStream.foreachBatch { (df: DataFrame, _: Long) =>
+      val rows = df.select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      seen.synchronized { seen ++= rows }; ()
+    }.start()
+    q.processAllAvailable()
+    assert(seen.synchronized(seen.isEmpty),
+      "nothing at or below startingVersion may be emitted")
+    TxLog.append(spark, t, mk(3L -> "live"))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.synchronized(seen.toSet) == Set(3L -> "live"))
+  }
+
+  test("exactly-once table-to-table: txlog stream into an appendOnce sink") {
+    val src = freshTable(); val dst = freshTable()
+    val ckpt = Files.createTempDirectory("graft_txstream_e2e").toString
+    TxLog.append(spark, src, mk(1L -> "a"))
+    def start() = spark.readStream.format("txlog").option("path", src).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        TxLog.appendOnce(spark, dst, df, "pipe", id); ()
+      }.start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    // replay the committed epoch by hand (the post-crash call), then
+    // resume with new upstream data
+    TxLog.appendOnce(spark, dst, mk(1L -> "a"), "pipe", 0L)
+    TxLog.append(spark, src, mk(2L -> "b"))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val got = TxLog.read(spark, dst).select("id", "v")
+      .as[(Long, String)].collect().toSeq
+    assert(got.sorted == Seq(1L -> "a", 2L -> "b"),
+      s"exactly-once on both edges must yield each row once: $got")
+  }
+
+  test("additively-evolved columns read as null through the stream") {
+    val t = freshTable()
+    TxLog.append(spark, t, mk(1L -> "old"))
+    // evolve: new files carry an extra column; the STREAM schema is
+    // pinned at query start from the CURRENT table schema
+    TxLog.append(spark, t,
+      Seq((2L, "new", 7L)).toDF("id", "v", "extra"))
+    val src = spark.readStream.format("txlog").option("path", t).load()
+    assert(src.schema.fieldNames.toSeq == Seq("id", "v", "extra"))
+    val seen = mutable.Set.empty[(Long, String, Option[Long])]
+    val q = src.writeStream.foreachBatch { (df: DataFrame, _: Long) =>
+      val rows = df.select("id", "v", "extra").collect().map(r =>
+        (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      seen.synchronized { seen ++= rows }; ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.synchronized(seen.toSet) ==
+      Set((1L, "old", None), (2L, "new", Some(7L))),
+      "pre-evolution files must read the new column as null")
+  }
+}
