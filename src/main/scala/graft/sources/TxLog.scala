@@ -964,13 +964,80 @@ object TxLog {
     * one metadata commit — data moves once, readers never block, and a
     * concurrent rewrite of a compacted file conflicts (the compact
     * loses and can be retried).
+    *
+    * `clusterBy` additionally RANGE-CLUSTERS the rewrite (range
+    * partition + sort within partitions on the given columns): the
+    * compacted files then carry TIGHT, DISJOINT footer min/max ranges
+    * on those columns, which is what makes the stats machinery bite —
+    * upsert/delete locate and read-path file skipping both prune to
+    * O(1 file) for point keys instead of "every file overlaps
+    * everything" (the OPTIMIZE ... ZORDER/CLUSTER BY idea: at 100 TB,
+    * clustering IS the difference between stats that prune and stats
+    * that merely exist). Pinned in TxLogSpec.
     */
-  def compact(s: SparkSession, table: String, targetFiles: Int = 1): Long = {
+  def compact(s: SparkSession, table: String, targetFiles: Int = 1,
+              clusterBy: Seq[String] = Nil): Long = {
     val snap = snapshot(table)
-    val frame = readSnapshot(s, snap).repartition(targetFiles)
+    val base = readSnapshot(s, snap)
+    val frame =
+      if (clusterBy.isEmpty) base.repartition(targetFiles)
+      else base.repartitionByRange(targetFiles, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
     val adds = stage(s, table, frame)
     commit(table, "compact", snap.version, adds,
       snap.files.map(relative(table, _)), Some(frame.schema.json))
+  }
+
+  /** One commit's summary, newest first in [[history]]. */
+  final case class CommitInfo(version: Long, op: String,
+                              readVersion: Long, adds: Int, removes: Int)
+
+  /** The commit history (newest first) — op, read version, add/remove
+    * counts per version. A DIAGNOSTIC walk of all commit files
+    * (O(versions), like DESCRIBE HISTORY everywhere); the data path
+    * never calls it.
+    */
+  def history(table: String): Seq[CommitInfo] =
+    (currentVersion(table) to 1L by -1L).map { v =>
+      val lines = Files.readAllLines(commitPath(table, v)).asScala
+      val meta = lines.find(_.startsWith("meta "))
+        .map(_.split(" ")).getOrElse(Array("meta", "append"))
+      // meta <op> <readV>  |  meta txn <writer> <epoch> <readV>
+      val (op, readV) =
+        if (meta.length >= 2 && meta(1) == "txn")
+          (s"txn ${meta(2)}", if (meta.length >= 5) meta(4).toLong else v - 1)
+        else
+          (meta(1), if (meta.length >= 3) meta(2).toLong else v - 1)
+      CommitInfo(v, op, readV,
+        lines.count(_.startsWith("add ")), lines.count(_.startsWith("remove ")))
+    }
+
+  /** ROLL BACK the table to `version` as ONE NEW COMMIT (never by
+    * erasing history — the audit trail and later snapshots stay
+    * time-travelable): removes the files live now but not then, and
+    * re-adds (with their logged stats) the files live then but
+    * dropped since. Requires every re-added file to still exist —
+    * a vacuum that outlived `retainVersions` is explicitly
+    * unrecoverable, fail loudly. The restored schema is the one at
+    * `version`. Restore is a REWRITE for CDC purposes: readChanges
+    * across it throws, like any upsert/overwrite (never silently
+    * re-emit). Pinned in TxLogSpec.
+    */
+  def restore(s: SparkSession, table: String, version: Long): Long = {
+    val cur = snapshot(table)
+    val target = snapshot(table, Some(version))
+    val missing = target.files.filterNot(f => Files.exists(Paths.get(f)))
+    require(missing.isEmpty,
+      s"cannot restore $table to v$version: ${missing.size} of its " +
+      s"files were vacuumed (e.g. ${missing.headOption.getOrElse("")})")
+    val curSet = cur.files.map(abs).toSet
+    val thenSet = target.files.map(abs).toSet
+    val removes = cur.files.filterNot(f => thenSet.contains(abs(f)))
+      .map(relative(table, _))
+    val adds = target.files.filterNot(f => curSet.contains(abs(f)))
+      .map(f => relative(table, f) -> target.stats.get(f))
+    commit(table, "restore", cur.version, adds, removes,
+      tableSchema(table, version).map(_.json))
   }
 
   /** Delete data files referenced by NO version in (retainVersions ago,

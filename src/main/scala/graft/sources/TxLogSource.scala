@@ -2,10 +2,11 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge, Row, SQLContext, SaveMode, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** The `spark.read.format("txlog")` / `USING txlog` facade over
@@ -37,7 +38,8 @@ import org.apache.spark.sql.types.StructType
   * Row-materialization step at the DSv1 boundary).
   */
 class TxLogSource extends RelationProvider with CreatableRelationProvider
-    with StreamSourceProvider with DataSourceRegister {
+    with StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "txlog"
 
@@ -98,6 +100,51 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
       parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
     new TxLogStreamSource(sqlContext.sparkSession, path, st, starting)
   }
+
+  /** `writeStream.format("txlog")` — the native EXACTLY-ONCE sink:
+    * each micro-batch lands as one [[TxLog.appendOnce]] transaction
+    * keyed by (writerId, batchId), so a replayed batch (restart from
+    * checkpoint) finds its own commit and is a no-op. `writerId`
+    * defaults to the query's checkpoint location (unique per logical
+    * query, stable across restarts — the identity exactly-once needs);
+    * override with `.option("writerId", …)` when two queries share a
+    * checkpoint-path spelling. Append mode only: TxLog commits are
+    * immutable appends, the lakehouse sink contract.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"txlog sink supports Append output mode only, got $outputMode")
+    require(partitionColumns.isEmpty,
+      "txlog sink does not support partitionBy (layout is managed by " +
+      "TxLog.compact clustering)")
+    val path = pathOf(parameters)
+    val writerId = parameters.get("writerId")
+      .orElse(parameters.get("checkpointLocation").map(cp =>
+        "ckpt-" + java.util.UUID.nameUUIDFromBytes(
+          cp.getBytes("UTF-8")).toString))
+      .getOrElse(throw new IllegalArgumentException(
+        "txlog sink needs a checkpointLocation (or an explicit " +
+        "'writerId' option) to be exactly-once across restarts"))
+    new TxLogSink(sqlContext.sparkSession, path, writerId)
+  }
+}
+
+/** The DSv1 sink behind `writeStream.format("txlog")`: one
+  * epoch-idempotent TxLog commit per micro-batch. The engine hands
+  * `addBatch` a streaming-tagged frame that batch writers refuse —
+  * [[GraftBridge.asBatch]] re-exposes the same physical plan as a
+  * batch frame (single execution). Pinned in TxLogStreamSpec.
+  */
+class TxLogSink(spark: SparkSession, table: String, writerId: String)
+    extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    TxLog.appendOnce(spark, table, GraftBridge.asBatch(data),
+      writerId, batchId)
+    ()
+  }
+  override def toString: String = s"TxLogSink[$table]"
 }
 
 /** A TxLog table AS A STREAM — the lakehouse "table is a queue"

@@ -40,4 +40,17 @@ object GraftBridge {
       cs.sparkContext.emptyRDD[catalyst.InternalRow], schema,
       isStreaming = true)
   }
+
+  /** The inverse of [[tagStreaming]], for a DSv1 `Sink.addBatch`: the
+    * frame the engine hands a sink is streaming-tagged, so batch
+    * writers (`df.write`, TxLog.stage) refuse it — re-expose the
+    * micro-batch's rows as a plain batch frame over the SAME physical
+    * plan (one execution, no extra materialization; the MemorySink /
+    * Delta-sink pattern).
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

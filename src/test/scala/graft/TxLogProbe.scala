@@ -66,6 +66,28 @@ object TxLogProbe {
         f"independent of table file count only with stats")
     }
 
+    // --- read-path file skipping (round 11) -------------------------
+    // the same 200-one-row-file table: a point SELECT through the
+    // facade stats-skips 199 files before any open; the library read
+    // (no skipping — full parquet listing) is the A/B. Dominated by
+    // per-file open cost, exactly the term that grows with table size.
+    def timeReadMs(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e6, n)
+    }
+    def facadeCount(): Long = spark.read.format("txlog").option("path", t)
+      .load().filter($"id" === 42L).count()
+    def libraryCount(): Long = TxLog.read(spark, t)
+      .filter($"id" === 42L).count()
+    timeReadMs(facadeCount()); timeReadMs(libraryCount()) // warm both
+    val (skipMs, skipN) = timeReadMs(facadeCount())
+    val (fullScanMs, fullN) = timeReadMs(libraryCount())
+    println(f"[txprobe] point SELECT over ${snap.files.size}%d files: " +
+      f"stats-skipping facade $skipMs%.0f ms vs full parquet read " +
+      f"$fullScanMs%.0f ms (rows $skipN%d/$fullN%d) — skipping prunes " +
+      f"files from METADATA before any open")
+
     // --- transactional merge (upsert) throughput --------------------
     // a 1 M-row table in 8 range-partitioned files; 10 micro-batches
     // of 10 k contiguous-key updates each. Stats pruning localizes
@@ -115,6 +137,28 @@ object TxLogProbe {
     println(f"[txprobe] streaming ingest $rows%d rows in $ingestSec%.1f s " +
       f"(${rows / ingestSec}%.0f rows/s, ${rows / chunk}%d micro-batch " +
       f"commits, table count $got%d, exactly_once=${got == rows}%b)")
+
+    // --- streaming SOURCE throughput (round 11) ---------------------
+    // drain the 1 M-row table just ingested back out through
+    // readStream.format("txlog") into the native txlog sink —
+    // the whole loop is exactly-once on both edges.
+    val out = java.nio.file.Files.createTempDirectory("graft_txout")
+      .toAbsolutePath.toString
+    val d0 = System.nanoTime()
+    val drain = spark.readStream.format("txlog")
+      .option("path", ingest).load()
+      .writeStream.format("txlog").option("path", out)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_txout_ck").toString)
+      .start()
+    drain.processAllAvailable()
+    val drainSec = (System.nanoTime() - d0) / 1e9
+    drain.stop()
+    val outRows = TxLog.read(spark, out).count()
+    println(f"[txprobe] txlog->txlog stream drain $outRows%d rows in " +
+      f"$drainSec%.1f s (${outRows / drainSec}%.0f rows/s end-to-end, " +
+      f"source offsets = versions, sink exactly-once, " +
+      f"complete=${outRows == rows}%b)")
     spark.stop()
   }
 }

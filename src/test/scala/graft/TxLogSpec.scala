@@ -598,6 +598,78 @@ class TxLogSpec extends SparkSuite {
       s"must name the checkpoint as the problem: ${e.getMessage}")
   }
 
+  test("clustered compaction makes file stats disjoint, so point keys prune to one file") {
+    val t = freshTable()
+    // three appends with INTERLEAVED key ranges: every file overlaps
+    // every key, so stats exist but prune nothing
+    TxLog.append(spark, t, mk(1L -> "a", 100L -> "b").coalesce(1))
+    TxLog.append(spark, t, mk(2L -> "c", 99L -> "d").coalesce(1))
+    TxLog.append(spark, t, mk(3L -> "e", 98L -> "f").coalesce(1))
+    val before = TxLog.snapshot(t)
+    assert(TxLog.pruneCandidates(before, "id", 50L, 50L,
+      Some(Seq(50L))).size == 3,
+      "interleaved ranges: stats cannot prune anything")
+    // range-clustered compaction: tight disjoint ranges per file
+    TxLog.compact(spark, t, targetFiles = 3, clusterBy = Seq("id"))
+    val after = TxLog.snapshot(t)
+    assert(after.files.size == 3 && after.stats.size == 3)
+    val cand = TxLog.pruneCandidates(after, "id", 99L, 99L, Some(Seq(99L)))
+    assert(cand.size == 1,
+      s"after clustering a point key must admit one file, got ${cand.size}")
+    // ranges must be pairwise disjoint
+    val ranges = after.files.map(f => after.stats(f).cols("id"))
+      .map(cs => (cs.min.asInstanceOf[Long], cs.max.asInstanceOf[Long]))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) =>
+        assert(hi < lo, s"clustered file ranges must be disjoint: $ranges")
+      case _ => ()
+    }
+    // content unchanged
+    assert(rows(TxLog.read(spark, t)) == Set(1L -> "a", 100L -> "b",
+      2L -> "c", 99L -> "d", 3L -> "e", 98L -> "f"))
+  }
+
+  test("history lists every commit newest-first with op and add/remove counts") {
+    val t = freshTable()
+    TxLog.append(spark, t, mk(1L -> "a"))
+    TxLog.appendOnce(spark, t, mk(2L -> "b"), "w1", 7L)
+    TxLog.upsert(spark, t, mk(1L -> "A"), "id")
+    TxLog.compact(spark, t)
+    val h = TxLog.history(t)
+    assert(h.map(_.version) == Seq(4L, 3L, 2L, 1L))
+    assert(h.map(_.op) == Seq("compact", "upsert", "txn w1", "append"))
+    assert(h.forall(_.adds > 0))
+    assert(h.find(_.op == "compact").get.removes > 0,
+      "compaction removes the files it rewrote")
+    assert(h.last.readVersion == 0L)
+  }
+
+  test("restore rolls back as a new commit; history stays time-travelable") {
+    val t = freshTable()
+    TxLog.append(spark, t, mk(1L -> "a"))          // v1
+    TxLog.append(spark, t, mk(2L -> "b"))          // v2
+    TxLog.upsert(spark, t, mk(1L -> "A2"), "id")   // v3 rewrite
+    val v = TxLog.restore(spark, t, 2L)            // v4
+    assert(v == 4L, "restore must be ONE new commit, not history erasure")
+    assert(rows(TxLog.read(spark, t)) == Set(1L -> "a", 2L -> "b"),
+      "the restored table reads exactly like the target version")
+    // the rolled-back state is still time-travelable (audit trail)
+    assert(rows(TxLog.read(spark, t, Some(3L))) == Set(1L -> "A2", 2L -> "b"))
+    // restore is a rewrite for CDC purposes: never silently re-emit
+    intercept[IllegalStateException](TxLog.readChanges(spark, t, 3L))
+    // appends continue on top of the restored state
+    TxLog.append(spark, t, mk(3L -> "c"))
+    assert(rows(TxLog.read(spark, t)) ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // restoring past a vacuum fails loudly (files are really gone)
+    val t2 = freshTable()
+    TxLog.append(spark, t2, mk(1L -> "old"))
+    TxLog.overwrite(spark, t2, mk(1L -> "new"))
+    TxLog.vacuum(t2, retainVersions = 0)
+    intercept[IllegalArgumentException](TxLog.restore(spark, t2, 1L))
+  }
+
   test("footer stats are unit-checked: non-micros timestamps are never recorded") {
     val conf = "spark.sql.parquet.outputTimestampType"
     val prev = spark.conf.get(conf)
