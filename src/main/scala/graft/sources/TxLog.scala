@@ -988,6 +988,33 @@ object TxLog {
       snap.files.map(relative(table, _)), Some(frame.schema.json))
   }
 
+  /** Z-ORDERED compaction: like `compact(clusterBy = …)` but laid out
+    * along the Morton curve of TWO dimensions (the codegen
+    * [[graft.functions.ZOrder]] expression — the same machinery the
+    * registered `q_zorder_layout` key audits). Each compacted file
+    * then covers a NARROW RANGE ON BOTH columns, so footer-stats
+    * skipping prunes on EITHER predicate — a lexicographic
+    * `clusterBy(a, b)` prunes only on the leading column. This is the
+    * OPTIMIZE ... ZORDER BY step: at 100 TB the difference between a
+    * table prunable on one dimension and on two. Dimensions are taken
+    * modulo 2^16 (non-negative via pmod), the standard low-bits
+    * interleave. Pinned in TxLogSpec (z-ordered files prune on both
+    * dims where lexicographic files prune only the first).
+    */
+  def compactZOrder(s: SparkSession, table: String, targetFiles: Int,
+                    dimA: String, dimB: String): Long = {
+    val snap = snapshot(table)
+    val base = readSnapshot(s, snap)
+    val z = graft.functions.ZOrder.zorder(
+      pmod(col(dimA).cast("long"), lit(65536L)),
+      pmod(col(dimB).cast("long"), lit(65536L)))
+    val frame = base.repartitionByRange(targetFiles, z)
+      .sortWithinPartitions(z)
+    val adds = stage(s, table, frame)
+    commit(table, "compact", snap.version, adds,
+      snap.files.map(relative(table, _)), Some(frame.schema.json))
+  }
+
   /** One commit's summary, newest first in [[history]]. */
   final case class CommitInfo(version: Long, op: String,
                               readVersion: Long, adds: Int, removes: Int)

@@ -630,6 +630,36 @@ class TxLogSpec extends SparkSuite {
       2L -> "c", 99L -> "d", 3L -> "e", 98L -> "f"))
   }
 
+  test("z-ordered compaction prunes on BOTH dimensions; lexicographic only the leading one") {
+    val grid = (for { x <- 0 until 16; y <- 0 until 16 }
+      yield (x.toLong, y.toLong, s"$x-$y")).toDF("x", "y", "p")
+    // lexicographic clusterBy(x, y): every file spans ALL of y
+    val lex = freshTable()
+    TxLog.append(spark, lex, grid.coalesce(1))
+    TxLog.compact(spark, lex, targetFiles = 4, clusterBy = Seq("x", "y"))
+    val lexSnap = TxLog.snapshot(lex)
+    assert(lexSnap.files.size == 4)
+    assert(TxLog.pruneCandidates(lexSnap, "x", 5L, 5L, Some(Seq(5L))).size <= 2,
+      "the leading sort column prunes under lexicographic layout")
+    assert(TxLog.pruneCandidates(lexSnap, "y", 5L, 5L, Some(Seq(5L))).size == 4,
+      "the trailing column prunes NOTHING under lexicographic layout")
+    // z-order: every file is a narrow rectangle in (x, y)
+    val zed = freshTable()
+    TxLog.append(spark, zed, grid.coalesce(1))
+    TxLog.compactZOrder(spark, zed, targetFiles = 4, "x", "y")
+    val zSnap = TxLog.snapshot(zed)
+    assert(zSnap.files.size == 4)
+    val zx = TxLog.pruneCandidates(zSnap, "x", 5L, 5L, Some(Seq(5L))).size
+    val zy = TxLog.pruneCandidates(zSnap, "y", 5L, 5L, Some(Seq(5L))).size
+    assert(zx <= 3 && zy <= 3,
+      s"z-order must prune on BOTH dimensions (got x->$zx, y->$zy of 4)")
+    // content unchanged through both layouts
+    assert(TxLog.read(spark, zed).count() == 256 &&
+      TxLog.read(spark, lex).count() == 256)
+    assert(TxLog.read(spark, zed).select("x", "y", "p").collect().toSet ==
+      TxLog.read(spark, lex).select("x", "y", "p").collect().toSet)
+  }
+
   test("history lists every commit newest-first with op and add/remove counts") {
     val t = freshTable()
     TxLog.append(spark, t, mk(1L -> "a"))
