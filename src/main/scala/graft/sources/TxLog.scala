@@ -18,7 +18,7 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.json4s._
 import org.json4s.jackson.JsonMethods.{compact => jsonCompact, parse, render}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
@@ -303,7 +303,16 @@ object TxLog {
     */
   private[sources] def lt(a: Any, b: Any): Option[Boolean] = (a, b) match {
     case (x: Long, y: Long)     => Some(x < y)
-    case (x: Double, y: Double) => Some(x < y)
+    case (x: Double, y: Double) =>
+      // parquet-mr computes FLOAT/DOUBLE stats under Double.compare
+      // total order, where NaN is GREATEST (a NaN-containing chunk
+      // records max = NaN) — and Spark's own comparisons agree (NaN
+      // sorts above every number). Primitive < calls every NaN
+      // comparison false, which read `max = NaN` as `max <= k` and
+      // wrongly pruned NaN-bearing files. ±0.0 stays primitive
+      // (-0.0 == 0.0, matching SQL equality).
+      if (x.isNaN || y.isNaN) Some(java.lang.Double.compare(x, y) < 0)
+      else Some(x < y)
     case (x: String, y: String) =>
       Some(java.util.Arrays.compareUnsigned(
         x.getBytes(UTF_8), y.getBytes(UTF_8)) < 0)
@@ -854,10 +863,17 @@ object TxLog {
             // left duplicate/undead keys (round-11 ADVICE high fix)
             snap.files
           case Some((umin, umax)) =>
-            val sample = updates.select(col(key)).distinct()
-              .limit(keyPruneLimit + 1).collect().flatMap(r => normKey(r.get(0)))
+            // the truncation probe must count COLLECTED rows, before
+            // any null is dropped by normKey — a null inside the
+            // sample window could otherwise mask a >limit key set and
+            // silently prune files holding the unsampled keys
+            val sampleRows = updates.select(col(key))
+              .where(col(key).isNotNull).distinct()
+              .limit(keyPruneLimit + 1).collect()
             val keys =
-              if (sample.length <= keyPruneLimit) Some(sample.toSeq) else None
+              if (sampleRows.length <= keyPruneLimit)
+                Some(sampleRows.toSeq.flatMap(r => normKey(r.get(0))))
+              else None
             pruneCandidates(snap, key, umin, umax, keys)
         }
       }
@@ -996,18 +1012,31 @@ object TxLog {
     * skipping prunes on EITHER predicate — a lexicographic
     * `clusterBy(a, b)` prunes only on the leading column. This is the
     * OPTIMIZE ... ZORDER BY step: at 100 TB the difference between a
-    * table prunable on one dimension and on two. Dimensions are taken
-    * modulo 2^16 (non-negative via pmod), the standard low-bits
-    * interleave. Pinned in TxLogSpec (z-ordered files prune on both
-    * dims where lexicographic files prune only the first).
+    * table prunable on one dimension and on two. Each dimension is
+    * LINEARLY SCALED onto the 16-bit grid from its own min/max (one
+    * extra metadata-cheap agg pass before the rewrite) — raw
+    * `mod 2^16` would alias values 65536 apart into the same cell and
+    * silently destroy pruning for any domain wider than 2^16, which
+    * is every real id/timestamp column. Pinned in TxLogSpec
+    * (z-ordered files prune on both dims where lexicographic files
+    * prune only the first; the wide-domain test uses ids up to 10^9).
     */
   def compactZOrder(s: SparkSession, table: String, targetFiles: Int,
                     dimA: String, dimB: String): Long = {
     val snap = snapshot(table)
     val base = readSnapshot(s, snap)
+    val b = base.agg(
+      min(col(dimA)).cast("double"), max(col(dimA)).cast("double"),
+      min(col(dimB)).cast("double"), max(col(dimB)).cast("double")).head()
+    def grid(c: Column, lo: Double, hi: Double): Column =
+      if (!(hi > lo)) lit(0L)
+      else least(lit(65535L),
+        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65536.0)
+          .cast("long"))
+    def bound(i: Int): Double = if (b.isNullAt(i)) 0.0 else b.getDouble(i)
     val z = graft.functions.ZOrder.zorder(
-      pmod(col(dimA).cast("long"), lit(65536L)),
-      pmod(col(dimB).cast("long"), lit(65536L)))
+      grid(col(dimA), bound(0), bound(1)),
+      grid(col(dimB), bound(2), bound(3)))
     val frame = base.repartitionByRange(targetFiles, z)
       .sortWithinPartitions(z)
     val adds = stage(s, table, frame)

@@ -120,10 +120,15 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
       "txlog sink does not support partitionBy (layout is managed by " +
       "TxLog.compact clustering)")
     val path = pathOf(parameters)
+    // normalize the checkpoint path before hashing: a restart that
+    // spells the SAME checkpoint differently (relative vs absolute,
+    // trailing slash) must derive the SAME writer identity, or the
+    // replayed batch dodges its own txn line and duplicates
     val writerId = parameters.get("writerId")
       .orElse(parameters.get("checkpointLocation").map(cp =>
         "ckpt-" + java.util.UUID.nameUUIDFromBytes(
-          cp.getBytes("UTF-8")).toString))
+          java.nio.file.Paths.get(cp).toAbsolutePath.normalize.toString
+            .getBytes("UTF-8")).toString))
       .getOrElse(throw new IllegalArgumentException(
         "txlog sink needs a checkpointLocation (or an explicit " +
         "'writerId' option) to be exactly-once across restarts"))
@@ -162,7 +167,10 @@ class TxLogSink(spark: SparkSession, table: String, writerId: String)
   * rescanning, no directory listing, O(new commits) per trigger. With
   * checkpointing the version range is replayed identically after a
   * restart, so the source is exactly-once end to end (data files are
-  * immutable and vacuum-protected while referenced). Compactions are
+  * immutable; like every production streaming table source this
+  * requires vacuum retention to exceed the maximum reader lag —
+  * getBatch fails loudly, naming the cause, if a compact+vacuum
+  * deleted files a lagging reader still needs). Compactions are
   * content-neutral and silently skipped; an upsert/overwrite/delete
   * in the range THROWS — the same fail-loudly rule production
   * streaming sources enforce rather than re-emitting or dropping
@@ -193,13 +201,23 @@ class TxLogStreamSource(spark: SparkSession, table: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(toVersion).getOrElse(startingVersion)
     val files = TxLog.changedFiles(table, from, toVersion(end))
+    // vacuum's keep-set is VERSION-based and knows nothing about
+    // streaming reader offsets: a compact (de-references the appended
+    // files) followed by a short-retention vacuum can delete files a
+    // lagging reader still needs. Fail with the cause by name instead
+    // of a bare executor FileNotFound (or, under ignoreMissingFiles,
+    // a silently dropped batch — an exactly-once violation).
+    val missing = files.filterNot(f =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(f)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"streaming read of $table at versions ($from, ${toVersion(end)}] " +
+      s"needs ${missing.size} file(s) that no longer exist (e.g. " +
+      s"${missing.head}): a compact+vacuum outran this reader — keep " +
+      s"vacuum retention longer than the maximum stream lag")
     if (files.isEmpty) GraftBridge.emptyStreamingFrame(spark, schema)
     else {
       val base = spark.read.option("mergeSchema", "true").parquet(files: _*)
-      val present = base.columns.toSet
-      val aligned = schema.fields.filterNot(f => present.contains(f.name))
-        .foldLeft(base)((d, f) =>
-          d.withColumn(f.name, lit(null).cast(f.dataType)))
+      val aligned = TxLogRelation.alignTo(base, schema)
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
       GraftBridge.tagStreaming(aligned)
     }
@@ -264,9 +282,7 @@ class TxLogRelation(override val sqlContext: SQLContext, path: String,
       else readFiles(survivors)
     // surviving old files may predate additively-evolved columns the
     // table schema (and requiredColumns) carry — read them as null
-    val present = base.columns.toSet
-    val aligned = schema.fields.filterNot(f => present.contains(f.name))
-      .foldLeft(base)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val aligned = TxLogRelation.alignTo(base, schema)
     val pushed = filters.flatMap(TxLogRelation.toColumn)
     val filtered = pushed.foldLeft(aligned)(_.filter(_))
     val pruned =
@@ -285,6 +301,18 @@ class TxLogRelation(override val sqlContext: SQLContext, path: String,
 object TxLogRelation {
 
   import java.nio.charset.StandardCharsets.UTF_8
+
+  /** Additive-evolution alignment shared by the batch scan and the
+    * streaming source: columns the table schema carries but the read
+    * files predate are added as typed nulls.
+    */
+  private[sources] def alignTo(df: DataFrame,
+                               schema: StructType): DataFrame = {
+    val present = df.columns.toSet
+    schema.fields.filterNot(f => present.contains(f.name))
+      .foldLeft(df)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+  }
 
   /** May a file with footer stats `fs` contain rows satisfying `f`?
     * `true` = must read (conservative: missing stats, unmappable

@@ -165,6 +165,26 @@ class TxLogSourceSpec extends SparkSuite {
       .filter($"id" === 99999L).count() == 0)
   }
 
+  test("NaN-bearing files are never pruned (parquet double stats are NaN-greatest)") {
+    val t = freshTable()
+    // parquet-mr computes double chunk stats under Double.compare
+    // total order: this file records max = NaN
+    Seq(1.0, 10.0, Double.NaN).toDF("a").coalesce(1)
+      .write.format("txlog").mode(SaveMode.Append).option("path", t).save()
+    Seq(100.0, 200.0).toDF("a").coalesce(1)
+      .write.format("txlog").mode(SaveMode.Append).option("path", t).save()
+    // Spark's ordering also puts NaN above every number: a > 5.0
+    // matches 10.0, NaN, 100.0, 200.0 — a primitive-< stats compare
+    // read max=NaN as "max <= 5.0" and dropped the first file
+    val got = spark.read.format("txlog").option("path", t).load()
+      .filter($"a" > 5.0).as[Double].collect()
+    assert(got.length == 4 && got.count(_.isNaN) == 1,
+      s"NaN-bearing file must survive skipping: ${got.toSeq}")
+    // and a range that only the NaN file admits still works
+    assert(spark.read.format("txlog").option("path", t).load()
+      .filter($"a" < 5.0).count() == 1)
+  }
+
   test("catalog table: REFRESH TABLE picks up later TxLog commits") {
     val t = freshTable()
     Seq((1L, "a")).toDF("id", "v").write.format("txlog")

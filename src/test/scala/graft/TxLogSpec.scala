@@ -660,6 +660,52 @@ class TxLogSpec extends SparkSuite {
       TxLog.read(spark, lex).select("x", "y", "p").collect().toSet)
   }
 
+  test("z-order scales wide domains: ids far beyond 2^16 still prune on both dims") {
+    // raw mod-2^16 interleaving aliases values 65536 apart into the
+    // same cell — the per-dim min/max scaling must keep pruning alive
+    // for real id-sized domains
+    val wide = (for { x <- 0 until 16; y <- 0 until 16 }
+      yield (x.toLong * 100000001L, y.toLong * 999983L, s"$x-$y"))
+      .toDF("x", "y", "p")
+    val t = freshTable()
+    TxLog.append(spark, t, wide.coalesce(1))
+    TxLog.compactZOrder(spark, t, targetFiles = 4, "x", "y")
+    val snap = TxLog.snapshot(t)
+    val px = TxLog.pruneCandidates(snap, "x", 500000005L, 500000005L,
+      Some(Seq(5L * 100000001L))).size
+    val py = TxLog.pruneCandidates(snap, "y", 4999915L, 4999915L,
+      Some(Seq(5L * 999983L))).size
+    assert(px <= 3 && py <= 3,
+      s"wide-domain z-order must prune both dims (got x->$px, y->$py of 4)")
+    assert(TxLog.read(spark, t).count() == 256)
+  }
+
+  test("a >limit key sample with nulls still rewrites every matched key") {
+    val t = freshTable()
+    val lo = spark.range(0, 1000)
+      .selectExpr("id", "'old' as v")
+    val hi = spark.range(5000, 6000)
+      .selectExpr("id", "'keep' as v")
+    TxLog.append(spark, t, lo.coalesce(1))
+    TxLog.append(spark, t, hi.coalesce(1))
+    // 1100 distinct keys (> keyPruneLimit) PLUS a null row: the
+    // truncation probe must count collected rows before nulls drop,
+    // or the sample falls back to an incomplete per-key set and
+    // files holding the unsampled keys are never rewritten
+    val updates = spark.range(0, 1100)
+      .selectExpr("id", "'new' as v")
+      .unionByName(Seq((Option.empty[Long], "nullrow"))
+        .toDF("id", "v"))
+    TxLog.upsert(spark, t, updates, "id")
+    val got = TxLog.read(spark, t)
+    assert(got.count() == 1000 + 1100 + 1,
+      s"1000 kept + 1100 upserted + 1 null insert, got: ${got.count()}")
+    assert(got.filter($"v" === "old").count() == 0,
+      "every matched key must be rewritten — none may survive as 'old'")
+    assert(got.filter($"id".isNotNull).groupBy($"id").count()
+      .filter($"count" > 1).count() == 0, "no duplicate keys")
+  }
+
   test("history lists every commit newest-first with op and add/remove counts") {
     val t = freshTable()
     TxLog.append(spark, t, mk(1L -> "a"))

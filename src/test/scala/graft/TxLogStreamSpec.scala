@@ -181,6 +181,59 @@ class TxLogStreamSpec extends SparkSuite {
     }
   }
 
+  test("sink writerId is path-normalized: a respelled checkpoint keeps identity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("graft_txsink_norm").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF.toDF("id", "v").writeStream.format("txlog")
+      .option("path", t).option("checkpointLocation", ckpt).start()
+    mem.addData((1L, "a"))
+    q.processAllAvailable(); q.stop()
+    assert(TxLog.read(spark, t).count() == 1)
+    // replay epoch 0 under a DIFFERENT spelling of the same checkpoint
+    // path — the derived writer identity must match the original's,
+    // so the replay is a no-op instead of a duplicate
+    val respelled = ckpt + "/."
+    val altId = "ckpt-" + java.util.UUID.nameUUIDFromBytes(
+      java.nio.file.Paths.get(respelled).toAbsolutePath.normalize
+        .toString.getBytes("UTF-8")).toString
+    TxLog.appendOnce(spark, t, Seq(1L -> "a").toDF("id", "v"), altId, 0L)
+    assert(TxLog.read(spark, t).count() == 1,
+      "a respelled checkpoint path must not change the sink's identity")
+  }
+
+  test("vacuum outrunning a lagging reader fails loudly, naming the cause") {
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("graft_txvac_ckpt").toString
+    TxLog.append(spark, t, mk(1L -> "a"))
+    val seen = mutable.Set.empty[Long]
+    def start() = spark.readStream.format("txlog").option("path", t).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        seen.synchronized { seen ++= df.select("id").collect().map(_.getLong(0)) }; ()
+      }.start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    assert(seen.synchronized(seen.toSet) == Set(1L))
+    // while the reader is DOWN at offset v1: append v2, compact v3
+    // (the v2 file becomes unreferenced by the live version), vacuum
+    // with zero retention — the v2 file the reader still needs dies
+    TxLog.append(spark, t, mk(2L -> "b"))
+    TxLog.compact(spark, t)
+    TxLog.vacuum(t, retainVersions = 0)
+    val q2 = start()
+    val e = intercept[StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination(30000)
+    }
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("vacuum"),
+      s"the failure must name vacuum retention as the cause: $msg")
+  }
+
   test("additively-evolved columns read as null through the stream") {
     val t = freshTable()
     TxLog.append(spark, t, mk(1L -> "old"))
