@@ -499,6 +499,51 @@ object StreamBench {
     }
   }
 
+  // ----------------------------------------------------- txlog drain
+
+  final case class DrainResult(rows: Long, srcCommits: Long,
+      batches: Int, wallSec: Double, exact: Boolean) {
+    def rowsPerSec: Double = rows / wallSec
+  }
+
+  /** The round-11 lakehouse loop under the bench harness: a LIVE
+    * `readStream.format("txlog")` query (offsets = table versions)
+    * draining into the native `writeStream.format("txlog")` sink
+    * (epoch-idempotent appendOnce) while the source table receives
+    * one append commit per chunk — the bronze→silver shape with
+    * exactly-once on both edges. The row only counts if the drained
+    * table is EXACTLY the source frame (count + both set
+    * differences empty).
+    */
+  def benchTxLogDrain(spark: SparkSession, n: Int,
+                      chunk: Int): DrainResult = {
+    import spark.implicits._
+    import graft.sources.TxLog
+    def dir(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft_sbench_$tag").toAbsolutePath.toString
+    val src = dir("txsrc"); val dst = dir("txdst")
+    // version 1 exists before the stream starts (schema inference)
+    TxLog.append(spark, src, spark.range(0, chunk.toLong).toDF("id"))
+    val q = spark.readStream.format("txlog").option("path", src).load()
+      .writeStream.format("txlog").option("path", dst)
+      .option("checkpointLocation", dir("txck")).start()
+    val commits = (n / chunk).toLong max 1L
+    val t0 = System.nanoTime()
+    (1L until commits).foreach { b =>
+      TxLog.append(spark, src,
+        spark.range(b * chunk, (b + 1) * chunk).toDF("id"))
+    }
+    q.processAllAvailable()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    val srcDf = TxLog.read(spark, src); val dstDf = TxLog.read(spark, dst)
+    val rows = dstDf.count()
+    val exact = rows == commits * chunk &&
+      dstDf.exceptAll(srcDf).isEmpty && srcDf.exceptAll(dstDf).isEmpty
+    DrainResult(rows, commits, batches, wallSec, exact)
+  }
+
   // ------------------------------------------------------------ harness
 
   val pipelines: Seq[(String, (SparkSession, IndexedSeq[SEv], Int) => PipeResult)] =
@@ -547,6 +592,12 @@ object StreamBench {
     System.err.println(f"[streambench] recovery       ${rc.keys} keys of state: " +
       f"steady p50 ${rc.steadyP50Ms}%.0f ms, restart first batch " +
       f"${rc.recoveryFirstBatchMs}%.0f ms (matches_batch=${rc.matchesBatch})")
+    benchTxLogDrain(spark, 50000, 25000) // warm the txlog stream path
+    val td = benchTxLogDrain(spark, n, chunk)
+    System.err.println(f"[streambench] txlog_drain    ${td.rows} rows / " +
+      f"${td.srcCommits} commits in ${td.wallSec}%.2f s = " +
+      f"${td.rowsPerSec}%.0f rows/s (${td.batches} micro-batches, " +
+      f"exact=${td.exact})")
     val body = results.map { case (name, r) =>
       f""""$name":{"rows":${r.rows},"batches":${r.batches},""" +
         f""""wall_sec":${r.wallSec}%.3f,"rows_per_sec":${r.rowsPerSec}%.0f,""" +
@@ -568,10 +619,14 @@ object StreamBench {
         f""""steady_batch_ms_p50":${rc.steadyP50Ms}%.1f,""" +
         f""""recovery_first_batch_ms":${rc.recoveryFirstBatchMs}%.1f,""" +
         f""""matches_batch":${rc.matchesBatch}}"""
+    val tdJson =
+      f""""txlog_drain":{"rows":${td.rows},"src_commits":${td.srcCommits},""" +
+        f""""batches":${td.batches},"wall_sec":${td.wallSec}%.3f,""" +
+        f""""rows_per_sec":${td.rowsPerSec}%.0f,"exact":${td.exact}}"""
     val json = s"""{"metric":"stream_events_total_sec","value":""" +
       f"${results.map(_._2.wallSec).sum}%.3f," +
       s""""unit":"sec","events":$n,"chunk":$chunk,"cpus":$cpus,""" +
-      s""""pipelines":{$body},$scJson,$rcJson}"""
+      s""""pipelines":{$body},$scJson,$rcJson,$tdJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     println(json)

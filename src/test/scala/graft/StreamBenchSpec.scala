@@ -102,4 +102,11 @@ class StreamBenchSpec extends SparkSuite {
       s"phase-A state rows ${r.stateRows} != 100000 keys")
     assert(r.recoveryFirstBatchMs > 0)
   }
+
+  test("txlog drain: live source-to-sink loop is exact end to end") {
+    val r = StreamBench.benchTxLogDrain(bench, 100000, 25000)
+    assert(r.exact,
+      "the drained txlog table diverged from the source frame")
+    assert(r.rows == 100000L && r.srcCommits == 4L)
+  }
 }
