@@ -1044,6 +1044,22 @@ object TxLog {
       snap.files.map(relative(table, _)), Some(frame.schema.json))
   }
 
+  /** Exact row count answered from LOG METADATA alone whenever every
+    * live file carries footer stats (the count(*) every production
+    * format serves without touching data — at 100 TB the difference
+    * between a catalog lookup and a full scan); falls back to a real
+    * scan if any file lacks stats. Time-travels with `asOf`. Pinned in
+    * TxLogSpec by answering after the data files are deleted.
+    */
+  def rowCount(s: SparkSession, table: String,
+               asOf: Option[Long] = None): Long = {
+    val snap = snapshot(table, asOf)
+    if (snap.files.isEmpty) 0L
+    else if (snap.files.forall(snap.stats.contains))
+      snap.files.iterator.map(snap.stats(_).rows).sum
+    else readSnapshot(s, snap).count()
+  }
+
   /** One commit's summary, newest first in [[history]]. */
   final case class CommitInfo(version: Long, op: String,
                               readVersion: Long, adds: Int, removes: Int)

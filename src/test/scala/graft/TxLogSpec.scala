@@ -469,6 +469,46 @@ class TxLogSpec extends SparkSuite {
       "every row from every process must be present exactly once")
   }
 
+  test("cross-process upsert + compact + appends race to a consistent table") {
+    val t = freshTable()
+    TxLog.append(spark, t, mk(1L -> "seed1", 2L -> "seed2"))
+    TxLog.append(spark, t, mk(3L -> "seed3", 4L -> "seed4"))
+    val java = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    def spawn(tag: String, n: Int, mode: String): Process =
+      new ProcessBuilder(java, "-Xmx1g", "-cp", cp, "graft.TxLogRacer",
+        t, tag, n.toString, mode).redirectErrorStream(true)
+        .redirectOutput(ProcessBuilder.Redirect.DISCARD).start()
+    // one JVM upserting the seed keys (retrying through the designed
+    // upsert-vs-add conflicts), one JVM compacting, the parent
+    // appending fresh keys — three processes, three op classes
+    val up = spawn("u", 4, "upsert")
+    val co = spawn("c", 3, "compact")
+    (101 to 104).foreach(i => TxLog.append(spark, t, mk(i.toLong -> s"p$i")))
+    assert(up.waitFor(240, TimeUnit.SECONDS) && up.exitValue() == 0,
+      "the upserting child must eventually win every conflict retry")
+    assert(co.waitFor(240, TimeUnit.SECONDS) && co.exitValue() == 0,
+      "the compacting child must eventually win every retry")
+    assert(rows(TxLog.read(spark, t)) ==
+      ((1 to 4).map(i => i.toLong -> s"u$i") ++
+        (101 to 104).map(i => i.toLong -> s"p$i")).toSet,
+      "every upsert exactly-once, every append kept, compaction neutral")
+  }
+
+  test("rowCount answers from log metadata without touching data files") {
+    val t = freshTable()
+    TxLog.append(spark, t, mk(1L -> "a", 2L -> "b").coalesce(1))
+    TxLog.append(spark, t, mk(3L -> "c").coalesce(1))
+    assert(TxLog.rowCount(spark, t) == 3L)
+    assert(TxLog.rowCount(spark, t, asOf = Some(1L)) == 2L)
+    // the claim "metadata only": physically delete the data files —
+    // the count must still answer (a scan would die)
+    TxLog.snapshot(t).files.foreach(f =>
+      Files.delete(Paths.get(f)))
+    assert(TxLog.rowCount(spark, t) == 3L,
+      "rowCount must come from the log's footer stats, not a scan")
+  }
+
   test("delete removes matching keys and rewrites only touched files") {
     val t = freshTable()
     TxLog.append(spark, t, mk(1L -> "a", 2L -> "b").coalesce(1))
