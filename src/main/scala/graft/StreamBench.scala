@@ -501,9 +501,12 @@ object StreamBench {
 
   // ----------------------------------------------------- txlog drain
 
-  final case class DrainResult(rows: Long, srcCommits: Long,
-      batches: Int, wallSec: Double, exact: Boolean) {
-    def rowsPerSec: Double = rows / wallSec
+  final case class DrainResult(rows: Long, fedRows: Long,
+      srcCommits: Long, batches: Int, wallSec: Double, exact: Boolean) {
+    // the rate counts only rows fed INSIDE the timed window (the
+    // bootstrap commit that precedes the stream is excluded from
+    // both the clock and the numerator)
+    def rowsPerSec: Double = fedRows / wallSec
   }
 
   /** The round-11 lakehouse loop under the bench harness: a LIVE
@@ -519,29 +522,46 @@ object StreamBench {
                       chunk: Int): DrainResult = {
     import spark.implicits._
     import graft.sources.TxLog
+    require(n >= 2 * chunk,
+      s"txlog drain needs >= 2 chunks inside the timed window (n=$n, chunk=$chunk)")
     def dir(tag: String) = java.nio.file.Files
-      .createTempDirectory(s"graft_sbench_$tag").toAbsolutePath.toString
-    val src = dir("txsrc"); val dst = dir("txdst")
-    // version 1 exists before the stream starts (schema inference)
-    TxLog.append(spark, src, spark.range(0, chunk.toLong).toDF("id"))
-    val q = spark.readStream.format("txlog").option("path", src).load()
-      .writeStream.format("txlog").option("path", dst)
-      .option("checkpointLocation", dir("txck")).start()
-    val commits = (n / chunk).toLong max 1L
-    val t0 = System.nanoTime()
-    (1L until commits).foreach { b =>
-      TxLog.append(spark, src,
-        spark.range(b * chunk, (b + 1) * chunk).toDF("id"))
+      .createTempDirectory(s"graft_sbench_$tag").toAbsolutePath
+    val src = dir("txsrc"); val dst = dir("txdst"); val ck = dir("txck")
+    try {
+      // version 1 exists before the stream starts (schema inference);
+      // this bootstrap commit is OUTSIDE the timed window and excluded
+      // from the rate's numerator
+      TxLog.append(spark, src.toString,
+        spark.range(0, chunk.toLong).toDF("id"))
+      val q = spark.readStream.format("txlog").option("path", src.toString)
+        .load()
+        .writeStream.format("txlog").option("path", dst.toString)
+        .option("checkpointLocation", ck.toString).start()
+      val commits = (n / chunk).toLong
+      try {
+        val t0 = System.nanoTime()
+        (1L until commits).foreach { b =>
+          TxLog.append(spark, src.toString,
+            spark.range(b * chunk, (b + 1) * chunk).toDF("id"))
+        }
+        q.processAllAvailable()
+        val wallSec = (System.nanoTime() - t0) / 1e9
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        val srcDf = TxLog.read(spark, src.toString)
+        val dstDf = TxLog.read(spark, dst.toString)
+        val rows = dstDf.count()
+        val exact = rows == commits * chunk &&
+          dstDf.exceptAll(srcDf).isEmpty && srcDf.exceptAll(dstDf).isEmpty
+        DrainResult(rows, (commits - 1) * chunk, commits, batches,
+          wallSec, exact)
+      } finally q.stop()
+    } finally Seq(src, dst, ck).foreach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
-    q.processAllAvailable()
-    val wallSec = (System.nanoTime() - t0) / 1e9
-    val batches = q.recentProgress.count(_.numInputRows > 0)
-    q.stop()
-    val srcDf = TxLog.read(spark, src); val dstDf = TxLog.read(spark, dst)
-    val rows = dstDf.count()
-    val exact = rows == commits * chunk &&
-      dstDf.exceptAll(srcDf).isEmpty && srcDf.exceptAll(dstDf).isEmpty
-    DrainResult(rows, commits, batches, wallSec, exact)
   }
 
   // ------------------------------------------------------------ harness
@@ -594,7 +614,9 @@ object StreamBench {
       f"${rc.recoveryFirstBatchMs}%.0f ms (matches_batch=${rc.matchesBatch})")
     benchTxLogDrain(spark, 50000, 25000) // warm the txlog stream path
     val td = benchTxLogDrain(spark, n, chunk)
-    System.err.println(f"[streambench] txlog_drain    ${td.rows} rows / " +
+    require(td.exact, "txlog drain diverged from the source frame — " +
+      "refusing to publish a throughput row for an inexact pipeline")
+    System.err.println(f"[streambench] txlog_drain    ${td.fedRows} fed rows / " +
       f"${td.srcCommits} commits in ${td.wallSec}%.2f s = " +
       f"${td.rowsPerSec}%.0f rows/s (${td.batches} micro-batches, " +
       f"exact=${td.exact})")
@@ -620,7 +642,8 @@ object StreamBench {
         f""""recovery_first_batch_ms":${rc.recoveryFirstBatchMs}%.1f,""" +
         f""""matches_batch":${rc.matchesBatch}}"""
     val tdJson =
-      f""""txlog_drain":{"rows":${td.rows},"src_commits":${td.srcCommits},""" +
+      f""""txlog_drain":{"rows":${td.rows},"fed_rows":${td.fedRows},""" +
+        f""""src_commits":${td.srcCommits},""" +
         f""""batches":${td.batches},"wall_sec":${td.wallSec}%.3f,""" +
         f""""rows_per_sec":${td.rowsPerSec}%.0f,"exact":${td.exact}}"""
     val json = s"""{"metric":"stream_events_total_sec","value":""" +

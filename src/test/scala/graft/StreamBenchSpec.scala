@@ -107,6 +107,6 @@ class StreamBenchSpec extends SparkSuite {
     val r = StreamBench.benchTxLogDrain(bench, 100000, 25000)
     assert(r.exact,
       "the drained txlog table diverged from the source frame")
-    assert(r.rows == 100000L && r.srcCommits == 4L)
+    assert(r.rows == 100000L && r.srcCommits == 4L && r.fedRows == 75000L)
   }
 }

@@ -445,16 +445,20 @@ class TxLogSpec extends SparkSuite {
     assert(deleted.nonEmpty, "pre-move files must be vacuumable post-move")
   }
 
-  test("cross-process concurrent appenders: two extra JVMs, nothing lost") {
-    val t = freshTable()
+  /** One child-JVM launcher for every cross-process race test. */
+  private def spawnRacer(table: String, tag: String, n: Int,
+                         mode: String = "append"): Process = {
     val java = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
-    def spawn(tag: String): Process =
-      new ProcessBuilder(java, "-Xmx1g", "-cp", cp, "graft.TxLogRacer",
-        t, tag, "4").redirectErrorStream(true)
-        .redirectOutput(ProcessBuilder.Redirect.DISCARD).start()
-    val p1 = spawn("x")
-    val p2 = spawn("y")
+    new ProcessBuilder(java, "-Xmx1g", "-cp", cp, "graft.TxLogRacer",
+      table, tag, n.toString, mode).redirectErrorStream(true)
+      .redirectOutput(ProcessBuilder.Redirect.DISCARD).start()
+  }
+
+  test("cross-process concurrent appenders: two extra JVMs, nothing lost") {
+    val t = freshTable()
+    val p1 = spawnRacer(t, "x", 4)
+    val p2 = spawnRacer(t, "y", 4)
     // the parent races its own appends against both child JVMs
     (1 to 4).foreach(i => TxLog.append(spark, t, mk(i.toLong -> s"z$i")))
     assert(p1.waitFor(180, TimeUnit.SECONDS) && p1.exitValue() == 0,
@@ -473,17 +477,11 @@ class TxLogSpec extends SparkSuite {
     val t = freshTable()
     TxLog.append(spark, t, mk(1L -> "seed1", 2L -> "seed2"))
     TxLog.append(spark, t, mk(3L -> "seed3", 4L -> "seed4"))
-    val java = System.getProperty("java.home") + "/bin/java"
-    val cp = System.getProperty("java.class.path")
-    def spawn(tag: String, n: Int, mode: String): Process =
-      new ProcessBuilder(java, "-Xmx1g", "-cp", cp, "graft.TxLogRacer",
-        t, tag, n.toString, mode).redirectErrorStream(true)
-        .redirectOutput(ProcessBuilder.Redirect.DISCARD).start()
     // one JVM upserting the seed keys (retrying through the designed
     // upsert-vs-add conflicts), one JVM compacting, the parent
     // appending fresh keys — three processes, three op classes
-    val up = spawn("u", 4, "upsert")
-    val co = spawn("c", 3, "compact")
+    val up = spawnRacer(t, "u", 4, "upsert")
+    val co = spawnRacer(t, "c", 3, "compact")
     (101 to 104).foreach(i => TxLog.append(spark, t, mk(i.toLong -> s"p$i")))
     assert(up.waitFor(240, TimeUnit.SECONDS) && up.exitValue() == 0,
       "the upserting child must eventually win every conflict retry")
