@@ -203,12 +203,18 @@ object TxLog {
   }
 
   private def latestCheckpointAt(dir: JPath): Option[Long] = {
-    val cps = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".checkpoint"))
-      .map(_.stripSuffix(".checkpoint").toLong)
-      .toSeq
-    if (cps.isEmpty) None else Some(cps.max)
+    // currentVersion runs on EVERY streaming getOffset trigger — the
+    // directory stream must be closed eagerly (round-12 ADVICE fix:
+    // the unclosed stream leaked a directory handle per trigger)
+    val s = Files.list(dir)
+    try {
+      val cps = s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".checkpoint"))
+        .map(_.stripSuffix(".checkpoint").toLong)
+        .toSeq
+      if (cps.isEmpty) None else Some(cps.max)
+    } finally s.close()
   }
 
   // ------------------------------------------------------------------
@@ -310,7 +316,10 @@ object TxLog {
       // sorts above every number). Primitive < calls every NaN
       // comparison false, which read `max = NaN` as `max <= k` and
       // wrongly pruned NaN-bearing files. ±0.0 stays primitive
-      // (-0.0 == 0.0, matching SQL equality).
+      // (-0.0 == 0.0, matching SQL equality). Since the round-12
+      // non-finite drop in statsToJson, NaN bounds never reach the
+      // LOG — this branch guards footer-MERGE time (multi-block
+      // min/max folding inside footerStats), where NaNs still flow.
       if (x.isNaN || y.isNaN) Some(java.lang.Double.compare(x, y) < 0)
       else Some(x < y)
     case (x: String, y: String) =>
@@ -325,7 +334,21 @@ object TxLog {
       case d: Double => JDouble(d)
       case s: String => JString(s)
     }
-    val cols = JObject(fs.cols.toList.sortBy(_._1).map { case (c, cs) =>
+    // NaN/Infinity don't survive a JSON round-trip as numbers (json4s
+    // would quote them, and parseStats would read back the STRING
+    // "NaN" — mixed-type stats that silently degrade pruning). Drop
+    // the whole column's stats instead: never-pruned is the correct
+    // conservative reading of a non-finite bound (round-12 ADVICE
+    // fix; the NaN branch in lt still matters at footer-MERGE time,
+    // before serialization).
+    def finite(v: Any): Boolean = v match {
+      case d: Double => !d.isNaN && !d.isInfinite
+      case _         => true
+    }
+    val keep = fs.cols.filter { case (_, cs) =>
+      finite(cs.min) && finite(cs.max)
+    }
+    val cols = JObject(keep.toList.sortBy(_._1).map { case (c, cs) =>
       c -> (JObject(List("min" -> j(cs.min), "max" -> j(cs.max))): JValue)
     })
     jsonCompact(render(JObject(List(

@@ -122,13 +122,20 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
     val path = pathOf(parameters)
     // normalize the checkpoint path before hashing: a restart that
     // spells the SAME checkpoint differently (relative vs absolute,
-    // trailing slash) must derive the SAME writer identity, or the
-    // replayed batch dodges its own txn line and duplicates
+    // trailing slash, file: URI vs bare path — round-12 ADVICE fix)
+    // must derive the SAME writer identity, or the replayed batch
+    // dodges its own txn line and duplicates
+    def normCp(cp: String): String = {
+      val bare =
+        if (cp.startsWith("file:"))
+          java.nio.file.Paths.get(new java.net.URI(cp)).toString
+        else cp
+      java.nio.file.Paths.get(bare).toAbsolutePath.normalize.toString
+    }
     val writerId = parameters.get("writerId")
       .orElse(parameters.get("checkpointLocation").map(cp =>
         "ckpt-" + java.util.UUID.nameUUIDFromBytes(
-          java.nio.file.Paths.get(cp).toAbsolutePath.normalize.toString
-            .getBytes("UTF-8")).toString))
+          normCp(cp).getBytes("UTF-8")).toString))
       .getOrElse(throw new IllegalArgumentException(
         "txlog sink needs a checkpointLocation (or an explicit " +
         "'writerId' option) to be exactly-once across restarts"))
@@ -216,7 +223,16 @@ class TxLogStreamSource(spark: SparkSession, table: String,
       s"vacuum retention longer than the maximum stream lag")
     if (files.isEmpty) GraftBridge.emptyStreamingFrame(spark, schema)
     else {
-      val base = spark.read.option("mergeSchema", "true").parquet(files: _*)
+      // the existence check above runs at PLANNING time; a vacuum
+      // landing between it and task execution is a residual race.
+      // Pin ignoreMissingFiles=false on this read so the late loss
+      // still FAILS (executor FileNotFound) instead of silently
+      // dropping a batch's rows under a session-level
+      // spark.sql.files.ignoreMissingFiles=true — exactly-once must
+      // never degrade to at-most-once quietly (round-12 ADVICE fix).
+      val base = spark.read
+        .option("ignoreMissingFiles", "false")
+        .option("mergeSchema", "true").parquet(files: _*)
       val aligned = TxLogRelation.alignTo(base, schema)
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
       GraftBridge.tagStreaming(aligned)

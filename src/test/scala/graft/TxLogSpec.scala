@@ -340,6 +340,37 @@ class TxLogSpec extends SparkSuite {
       snap.stats(cand.head).cols("k") == TxLog.ColStats("xray", "zulu"))
   }
 
+  test("non-finite double stats are dropped at stage time, not serialized") {
+    // round-12 ADVICE fix: NaN/Infinity can't ride JSON as numbers —
+    // json4s would quote them and parseStats would read back the
+    // STRING "NaN", silently degrading that column's stats to
+    // mixed-type never-comparable. The column's stats are dropped
+    // from the add line instead: absent = never pruned = correct.
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark, t,
+      Seq((1L, Double.NaN), (2L, 5.0)).toDF("id", "x").coalesce(1))
+    TxLog.append(spark, t,
+      Seq((3L, Double.PositiveInfinity), (4L, 1.0))
+        .toDF("id", "x").coalesce(1))
+    TxLog.append(spark, t,
+      Seq((5L, 7.0), (6L, 9.0)).toDF("id", "x").coalesce(1))
+    val snap = TxLog.snapshot(t)
+    assert(snap.stats.size == 3, "all add lines still carry stats")
+    val xStats = snap.files.flatMap(f => snap.stats(f).cols.get("x"))
+    assert(xStats == Vector(TxLog.ColStats(7.0, 9.0)),
+      s"only the finite file may record x stats, got $xStats")
+    // id stats are unaffected — finite columns keep pruning
+    assert(snap.files.flatMap(f => snap.stats(f).cols.get("id")).size == 3)
+    // and the NaN/Inf files are never pruned on x: a read filtered to
+    // a range far from any finite value still finds nothing WRONGLY
+    // dropped (conservative scan of the statless files)
+    val got = TxLog.read(spark, t).where($"x" >= 100.0).count()
+    assert(got == 2L, "x = +Infinity AND x = NaN (Spark sorts NaN " +
+      "above every double) live in statless files and must survive " +
+      "the x >= 100.0 scan")
+  }
+
   test("schema enforcement: type change and dropped column are rejected") {
     import spark.implicits._
     val t = freshTable()

