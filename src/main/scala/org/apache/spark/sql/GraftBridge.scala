@@ -41,6 +41,55 @@ object GraftBridge {
       isStreaming = true)
   }
 
+  /** Build a DSv2 [[org.apache.spark.sql.connector.read.ScanBuilder]]
+    * over an explicit parquet file list — Spark's own `ParquetTable`
+    * (vectorized reader, row-group/page pruning, file-size-balanced
+    * partitions), which the txlog DSv2 table delegates its data plane
+    * to after log-level file skipping. `ParquetTable` lives in
+    * `execution.datasources.v2` (private[sql] space), hence bridged.
+    */
+  def parquetScanBuilder(s: SparkSession, files: Seq[String],
+      schema: types.StructType): connector.read.ScanBuilder = {
+    import scala.jdk.CollectionConverters._
+    val opts = new util.CaseInsensitiveStringMap(
+      Map.empty[String, String].asJava)
+    execution.datasources.v2.parquet.ParquetTable(
+      "txlog-data", s.asInstanceOf[classic.SparkSession], opts, files,
+      Some(schema),
+      classOf[execution.datasources.parquet.ParquetFileFormat])
+      .newScanBuilder(opts)
+  }
+
+  /** Push RESOLVED Catalyst predicates into a file-source scan builder
+    * (`SupportsPushDownCatalystFilters` is private[sql]). Returns the
+    * post-scan filters the builder could not fully handle; a builder
+    * that doesn't speak Catalyst filters gets nothing pushed (the
+    * caller re-applies everything anyway).
+    */
+  def pushCatalystFilters(b: connector.read.ScanBuilder,
+      exprs: Seq[Expression]): Seq[Expression] = b match {
+    case c: internal.connector.SupportsPushDownCatalystFilters =>
+      c.pushFilters(exprs)
+    case _ => exprs
+  }
+
+  /** A DSv2 parquet [[connector.write.WriteBuilder]] targeting `dir` —
+    * Spark's own distributed parquet write path (per-task writers +
+    * Hadoop commit protocol), which the txlog DSv2 write stages
+    * through before its metadata commit.
+    */
+  def parquetWriteBuilder(s: SparkSession, dir: String,
+      info: connector.write.LogicalWriteInfo): connector.write.WriteBuilder = {
+    import scala.jdk.CollectionConverters._
+    val opts = new util.CaseInsensitiveStringMap(
+      Map.empty[String, String].asJava)
+    execution.datasources.v2.parquet.ParquetTable(
+      "txlog-stage", s.asInstanceOf[classic.SparkSession], opts, Seq(dir),
+      Some(info.schema),
+      classOf[execution.datasources.parquet.ParquetFileFormat])
+      .newWriteBuilder(info)
+  }
+
   /** The inverse of [[tagStreaming]], for a DSv1 `Sink.addBatch`: the
     * frame the engine hands a sink is streaming-tagged, so batch
     * writers (`df.write`, TxLog.stage) refuse it — re-expose the

@@ -340,6 +340,38 @@ class TxLogSpec extends SparkSuite {
       snap.stats(cand.head).cols("k") == TxLog.ColStats("xray", "zulu"))
   }
 
+  test("_last_checkpoint pointer: O(1) discovery, verified hint, listing fallback") {
+    import spark.implicits._
+    val t = freshTable()
+    (1 to 25).foreach(i =>
+      TxLog.append(spark, t, Seq(i.toLong -> s"v$i").toDF("id", "v")))
+    val logDir = java.nio.file.Paths.get(t, "_graft_log")
+    val ptr = logDir.resolve("_last_checkpoint")
+    // 25 commits at cadence 10 → checkpoints at 10 and 20; the pointer
+    // names the NEWEST
+    assert(Files.exists(ptr))
+    assert(new String(Files.readAllBytes(ptr), "UTF-8").trim == "20")
+    assert(TxLog.currentVersion(t) == 25L)
+    // O(tail) reconstruction: deleting the OLDER checkpoint changes
+    // nothing — only the pointer, the newest checkpoint, and the
+    // commit tail are ever touched on the discovery path
+    Files.delete(logDir.resolve(f"${10L}%020d.checkpoint"))
+    assert(TxLog.currentVersion(t) == 25L)
+    assert(TxLog.read(spark, t).count() == 25L)
+    // a corrupted pointer degrades to the listing fallback, loudly
+    // never wrongly
+    Files.write(ptr, "garbage".getBytes("UTF-8"))
+    assert(TxLog.currentVersion(t) == 25L)
+    assert(TxLog.read(spark, t).count() == 25L)
+    // a pointer naming a MISSING checkpoint is verified and rejected
+    Files.write(ptr, "19".getBytes("UTF-8"))
+    assert(TxLog.currentVersion(t) == 25L)
+    // the next checkpoint heals the pointer
+    (26 to 30).foreach(i =>
+      TxLog.append(spark, t, Seq(i.toLong -> s"v$i").toDF("id", "v")))
+    assert(new String(Files.readAllBytes(ptr), "UTF-8").trim == "30")
+  }
+
   test("non-finite double stats are dropped at stage time, not serialized") {
     // round-12 ADVICE fix: NaN/Infinity can't ride JSON as numbers —
     // json4s would quote them and parseStats would read back the
