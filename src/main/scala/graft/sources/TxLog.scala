@@ -20,7 +20,7 @@ import org.json4s.jackson.JsonMethods.{compact => jsonCompact, parse, render}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
 /** A minimal ACID table format over parquet — commit log, snapshot
   * isolation, time travel, optimistic concurrency, merge-on-write
@@ -141,9 +141,21 @@ object TxLog {
 
   /** Footer stats for one data file: exact row count + per-column
     * min/max for every top-level column whose physical type maps
-    * cleanly (others are simply absent — never pruned on).
+    * cleanly (others are simply absent — never pruned on). `part`
+    * (round 12) is the file's PARTITION TUPLE for partitioned tables —
+    * each partitioned-write data file holds exactly one value per
+    * partition column (Iceberg-manifest style: partition metadata
+    * lives in the log, files stay flat and full-schema on disk).
     */
-  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+  final case class FileStats(rows: Long, cols: Map[String, ColStats],
+                             part: Map[String, Any] = Map.empty) {
+    /** Pruning range for a column: footer min/max, else the file's
+      * single partition value as the degenerate [p, p] range — the
+      * cheapest prune, valid even when footer stats are absent.
+      */
+    def colRange(c: String): Option[ColStats] =
+      cols.get(c).orElse(part.get(c).map(p => ColStats(p, p)))
+  }
 
   /** An immutable view of the table at `version`: `files` are the live
     * data files (absolute paths) and `stats` their footer statistics
@@ -409,8 +421,13 @@ object TxLog {
     val cols = JObject(keep.toList.sortBy(_._1).map { case (c, cs) =>
       c -> (JObject(List("min" -> j(cs.min), "max" -> j(cs.max))): JValue)
     })
-    jsonCompact(render(JObject(List(
-      "rows" -> (JLong(fs.rows): JValue), "cols" -> (cols: JValue)))))
+    val base = List(
+      "rows" -> (JLong(fs.rows): JValue), "cols" -> (cols: JValue))
+    val withPart =
+      if (fs.part.isEmpty) base
+      else base :+ ("part" -> (JObject(
+        fs.part.toList.sortBy(_._1).map { case (c, p) => c -> j(p) }): JValue))
+    jsonCompact(render(JObject(withPart)))
   }
 
   private[graft] def parseStats(s: String): Option[FileStats] = try {
@@ -434,7 +451,12 @@ object TxLog {
       }.toMap
       case _ => Map.empty[String, ColStats]
     }
-    Some(FileStats(rows, cols))
+    val part = (jv \ "part") match {
+      case JObject(fields) =>
+        fields.flatMap { case (c, v) => un(v).map(c -> _) }.toMap
+      case _ => Map.empty[String, Any]
+    }
+    Some(FileStats(rows, cols, part))
   } catch { case NonFatal(_) => None }
 
   // ------------------------------------------------------------------
@@ -450,6 +472,7 @@ object TxLog {
     val files = mutable.LinkedHashMap.empty[String, Option[FileStats]]
     val txns = mutable.Map.empty[String, Long]
     var schemaJson: Option[String] = None
+    var partitionJson: Option[String] = None
   }
 
   private def applyCommitLine(st: LogState, line: String): Unit =
@@ -461,6 +484,8 @@ object TxLog {
       st.files.remove(line.substring("remove ".length))
     } else if (line.startsWith("schema ")) {
       st.schemaJson = Some(line.substring("schema ".length))
+    } else if (line.startsWith("partition ")) {
+      st.partitionJson = Some(line.substring("partition ".length))
     } else if (line.startsWith("meta txn ")) {
       val parts = line.split(" ") // meta txn <writer> <epoch> <readV>
       if (parts.length >= 4) {
@@ -489,6 +514,8 @@ object TxLog {
       if (parts.length >= 3) st.txns(parts(1)) = parts(2).toLong
     } else if (line.startsWith("schema ")) {
       st.schemaJson = Some(line.substring("schema ".length))
+    } else if (line.startsWith("partition ")) {
+      st.partitionJson = Some(line.substring("partition ".length))
     } else throw new IllegalStateException(
       s"unrecognized checkpoint line (old or foreign checkpoint format " +
       s"— refusing to silently lose files): '${line.take(80)}'")
@@ -554,27 +581,93 @@ object TxLog {
     * `(name, footer-stats)` pairs (names relative to the table root).
     * Staged files are invisible until a commit references them.
     */
-  private def stage(s: SparkSession, table: String,
-                    df: DataFrame): Seq[(String, Option[FileStats])] = {
+  /** The spec-aware staging path, exposed for the DSv2 write plane
+    * (its own staging is partition-blind; see TxLogStagedWrite).
+    */
+  private[graft] def stageFrame(s: SparkSession, table: String,
+      df: DataFrame, spec: Seq[String]): Seq[(String, Option[FileStats])] =
+    stage(s, table, df, spec)
+
+  private def stage(s: SparkSession, table: String, df: DataFrame,
+                    spec: Seq[String] = Nil)
+      : Seq[(String, Option[FileStats])] = {
     Files.createDirectories(logDir(table))
     val stageDir = Paths.get(table,
       s".stage-${java.util.UUID.randomUUID().toString}")
-    df.write.parquet(stageDir.toString)
-    val parts = Files.list(stageDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-    val names = parts.map { p =>
-      val name = s"part-${java.util.UUID.randomUUID().toString}.parquet"
-      val dest = Paths.get(table, name)
-      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-      name -> footerStats(dest)
-    }
-    // best-effort scrub of the emptied stage dir (_SUCCESS etc.)
-    try {
-      Files.list(stageDir).iterator().asScala.foreach(Files.deleteIfExists(_))
-      Files.deleteIfExists(stageDir)
-    } catch { case NonFatal(_) => () }
-    names
+    if (spec.isEmpty) {
+      df.write.parquet(stageDir.toString)
+      val parts = Files.list(stageDir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      val names = parts.map { p =>
+        val name = s"part-${java.util.UUID.randomUUID().toString}.parquet"
+        val dest = Paths.get(table, name)
+        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+        name -> footerStats(dest)
+      }
+      scrubStage(stageDir)
+      names
+    } else stagePartitioned(table, df, spec, stageDir)
   }
+
+  /** Partitioned staging: DUPLICATE the partition columns and
+    * hive-partition the staging layout by the duplicates — every
+    * staged file then holds exactly one partition tuple while keeping
+    * the FULL schema on disk (the table's files stay flat; partition
+    * membership lives in the log, the Iceberg-manifest shape, so the
+    * read path is unchanged and pruning needs no dir-layout
+    * conventions). The tuple is parsed back from the staging dir
+    * names and recorded on the add line next to the footer stats.
+    */
+  private def stagePartitioned(table: String, df: DataFrame,
+      spec: Seq[String], stageDir: JPath)
+      : Seq[(String, Option[FileStats])] = {
+    val missing = spec.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"partitioned write to $table must carry partition column(s) " +
+      missing.mkString(","))
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val dupCols = spec.map(c => s"__graft_p_$c")
+    val dup = spec.foldLeft(df)((d, c) =>
+      d.withColumn(s"__graft_p_$c", col(c)))
+    dup.write.partitionBy(dupCols: _*).parquet(stageDir.toString)
+    // walk stageDir/__graft_p_a=v/…/part-*.parquet, one tuple per leaf
+    val out = Vector.newBuilder[(String, Option[FileStats])]
+    def walk(dir: JPath, acc: Map[String, Any], depth: Int): Unit = {
+      val entries = Files.list(dir)
+      try entries.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        if (Files.isDirectory(p) && n.contains("=") && depth < spec.size) {
+          val c = spec(depth)
+          require(n.startsWith(s"__graft_p_$c="),
+            s"unexpected staging dir '$n' (expected __graft_p_$c=…)")
+          val raw = unescapePathName(n.substring(s"__graft_p_$c=".length))
+          walk(p, acc + (c -> partValue(table, c, raw, types(c))), depth + 1)
+        } else if (n.endsWith(".parquet")) {
+          require(depth == spec.size,
+            s"staged file '$n' above the partition depth — " +
+            s"partitionBy layout changed")
+          val name = s"part-${java.util.UUID.randomUUID().toString}.parquet"
+          val dest = Paths.get(table, name)
+          Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+          out += name -> footerStats(dest).map(_.copy(part = acc))
+        }
+      } finally entries.close()
+    }
+    walk(stageDir, Map.empty, 0)
+    scrubStage(stageDir)
+    out.result()
+  }
+
+  /** Best-effort recursive scrub of an emptied stage dir
+    * (_SUCCESS markers, partition subdirs).
+    */
+  private def scrubStage(stageDir: JPath): Unit =
+    try {
+      val all = Files.walk(stageDir)
+      try all.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally all.close()
+    } catch { case NonFatal(_) => () }
 
   // ------------------------------------------------------------------
   // Schema enforcement
@@ -608,6 +701,120 @@ object TxLog {
   private def decodeSchema(json: String): Option[StructType] =
     try Some(DataType.fromJson(json).asInstanceOf[StructType])
     catch { case NonFatal(_) => None }
+
+  // ------------------------------------------------------------------
+  // Partition spec (round 12)
+  // ------------------------------------------------------------------
+
+  /** The table's partition columns at `v` — the newest `partition`
+    * line at or below it (same walk discipline as [[tableSchema]]:
+    * bounded by the newest checkpoint, which carries the spec
+    * forward). Empty = unpartitioned. The spec is declared once
+    * (create or first partitioned write) and is immutable.
+    */
+  def partitionSpec(table: String, v: Long): Seq[String] = {
+    val dir = logDir(table)
+    val cp = if (Files.isDirectory(dir)) latestCheckpointAt(dir).filter(_ <= v)
+             else None
+    var i = v
+    val floor = cp.getOrElse(0L)
+    while (i > floor) {
+      Files.readAllLines(commitPath(table, i)).asScala
+        .find(_.startsWith("partition ")) match {
+        case Some(l) => return decodeSpec(l.substring("partition ".length))
+        case None    => ()
+      }
+      i -= 1
+    }
+    cp.map { c =>
+      Files.readAllLines(checkpointPath(table, c)).asScala
+        .find(_.startsWith("partition "))
+        .map(l => decodeSpec(l.substring("partition ".length)))
+        .getOrElse(Nil)
+    }.getOrElse(Nil)
+  }
+
+  private def encodeSpec(cols: Seq[String]): String =
+    jsonCompact(render(org.json4s.JArray(
+      cols.toList.map(c => JString(c): JValue))))
+
+  private def decodeSpec(json: String): Seq[String] = parse(json) match {
+    case org.json4s.JArray(vs) => vs.collect { case JString(s) => s }
+    case _ => throw new IllegalStateException(
+      s"unreadable partition spec line: '$json'")
+  }
+
+  /** Resolve the spec an incoming write runs under: an existing spec
+    * wins (a conflicting `partitionBy` throws — specs are immutable);
+    * a new spec on a spec-less table is validated against the frame
+    * and declared by this commit (returns `(spec, declareJson)`).
+    * Partition column types are restricted to the values a hive-style
+    * staging dir name round-trips exactly: integrals, strings, dates.
+    */
+  private def resolveSpec(table: String, v: Long, partitionBy: Seq[String],
+                          schema: StructType): (Seq[String], Option[String]) = {
+    val existing = partitionSpec(table, v)
+    if (existing.nonEmpty) {
+      require(partitionBy.isEmpty || partitionBy == existing,
+        s"table $table is partitioned by ${existing.mkString(",")}; " +
+        s"a write cannot re-partition it by ${partitionBy.mkString(",")}")
+      (existing, None)
+    } else if (partitionBy.isEmpty) (Nil, None)
+    else {
+      partitionBy.foreach { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition column '$c' is not in the written schema"))
+        f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType
+             | StringType | DateType => ()
+          case other => throw new IllegalArgumentException(
+            s"unsupported partition column type for '$c': " +
+            s"${other.catalogString} (integral, string, and date " +
+            s"partition columns round-trip exactly; others do not)")
+        }
+      }
+      (partitionBy, Some(encodeSpec(partitionBy)))
+    }
+  }
+
+  /** Hive-style `%XX` dir-name unescape (the escaping
+    * `df.write.partitionBy` applies to special characters).
+    */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** A staging dir-name component back to the stats-domain value the
+    * log records (and [[lt]] compares): integrals as Long, dates as
+    * epoch days, strings as themselves. Null partition values are
+    * rejected loudly — a null routes to the hive default partition
+    * and cannot be pruned or equality-matched.
+    */
+  private def partValue(table: String, col: String, raw: String,
+                        dt: DataType): Any = {
+    require(raw != "__HIVE_DEFAULT_PARTITION__",
+      s"null partition value for '$col' writing to $table: partition " +
+      s"columns must be non-null")
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => raw.toLong
+      case StringType => raw
+      case DateType   => java.time.LocalDate.parse(raw).toEpochDay
+      case other => throw new IllegalStateException(
+        s"partition column '$col' has undeclared type $other")
+    }
+  }
 
   /** Validate an append-class write against the current table schema
     * and return the post-commit (merged) schema. New columns are
@@ -657,14 +864,17 @@ object TxLog {
   private[graft] def commit(table: String, op: String, readVersion: Long,
                             adds: Seq[(String, Option[FileStats])],
                             removes: Seq[String],
-                            schemaJson: Option[String] = None): Long = {
+                            schemaJson: Option[String] = None,
+                            partitionJson: Option[String] = None): Long = {
     var base = readVersion
     var attempts = 0
     while (true) {
       attempts += 1
       require(attempts <= 100, s"commit livelock at $table")
       val v = base + 1
-      val lines = (s"meta $op $readVersion" +: schemaJson.map("schema " + _).toSeq) ++
+      val lines = (s"meta $op $readVersion" +:
+        (schemaJson.map("schema " + _).toSeq ++
+         partitionJson.map("partition " + _).toSeq)) ++
         removes.map("remove " + _) ++
         adds.map { case (f, st) =>
           st match {
@@ -720,6 +930,7 @@ object TxLog {
       val st = replay(table, v)
       val lines =
         st.schemaJson.map("schema " + _).toSeq ++
+        st.partitionJson.map("partition " + _).toSeq ++
         st.txns.toSeq.sortBy(_._1).map { case (w, e) => s"txn $w $e" } ++
         st.files.iterator.map { case (r, fs) =>
           fs match {
@@ -741,10 +952,12 @@ object TxLog {
     * then readable as an empty frame (schema from the log) and
     * writable through every normal path.
     */
-  def createEmpty(table: String, schema: StructType): Long = {
+  def createEmpty(table: String, schema: StructType,
+                  partitionBy: Seq[String] = Nil): Long = {
     require(currentVersion(table) == 0L,
       s"txlog table already exists at $table")
-    commit(table, "create", 0L, Nil, Nil, Some(schema.json))
+    val (_, declare) = resolveSpec(table, 0L, partitionBy, schema)
+    commit(table, "create", 0L, Nil, Nil, Some(schema.json), declare)
   }
 
   /** Commit wall-time in MICROseconds since the epoch (the unit
@@ -756,11 +969,22 @@ object TxLog {
     Files.getLastModifiedTime(commitPath(table, v)).toMillis * 1000L
 
   /** Transactional append — conflicts with nothing; races rebase. */
-  def append(s: SparkSession, table: String, df: DataFrame): Long = {
+  def append(s: SparkSession, table: String, df: DataFrame): Long =
+    append(s, table, df, Nil)
+
+  /** Append with a partition spec: on a spec-less table, `partitionBy`
+    * DECLARES the (immutable) spec in this commit; on a partitioned
+    * table it must match (or be omitted — the spec is read from the
+    * log and applied automatically, so every later writer partitions
+    * correctly without restating it).
+    */
+  def append(s: SparkSession, table: String, df: DataFrame,
+             partitionBy: Seq[String]): Long = {
     val cur = currentVersion(table)
     val merged = mergedWriteSchema(table, cur, df.schema, "append")
-    val adds = stage(s, table, df)
-    commit(table, "append", cur, adds, Nil, Some(merged.json))
+    val (spec, declare) = resolveSpec(table, cur, partitionBy, df.schema)
+    val adds = stage(s, table, df, spec)
+    commit(table, "append", cur, adds, Nil, Some(merged.json), declare)
   }
 
   /** Idempotent append for EXACTLY-ONCE streaming sinks: the commit's
@@ -784,13 +1008,24 @@ object TxLog {
     * [[checkpointEvery]] commits + one checkpoint per micro-batch.
     */
   def appendOnce(s: SparkSession, table: String, df: DataFrame,
-                 writerId: String, epoch: Long): Long = {
+                 writerId: String, epoch: Long): Long =
+    appendOnce(s, table, df, writerId, epoch, Nil)
+
+  /** [[appendOnce]] with a partition spec — declaration semantics as
+    * in the partitioned [[append]] (the streaming sink's
+    * `partitionBy(...)` lands here).
+    */
+  def appendOnce(s: SparkSession, table: String, df: DataFrame,
+                 writerId: String, epoch: Long,
+                 partitionBy: Seq[String]): Long = {
     requireWriterId(writerId)
     val cur = currentVersion(table)
     if (lastEpoch(table, cur, writerId).exists(_ >= epoch)) return cur
     val merged = mergedWriteSchema(table, cur, df.schema, "appendOnce")
-    val adds = stage(s, table, df)
-    commit(table, s"txn $writerId $epoch", cur, adds, Nil, Some(merged.json))
+    val (spec, declare) = resolveSpec(table, cur, partitionBy, df.schema)
+    val adds = stage(s, table, df, spec)
+    commit(table, s"txn $writerId $epoch", cur, adds, Nil,
+      Some(merged.json), declare)
   }
 
   /** writerId is a token in the space-delimited meta line — whitespace
@@ -906,7 +1141,10 @@ object TxLog {
     */
   def overwrite(s: SparkSession, table: String, df: DataFrame): Long = {
     val snap = snapshot(table)
-    val adds = stage(s, table, df)
+    // the partition spec is immutable and survives an overwrite: the
+    // replacement frame must still carry the spec columns
+    val spec = partitionSpec(table, snap.version)
+    val adds = stage(s, table, df, spec)
     commit(table, "overwrite", snap.version, adds,
       snap.files.map(relative(table, _)), Some(df.schema.json))
   }
@@ -930,7 +1168,7 @@ object TxLog {
                                      umin: Any, umax: Any,
                                      keys: Option[Seq[Any]]): Vector[String] =
     snap.files.filter { f =>
-      snap.stats.get(f).flatMap(_.cols.get(key)) match {
+      snap.stats.get(f).flatMap(_.colRange(key)) match {
         case None => true
         case Some(cs) => keys match {
           case Some(ks) => ks.exists(k =>
@@ -1037,8 +1275,9 @@ object TxLog {
              key: String): Long = {
     val snap = snapshot(table)
     val merged = mergedWriteSchema(table, snap.version, updates.schema, "upsert")
+    val spec = partitionSpec(table, snap.version)
     if (snap.files.isEmpty) {
-      val adds = stage(s, table, updates)
+      val adds = stage(s, table, updates, spec)
       return commit(table, "upsert", snap.version, adds, Nil, Some(merged.json))
     }
     // the update frame feeds the locate agg, the key sample, the
@@ -1053,7 +1292,7 @@ object TxLog {
         else readSnapshot(s, Snapshot(snap.version, touchedFiles))
           .join(u.select(col(key)), Seq(key), "left_anti")
       val rewritten = survivors.unionByName(u, allowMissingColumns = true)
-      val adds = stage(s, table, rewritten)
+      val adds = stage(s, table, rewritten, spec)
       commit(table, "upsert", snap.version, adds,
         touchedFiles.map(relative(table, _)), Some(merged.json))
     } finally u.unpersist()
@@ -1077,7 +1316,8 @@ object TxLog {
       if (touchedFiles.isEmpty) return snap.version
       val survivors = readSnapshot(s, Snapshot(snap.version, touchedFiles))
         .join(k, Seq(key), "left_anti")
-      val adds = stage(s, table, survivors)
+      val adds = stage(s, table, survivors,
+        partitionSpec(table, snap.version))
       commit(table, "delete", snap.version, adds,
         touchedFiles.map(relative(table, _)))
     } finally k.unpersist()
@@ -1106,7 +1346,10 @@ object TxLog {
       if (clusterBy.isEmpty) base.repartition(targetFiles)
       else base.repartitionByRange(targetFiles, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    val adds = stage(s, table, frame)
+    // a partitioned table compacts PER PARTITION automatically: the
+    // spec-aware stage splits the rewrite by partition tuple, so
+    // `targetFiles` becomes the per-partition target
+    val adds = stage(s, table, frame, partitionSpec(table, snap.version))
     commit(table, "compact", snap.version, adds,
       snap.files.map(relative(table, _)), Some(frame.schema.json))
   }
@@ -1146,7 +1389,7 @@ object TxLog {
       grid(col(dimB), bound(2), bound(3)))
     val frame = base.repartitionByRange(targetFiles, z)
       .sortWithinPartitions(z)
-    val adds = stage(s, table, frame)
+    val adds = stage(s, table, frame, partitionSpec(table, snap.version))
     commit(table, "compact", snap.version, adds,
       snap.files.map(relative(table, _)), Some(frame.schema.json))
   }

@@ -133,12 +133,17 @@ class TxLogCatalog extends TableCatalog {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "txlog tables do not take partition transforms (layout is " +
-      "managed by clustered compaction; see TxLog.compact)")
+    // identity partitioning only (PARTITIONED BY (col, …)): the log
+    // records per-file partition tuples, Iceberg-manifest style;
+    // bucket/temporal transforms remain TxLog.compact's job
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references().length == 1,
+        s"txlog tables take identity partition transforms only, got $t")
+      t.references()(0).fieldNames().mkString(".")
+    }
     val p = tablePath(ident)
     if (TxLog.exists(p)) throw new TableAlreadyExistsException(ident)
-    TxLog.createEmpty(p, schema)
+    TxLog.createEmpty(p, schema, partCols)
     new TxLogV2Table(p, None)
   }
 
@@ -196,6 +201,11 @@ class TxLogV2Table(val path: String, asOf: Option[Long])
     s"txlog.`$path`" + asOf.map(v => s" VERSION AS OF $v").getOrElse("")
 
   override def schema(): StructType = tableSchema
+
+  override def partitioning(): Array[Transform] =
+    TxLog.partitionSpec(path, snap.version).map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -499,18 +509,31 @@ class TxLogStagedWrite(spark: SparkSession, path: String,
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         inner.commit(messages)
+        val spec = TxLog.partitionSpec(path, TxLog.currentVersion(path))
         val adds =
           try {
-            val s = Files.list(stagingDir)
-            try s.iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet"))
-              .map { p =>
-                val name = s"part-${UUID.randomUUID()}.parquet"
-                val dest = Paths.get(path, name)
-                Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-                name -> TxLog.footerStats(dest)
-              }.toVector
-            finally s.close()
+            if (spec.isEmpty) {
+              val s = Files.list(stagingDir)
+              try s.iterator().asScala
+                .filter(_.getFileName.toString.endsWith(".parquet"))
+                .map { p =>
+                  val name = s"part-${UUID.randomUUID()}.parquet"
+                  val dest = Paths.get(path, name)
+                  Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+                  name -> TxLog.footerStats(dest)
+                }.toVector
+              finally s.close()
+            } else {
+              // PARTITIONED table: the DSv2 staging pass is
+              // partition-blind, so the committed staging files are
+              // re-staged through the spec-aware path (splits per
+              // partition tuple + records it on the add lines). One
+              // extra columnar pass over the batch — the library
+              // append writes partitioned directly; SQL DML volumes
+              // are change-sized, so the pass is change-sized too.
+              TxLog.stageFrame(spark, path,
+                spark.read.parquet(stagingDir.toString), spec)
+            }
           } finally cleanup(stagingDir)
         finish(adds)
         ()

@@ -116,9 +116,6 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
       outputMode: OutputMode): Sink = {
     require(outputMode == OutputMode.Append(),
       s"txlog sink supports Append output mode only, got $outputMode")
-    require(partitionColumns.isEmpty,
-      "txlog sink does not support partitionBy (layout is managed by " +
-      "TxLog.compact clustering)")
     val path = pathOf(parameters)
     // normalize the checkpoint path before hashing: a restart that
     // spells the SAME checkpoint differently (relative vs absolute,
@@ -139,7 +136,8 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
       .getOrElse(throw new IllegalArgumentException(
         "txlog sink needs a checkpointLocation (or an explicit " +
         "'writerId' option) to be exactly-once across restarts"))
-    new TxLogSink(sqlContext.sparkSession, path, writerId)
+    new TxLogSink(sqlContext.sparkSession, path, writerId,
+      partitionColumns)
   }
 }
 
@@ -149,11 +147,15 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
   * [[GraftBridge.asBatch]] re-exposes the same physical plan as a
   * batch frame (single execution). Pinned in TxLogStreamSpec.
   */
-class TxLogSink(spark: SparkSession, table: String, writerId: String)
+class TxLogSink(spark: SparkSession, table: String, writerId: String,
+                partitionBy: Seq[String] = Nil)
     extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // `.partitionBy(cols)` on the stream writer declares the table's
+    // (immutable) partition spec on first contact; thereafter the
+    // spec is read from the log, so it may also be omitted
     TxLog.appendOnce(spark, table, GraftBridge.asBatch(data),
-      writerId, batchId)
+      writerId, batchId, partitionBy)
     ()
   }
   override def toString: String = s"TxLogSink[$table]"
@@ -339,7 +341,8 @@ object TxLogRelation {
     * micros, unsigned UTF-8 byte order for strings.
     */
   private[graft] def admits(fs: Option[TxLog.FileStats], f: Filter): Boolean = {
-    def range(a: String): Option[TxLog.ColStats] = fs.flatMap(_.cols.get(a))
+    def range(a: String): Option[TxLog.ColStats] =
+      fs.flatMap(_.colRange(a)) // footer min/max, or the partition value
     // k ∈ [min, max] possible?
     def mayEqual(a: String, v: Any): Boolean =
       (range(a), TxLog.normKey(v)) match {

@@ -340,6 +340,117 @@ class TxLogSpec extends SparkSuite {
       snap.stats(cand.head).cols("k") == TxLog.ColStats("xray", "zulu"))
   }
 
+  // ---------------------------------------------------------------
+  // Round 12: partitioned tables (per-file partition tuples in the
+  // log — files stay flat and full-schema; the spec is immutable)
+  // ---------------------------------------------------------------
+
+  test("partitioned append: per-file tuples, auto-respect, immutable spec") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = Seq((1L, "en", "a"), (2L, "de", "b"), (3L, "en", "c"))
+      .toDF("id", "lang", "v")
+    TxLog.append(spark, t, df, Seq("lang"))
+    assert(TxLog.partitionSpec(t, TxLog.currentVersion(t)) == Seq("lang"))
+    val snap = TxLog.snapshot(t)
+    val tuples = snap.files.map(f => snap.stats(f).part)
+    assert(tuples.forall(_.keySet == Set("lang")),
+      s"every file must carry its partition tuple: $tuples")
+    assert(tuples.map(_("lang")).toSet == Set("en", "de"))
+    // a later append WITHOUT restating the spec still partitions
+    TxLog.append(spark, t, Seq((4L, "fr", "d")).toDF("id", "lang", "v"))
+    val s2 = TxLog.snapshot(t)
+    assert(s2.files.map(f => s2.stats(f).part("lang")).toSet ==
+      Set("en", "de", "fr"))
+    // the spec is immutable
+    intercept[IllegalArgumentException] {
+      TxLog.append(spark, t, df, Seq("v"))
+    }
+    // null partition values are rejected loudly
+    intercept[Exception] {
+      TxLog.append(spark, t,
+        Seq((9L, null.asInstanceOf[String], "x")).toDF("id", "lang", "v"))
+    }
+    // content survives the partitioned staging intact (incl. escaping:
+    // a value with space and '=' round-trips the hive dir encoding)
+    val t2 = freshTable()
+    TxLog.append(spark, t2,
+      Seq((1L, "en US=x", "a")).toDF("id", "lang", "v"), Seq("lang"))
+    val s3 = TxLog.snapshot(t2)
+    assert(s3.files.map(f => s3.stats(f).part("lang")).toSet == Set("en US=x"))
+    assert(TxLog.read(spark, t2).select("lang").as[String].collect().toSeq
+      == Seq("en US=x"))
+  }
+
+  test("partition pruning works without footer stats and skips unread files") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark, t,
+      Seq((1L, "en", "a"), (2L, "de", "b")).toDF("id", "lang", "v"),
+      Seq("lang"))
+    // partition-value pruning: only the en file is a candidate
+    val snap = TxLog.snapshot(t)
+    val cand = TxLog.pruneCandidates(snap, "lang", "en", "en",
+      Some(Seq("en")))
+    assert(cand.size == 1 && snap.stats(cand.head).part("lang") == "en")
+    // the prune holds from the PART TUPLE ALONE (no footer stats):
+    // hand-commit a stats-less add line carrying only a tuple
+    TxLog.commit(t, "append", snap.version,
+      Seq("ghost.parquet" ->
+        Some(TxLog.FileStats(1L, Map.empty, Map("lang" -> "zz")))), Nil)
+    val s2 = TxLog.snapshot(t)
+    val cand2 = TxLog.pruneCandidates(s2, "lang", "en", "en",
+      Some(Seq("en")))
+    assert(cand2.size == 1,
+      "a part-only (statless) file of another partition must be pruned")
+    // and a pruned file is never OPENED: delete the de file's bytes,
+    // then filter to en through the facade — the read must succeed
+    val deFile = s2.files.find(f =>
+      s2.stats(f).part.get("lang").contains("de")).get
+    Files.delete(Paths.get(deFile))
+    // (ghost.parquet never existed on disk at all — surviving the
+    // filtered read below proves BOTH pruned files stay unopened)
+    val got = spark.read.format("txlog").option("path", t).load()
+      .where($"lang" === "en").select($"id").as[Long].collect().toSeq
+    assert(got == Seq(1L),
+      "partition pruning must keep other partitions unopened")
+  }
+
+  test("per-partition compaction keeps tuples; date/int specs round-trip") {
+    import spark.implicits._
+    val t = freshTable()
+    (1 to 3).foreach { i =>
+      TxLog.append(spark, t,
+        Seq((i.toLong, "en", s"e$i"), (i + 10L, "de", s"d$i"))
+          .toDF("id", "lang", "v"), Seq("lang"))
+    }
+    assert(TxLog.snapshot(t).files.size >= 6)
+    TxLog.compact(spark, t, targetFiles = 1)
+    val s2 = TxLog.snapshot(t)
+    assert(s2.files.size == 2,
+      s"compaction of a 2-partition table must leave one file per " +
+      s"partition, got ${s2.files.size}")
+    assert(s2.files.map(f => s2.stats(f).part("lang")).toSet ==
+      Set("en", "de"))
+    assert(TxLog.read(spark, t).count() == 6)
+    // date + int partition columns land in the stats domain exactly
+    val t2 = freshTable()
+    val d = java.sql.Date.valueOf("2024-03-01")
+    TxLog.append(spark, t2,
+      Seq((1L, d, 7, "x")).toDF("id", "dt", "bucket", "v"),
+      Seq("dt", "bucket"))
+    val s3 = TxLog.snapshot(t2)
+    val tup = s3.stats(s3.files.head).part
+    assert(tup("dt") == d.toLocalDate.toEpochDay,
+      s"date partition values are epoch days in the stats domain: $tup")
+    assert(tup("bucket") == 7L)
+    // …and prune like stats: equality on the date column
+    val cand = TxLog.pruneCandidates(s3, "dt",
+      d.toLocalDate.toEpochDay, d.toLocalDate.toEpochDay,
+      Some(Seq(d.toLocalDate.toEpochDay)))
+    assert(cand.size == 1)
+  }
+
   test("_last_checkpoint pointer: O(1) discovery, verified hint, listing fallback") {
     import spark.implicits._
     val t = freshTable()

@@ -206,6 +206,51 @@ class TxLogSqlSpec extends SparkSuite {
     } finally spark.conf.set(thrKey, saved)
   }
 
+  test("PARTITIONED BY: DSv2 create, partition + stats double pruning") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE txsql.$t (id BIGINT, lang STRING, v STRING) " +
+      s"PARTITIONED BY (lang)")
+    assert(TxLog.partitionSpec(s"$wh/$t", 1L) == Seq("lang"))
+    spark.sql(s"INSERT INTO txsql.$t VALUES " +
+      s"(1, 'en', 'a'), (2, 'en', 'b'), (11, 'de', 'c'), (12, 'de', 'd')")
+    val snap = TxLog.snapshot(s"$wh/$t")
+    assert(snap.files.map(f => snap.stats(f).part("lang")).toSet ==
+      Set("en", "de"), "the SQL insert must land per-partition files")
+    // DOUBLE pruning (the q_part_layout shape over a txlog table):
+    // the lang predicate prunes by PARTITION VALUE, the id predicate
+    // by FOOTER STATS — delete everything either should skip and the
+    // read must still succeed
+    val keep = snap.files.filter { f =>
+      val st = snap.stats(f)
+      val r = st.cols("id")
+      st.part("lang") == "en" &&
+        r.min.asInstanceOf[Long] <= 1L && 1L <= r.max.asInstanceOf[Long]
+    }
+    snap.files.filterNot(keep.contains)
+      .foreach(f => Files.delete(java.nio.file.Paths.get(f)))
+    assert(keep.nonEmpty && keep.size < snap.files.size,
+      s"fixture must actually exercise pruning: kept ${keep.size} of " +
+      s"${snap.files.size}")
+    val got = spark.sql(
+      s"SELECT v FROM txsql.$t WHERE lang = 'en' AND id = 1")
+      .as[String].collect().toSeq
+    assert(got == Seq("a"),
+      "partition + stats double pruning must leave the skipped files unopened")
+    // row-level ops respect partition pruning too: DELETE in one
+    // partition must not touch (deleted!) files of the other
+    val t2 = freshName()
+    spark.sql(s"CREATE TABLE txsql.$t2 (id BIGINT, lang STRING) " +
+      s"PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO txsql.$t2 VALUES (1, 'en'), (2, 'de')")
+    val s2 = TxLog.snapshot(s"$wh/$t2")
+    val deFile = s2.files.find(f =>
+      s2.stats(f).part("lang") == "de").get
+    Files.delete(java.nio.file.Paths.get(deFile))
+    spark.sql(s"DELETE FROM txsql.$t2 WHERE lang = 'en'")
+    assert(spark.sql(s"SELECT count(*) FROM txsql.$t2 WHERE lang = 'en'")
+      .head().getLong(0) == 0L)
+  }
+
   test("file skipping on the DSv2 read path: pruned file is never opened") {
     val t = freshName()
     spark.sql(s"CREATE TABLE txsql.$t (id BIGINT, v STRING)")

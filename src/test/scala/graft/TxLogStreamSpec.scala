@@ -225,6 +225,32 @@ class TxLogStreamSpec extends SparkSuite {
       "writer identity (replay deduped)")
   }
 
+  test("partitioned streaming sink: partitionBy declares the spec, files are tagged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("graft_txsink_part").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF.toDF("id", "lang").writeStream.format("txlog")
+      .partitionBy("lang")
+      .option("path", t).option("checkpointLocation", ckpt).start()
+    mem.addData((1L, "en"), (2L, "de"), (3L, "en"))
+    q.processAllAvailable(); q.stop()
+    assert(TxLog.partitionSpec(t, TxLog.currentVersion(t)) == Seq("lang"),
+      "the stream writer's partitionBy must declare the table spec")
+    val snap = TxLog.snapshot(t)
+    assert(snap.files.map(f => snap.stats(f).part("lang")).toSet ==
+      Set("en", "de"), "each micro-batch file carries its tuple")
+    assert(TxLog.read(spark, t).count() == 3)
+    // a later batch without partitionBy (e.g. a differently-spelled
+    // restart) still partitions — the spec is read from the log
+    TxLog.appendOnce(spark, t,
+      Seq(4L -> "fr").toDF("id", "lang"), "other-writer", 0L)
+    val s2 = TxLog.snapshot(t)
+    assert(s2.files.map(f => s2.stats(f).part.get("lang")).flatten.toSet ==
+      Set("en", "de", "fr"))
+  }
+
   test("vacuum outrunning a lagging reader fails loudly, naming the cause") {
     val t = freshTable()
     val ckpt = Files.createTempDirectory("graft_txvac_ckpt").toString
