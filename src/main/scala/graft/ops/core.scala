@@ -75,10 +75,40 @@ object core {
     }
   }
 
+  /** When set (round-12 facade sweep), every fixture table is served
+    * THROUGH the txlog lakehouse read path instead of raw parquet:
+    * `SPARK_GRAFT_TXLOG_MIRROR` names a root of txlog tables mirrored
+    * from the fixture dir (graft.TxLogMirror writes them). The whole
+    * t2 contract then runs over snapshot-pinned, stats-skipping txlog
+    * scans — proving the lakehouse layer serves the entire operator
+    * surface, not just the storage keys. Unset (every normal run),
+    * the body below is byte-for-byte the old behavior.
+    */
+  private val txlogMirror: Option[String] =
+    sys.env.get("SPARK_GRAFT_TXLOG_MIRROR")
+
   /** Load one fixture table from the scale-factor directory. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    txlogMirror match {
+      case None =>
+        if (name == "events") events(spark, dir)
+        else spark.read.parquet(s"$dir/$name.parquet")
+      case Some(root) =>
+        val df = spark.read.format("txlog")
+          .option("path", s"$root/$name").load()
+        // events mirrors keep whatever this environment's parquet
+        // nanos inference produced (the r6 lesson: it CHANGES between
+        // rounds) — dispatch on the served type exactly like
+        // [[events]] does: LONG → rebuild micros; NTZ → cast in the
+        // UTC session (both value-exact on the fixtures)
+        if (name == "events") df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            df.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => df
+        } else df
+    }
 
   private val countMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()

@@ -18,6 +18,7 @@ case "$MODE" in
   verify) MAIN=graft.Verify ;;
   smoke)  MAIN=graft.EntrySmoke ;;
   streambench) MAIN=graft.StreamBench ;;
+  mirror) MAIN=graft.TxLogMirror ;;
   *) echo "unknown mode $MODE" >&2; exit 2 ;;
 esac
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
