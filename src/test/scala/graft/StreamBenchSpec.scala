@@ -70,6 +70,23 @@ class StreamBenchSpec extends SparkSuite {
     }
   }
 
+  test("session windows match batch and hold >= 20k events/s") {
+    warm
+    floored(20000, "session window") {
+      StreamBench.benchSessionWindow(bench, events, 100000)
+    }
+  }
+
+  test("streaming dedup keeps the dedup contract and holds >= 30k events/s") {
+    warm
+    // matchesBatch here is the dedup CONTRACT (one emission per key,
+    // key set equality, emitted row ∈ its input group) — bitwise rows
+    // are partition-race nondeterministic under a parallel feed
+    floored(30000, "streaming dedup") {
+      StreamBench.benchStreamingDedup(bench, events, 100000)
+    }
+  }
+
   test("transformWithState running count matches batch and holds >= 50k events/s") {
     warm
     floored(50000, "stateful count") {
