@@ -249,6 +249,19 @@ class TxLogSqlSpec extends SparkSuite {
     spark.sql(s"DELETE FROM txsql.$t2 WHERE lang = 'en'")
     assert(spark.sql(s"SELECT count(*) FROM txsql.$t2 WHERE lang = 'en'")
       .head().getLong(0) == 0L)
+    // …and a row-level REWRITE keeps the tuples: the replace write
+    // re-stages through the spec-aware path, so the rewritten file
+    // still carries its partition value (prunable forever after)
+    val t3 = freshName()
+    spark.sql(s"CREATE TABLE txsql.$t3 (id BIGINT, lang STRING) " +
+      s"PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO txsql.$t3 VALUES (1, 'en'), (2, 'en'), (3, 'de')")
+    spark.sql(s"UPDATE txsql.$t3 SET id = 99 WHERE id = 1")
+    val s3 = TxLog.snapshot(s"$wh/$t3")
+    assert(s3.files.forall(f => s3.stats(f).part.get("lang").nonEmpty),
+      "every post-UPDATE file must still carry its partition tuple")
+    assert(spark.sql(s"SELECT sum(id) FROM txsql.$t3 WHERE lang = 'en'")
+      .head().getLong(0) == 101L)
   }
 
   test("file skipping on the DSv2 read path: pruned file is never opened") {
