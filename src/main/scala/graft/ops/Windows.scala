@@ -189,15 +189,29 @@ object Windows {
     */
   def qWinRangeframe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"o_orderstatus", $"o_month")
+    // O(n·frame) → O(n) (round 12): Spark evaluates a TWO-SIDED
+    // sliding RANGE frame by re-aggregating the whole in-frame buffer
+    // for every row (no aggregate retraction), which the 100x gate
+    // measured at 2357 s — dense prices put thousands of rows inside
+    // ±$1000, so the cost is quadratic in value density. The same
+    // frame as the difference of two UNBOUNDED-PRECEDING cumulative
+    // frames is incremental (one add per row, O(n) per partition) and
+    // EXACT in integer cents: Σ[v−C, v+C] = Σ(≤ v+C) − Σ(≤ v−C−1).
+    // Identical values, one Window node (same partition+order), same
+    // single sort — only the frame evaluation strategy changes.
+    val base = Window.partitionBy($"o_orderstatus", $"o_month")
       .orderBy($"total_c")
-      .rangeBetween(-100000L, 100000L)
+    val hi = base.rangeBetween(Window.unboundedPreceding, 100000L)
+    val lo = base.rangeBetween(Window.unboundedPreceding, -100001L)
     t(s, dir, "orders")
       .select($"o_orderkey", $"o_orderstatus",
         date_format($"o_orderdate", "yyyy-MM").as("o_month"),
         cents($"o_totalprice").as("total_c"))
-      .withColumn("sum_near_c", sum($"total_c").over(w))
-      .withColumn("n_near", count(lit(1)).over(w))
+      .withColumn("sum_near_c",
+        sum($"total_c").over(hi) -
+          coalesce(sum($"total_c").over(lo), lit(0L)))
+      .withColumn("n_near",
+        count(lit(1)).over(hi) - count(lit(1)).over(lo))
       .orderBy($"o_orderkey")
   }
 
