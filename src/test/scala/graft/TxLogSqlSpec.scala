@@ -123,6 +123,24 @@ class TxLogSqlSpec extends SparkSuite {
     assert(rows(t) == Set(1L -> "a", 3L -> "c"))
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE (full sync semantics)") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE txsql.$t (id BIGINT, v STRING)")
+    TxLog.append(spark, s"$wh/$t",
+      Seq(1L -> "keep", 2L -> "update", 3L -> "drop").toDF("id", "v"))
+    Seq(1L -> "keep", 2L -> "UPDATED", 9L -> "insert")
+      .toDF("id", "v").createOrReplaceTempView("sync_src")
+    // the full source-sync shape: matched rows update, unmatched
+    // source rows insert, target rows ABSENT from the source delete
+    spark.sql(
+      s"""MERGE INTO txsql.$t t USING sync_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(rows(t) == Set(1L -> "keep", 2L -> "UPDATED", 9L -> "insert"),
+      "MERGE must mirror the source exactly (update/insert/delete)")
+  }
+
   test("VERSION AS OF and TIMESTAMP AS OF time-travel reads") {
     val t = freshName()
     spark.sql(s"CREATE TABLE txsql.$t (id BIGINT, v STRING)")
