@@ -199,6 +199,15 @@ object TxLogProbe {
           times.sorted.apply(n / 2)
         }
         val ptrMs = med(21)(TxLog.currentVersion(dir))
+        // commit 10 000 is ON every cadence boundary, so the pointer
+        // walk above is zero-length; land cadence/2 more commits so
+        // the O(commits-since-checkpoint) term is actually visible
+        val tail = math.max(1, cadence / 2)
+        (1 to tail).foreach { i =>
+          TxLog.commit(dir, "append", commits + i - 1L,
+            Seq(f"g$i%05d.parquet" -> None), Nil)
+        }
+        val ptrTailMs = med(21)(TxLog.currentVersion(dir))
         val ptr = java.nio.file.Paths.get(dir, "_graft_log",
           "_last_checkpoint")
         val saved = java.nio.file.Files.readAllBytes(ptr)
@@ -211,7 +220,8 @@ object TxLogProbe {
         println(f"[txprobe] meta-scale cadence=$cadence%d: $commits%d " +
           f"metadata commits in $commitSec%.1f s " +
           f"(${commits / commitSec}%.0f commits/s); getOffset-path " +
-          f"currentVersion $ptrMs%.2f ms with _last_checkpoint vs " +
+          f"currentVersion $ptrMs%.2f ms at the checkpoint boundary / " +
+          f"$ptrTailMs%.2f ms with a $tail%d-commit tail vs " +
           f"$listMs%.2f ms listing fallback; snapshot(v=${snap.version}%d," +
           f" ${snap.files.size}%d files) $snapMs%.0f ms")
       } finally sys.props.remove("graft.txlog.checkpointEvery")
