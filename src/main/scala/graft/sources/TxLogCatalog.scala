@@ -60,10 +60,37 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[TxLog.commit]], so SQL and library writers share one concurrency
   * protocol and one log.
   */
-class TxLogCatalog extends TableCatalog {
+class TxLogCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = "txlog"
   private var warehouse: Option[String] = None
+
+  /** Maintenance procedures under `CALL <cat>.system.…` — compact,
+    * vacuum, restore, history, sync (see [[TxLogProcedures]]). Table
+    * arguments resolve exactly like table identifiers (warehouse-
+    * relative `'ns.t'` or absolute `'/path'`).
+    */
+  private lazy val procedures = TxLogProcedures.all(parts =>
+    tablePath(Identifier.of(parts.init.toArray, parts.last)))
+
+  override def loadProcedure(
+      ident: Identifier): org.apache.spark.sql.connector.catalog
+        .procedures.UnboundProcedure = {
+    val known = ident.namespace.sameElements(Array("system")) &&
+      procedures.contains(ident.name)
+    if (!known) throw new RuntimeException(
+      s"[PROCEDURE_NOT_FOUND] $catalogName has no procedure $ident; " +
+      s"available: ${procedures.keys.toSeq.sorted
+        .map(n => s"$catalogName.system.$n").mkString(", ")}")
+    procedures(ident.name)
+  }
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      procedures.keys.toSeq.sorted
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {

@@ -56,8 +56,17 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =
-    new TxLogRelation(sqlContext, pathOf(parameters),
-      parameters.get("versionAsOf").map(_.toLong))
+    if (parameters.get("readChangeFeed").exists(_.toBoolean))
+      // spark.read.format("txlog").option("readChangeFeed", "true")
+      //   .option("startingVersion", "2")[.option("endingVersion", "5")]
+      //   [.option("changeKey", "id")] — the Delta CDF read spelling
+      new TxLogChangeFeedRelation(sqlContext, pathOf(parameters),
+        parameters.getOrElse("startingVersion", "0").toLong,
+        parameters.get("endingVersion").map(_.toLong),
+        parameters.get("changeKey"))
+    else
+      new TxLogRelation(sqlContext, pathOf(parameters),
+        parameters.get("versionAsOf").map(_.toLong))
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
@@ -88,7 +97,15 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
     val st = schema
       .orElse(TxLog.tableSchema(path, TxLog.currentVersion(path)))
       .getOrElse(TxLog.read(sqlContext.sparkSession, path).schema)
-    (shortName(), st)
+    val out =
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        StructType(st.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      else st
+    (shortName(), out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -98,7 +115,11 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
     val st = sourceSchema(sqlContext, schema, providerName, parameters)._2
     val starting =
       parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
-    new TxLogStreamSource(sqlContext.sparkSession, path, st, starting)
+    if (parameters.get("readChangeFeed").exists(_.toBoolean))
+      new TxLogCdcStreamSource(sqlContext.sparkSession, path, st,
+        starting, parameters.get("changeKey"))
+    else
+      new TxLogStreamSource(sqlContext.sparkSession, path, st, starting)
   }
 
   /** `writeStream.format("txlog")` — the native EXACTLY-ONCE sink:
@@ -246,6 +267,61 @@ class TxLogStreamSource(spark: SparkSession, table: String,
   override def toString: String = s"TxLogStreamSource[$table]"
 }
 
+/** The CDC-MODE streaming source —
+  *
+  * {{{
+  * spark.readStream.format("txlog").option("path", t)
+  *   .option("readChangeFeed", "true")[.option("changeKey", "id")]
+  * }}}
+  *
+  * streams ROW-LEVEL CHANGES instead of table rows: each micro-batch
+  * is [[TxLog.readChangeFeed]] over its version range, so UPSERT /
+  * DELETE / OVERWRITE / RESTORE commits — which the plain source
+  * correctly REFUSES (it promises table rows as pure appends) — flow
+  * as `insert`/`delete`/`update_pre/postimage` rows with their commit
+  * version. This is how a downstream table FOLLOWS an upstream one
+  * through rewrites (the Delta CDF streaming idea): merge the change
+  * rows instead of re-reading the table.
+  *
+  * Offsets are versions (same replay contract as the plain source);
+  * the change frame is a multi-relation diff plan, so it enters the
+  * stream as ONE lazy batch-computed leaf ([[GraftBridge.asStream]] —
+  * tagging its internal relations would make the diff a stream-stream
+  * join). Pre-images gone to vacuum fail loudly at planning, naming
+  * the cause, exactly like the batch feed. Pinned in TxLogStreamSpec.
+  */
+class TxLogCdcStreamSource(spark: SparkSession, table: String,
+    override val schema: StructType, startingVersion: Long,
+    changeKey: Option[String]) extends Source {
+
+  private def toVersion(o: V1Offset): Long = o match {
+    case LongOffset(v)          => v
+    case SerializedOffset(json) => json.trim.toLong
+    case other                  => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[V1Offset] = {
+    val v = TxLog.currentVersion(table)
+    if (v > startingVersion) Some(LongOffset(v)) else None
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(toVersion).getOrElse(startingVersion)
+    val feed = TxLog.readChangeFeed(spark, table, from,
+      Some(toVersion(end)), changeKey)
+    // align to the schema pinned at source creation (mid-stream
+    // additive evolution: new columns read as null until restart,
+    // like the plain source)
+    val aligned = TxLogRelation.alignTo(feed, schema)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    GraftBridge.asStream(aligned)
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"TxLogCdcStreamSource[$table]"
+}
+
 /** CATALOG-TABLE STALENESS (round-11 ADVICE note): this relation pins
   * its snapshot (and schema) at creation, and Spark's SessionCatalog
   * caches resolved DSv1 relations for catalog tables — after
@@ -314,6 +390,25 @@ class TxLogRelation(override val sqlContext: SQLContext, path: String,
   // can never change results — the DSv1 safety convention
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters
+}
+
+/** The change-data-feed read through the DSv1 facade: a TableScan
+  * over [[TxLog.readChangeFeed]]'s frame (table schema +
+  * `_change_type`, `_commit_version`). Change feeds are change-sized
+  * by construction (rewrite commits diff only their touched files),
+  * so the DSv1 Row boundary is fine here; plan-critical consumers
+  * call [[TxLog.readChangeFeed]] directly, same rule as the batch
+  * relation.
+  */
+class TxLogChangeFeedRelation(override val sqlContext: SQLContext,
+    path: String, fromVersion: Long, toVersion: Option[Long],
+    changeKey: Option[String]) extends BaseRelation with TableScan {
+
+  private val frame = TxLog.readChangeFeed(sqlContext.sparkSession,
+    path, fromVersion, toVersion, changeKey)
+
+  override val schema: StructType = frame.schema
+  override def buildScan(): RDD[Row] = frame.rdd
 }
 
 object TxLogRelation {

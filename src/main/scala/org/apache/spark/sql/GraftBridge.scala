@@ -102,4 +102,21 @@ object GraftBridge {
     cs.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
+
+  /** Expose a COMPUTED batch frame as one streaming-tagged leaf — for
+    * a DSv1 `Source.getBatch` whose rows are derived by a multi-
+    * relation plan (joins/exceptAll over several file sets, e.g. the
+    * txlog change feed). [[tagStreaming]] would tag every leaf
+    * relation and turn the plan's own joins into stream-stream joins
+    * (wrong semantics, watermark demands); wrapping the WHOLE plan as
+    * one lazy RDD leaf keeps it a batch computation that merely FEEDS
+    * the stream. The inner plan loses whole-plan visibility to the
+    * streaming planner (fine for change-sized batches); nothing
+    * executes until the micro-batch runs.
+    */
+  def asStream(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

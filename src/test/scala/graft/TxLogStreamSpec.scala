@@ -303,4 +303,47 @@ class TxLogStreamSpec extends SparkSuite {
       Set((1L, "old", None), (2L, "new", Some(7L))),
       "pre-evolution files must read the new column as null")
   }
+
+  test("CDC mode: rewrite commits stream as row-level change batches") {
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("graft_txcdc_ckpt").toString
+    TxLog.append(spark, t, mk(1L -> "a", 2L -> "b"))
+
+    val seen = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    def start() = spark.readStream.format("txlog").option("path", t)
+      .option("readChangeFeed", "true").option("changeKey", "id").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.select("id", "v", "_change_type", "_commit_version")
+          .collect().map(r => (r.getLong(0), r.getString(1),
+            r.getString(2), r.getLong(3)))
+        seen.synchronized { seen ++= rows }; ()
+      }.start()
+
+    val q = start()
+    q.processAllAvailable()
+    assert(seen.synchronized(seen.toSet) == Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L)),
+      "the backlog streams as insert change rows")
+
+    // an UPSERT — which fails the plain source loudly — flows as a
+    // keyed update pair in CDC mode; that is the mode's reason to exist
+    TxLog.upsert(spark, t, mk(2L -> "B"), "id")
+    q.processAllAvailable()
+    assert(seen.synchronized(seen.toSet) == Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (2L, "b", "update_preimage", 2L), (2L, "B", "update_postimage", 2L)))
+    q.stop()
+
+    // restart replays nothing (exactly-once on the version offsets);
+    // a DELETE while down arrives as one delete change row
+    TxLog.delete(spark, t, Seq(Tuple1(1L)).toDF("id"), "id")
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val all = seen.synchronized(seen.toVector)
+    assert(all.size == all.toSet.size,
+      s"no change row may be emitted twice across the restart: $all")
+    assert(all.toSet.contains((1L, "a", "delete", 3L)))
+  }
 }
