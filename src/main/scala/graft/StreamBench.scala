@@ -642,6 +642,87 @@ object StreamBench {
     }
   }
 
+  final case class CdcResult(changeRows: Long, srcCommits: Long,
+                             batches: Long, wallSec: Double, exact: Boolean) {
+    def rowsPerSec: Double = changeRows / wallSec
+  }
+
+  /** CDC REPLICATION loop (round-12): a source txlog table takes a
+    * timed mix of APPEND / UPSERT / DELETE commits while a CDC-mode
+    * stream (`readChangeFeed`) applies each change batch to a replica
+    * via [[graft.sources.TxLog.applyChanges]] (net-per-key +
+    * one atomic merge). The rate is CHANGE ROWS per second THROUGH
+    * THE WHOLE LOOP — feed, diff-based feed computation, netting,
+    * locate-and-rewrite apply — and the row is only published if the
+    * replica is exactly the source at drain (the exactness gate every
+    * STREAMBENCH row carries). This is the merge-loop baseline's
+    * streaming twin: bottleneck is replica rewrite bandwidth, as it
+    * should be.
+    */
+  def benchCdcReplicate(spark: SparkSession, n: Int,
+                        chunk: Int): CdcResult = {
+    import spark.implicits._
+    import graft.sources.TxLog
+    def dir(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft_sbench_$tag").toAbsolutePath
+    val src = dir("cdcsrc"); val rep = dir("cdcrep"); val ck = dir("cdcck")
+    try {
+      def mk(lo: Long, hi: Long, tag: Long) =
+        spark.range(lo, hi).select(col("id"),
+          (col("id") * 2 + tag).as("v"))
+      // bootstrap commit outside the timed window (schema inference)
+      TxLog.append(spark, src.toString, mk(0, chunk.toLong, 0))
+      // exact fed-row accounting in the batch hook (numInputRows for a
+      // computed-leaf DSv1 source is an engine-side estimate)
+      val fed = new java.util.concurrent.atomic.AtomicLong
+      val nonEmpty = new java.util.concurrent.atomic.AtomicLong
+      val q = spark.readStream.format("txlog").option("path", src.toString)
+        .option("readChangeFeed", "true").option("changeKey", "id").load()
+        .writeStream.option("checkpointLocation", ck.toString)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val b = df.persist()
+          try {
+            val rows = b.count()
+            if (rows > 0) {
+              fed.addAndGet(rows); nonEmpty.incrementAndGet()
+              TxLog.applyChanges(spark, rep.toString, b, "id")
+            }
+          } finally b.unpersist()
+          ()
+        }.start()
+      val rounds = math.max(1, n / chunk / 3)
+      try {
+        q.processAllAvailable() // replica bootstrapped, untimed
+        val preRows = fed.get(); val preBatches = nonEmpty.get()
+        val t0 = System.nanoTime()
+        (0 until rounds).foreach { r =>
+          val base = (r + 1).toLong * chunk
+          TxLog.append(spark, src.toString, mk(base, base + chunk, 0))
+          TxLog.upsert(spark, src.toString,
+            mk(base, base + chunk / 2, 1), "id")
+          TxLog.delete(spark, src.toString,
+            spark.range(base + chunk / 2, base + chunk / 2 + chunk / 10)
+              .toDF("id"), "id")
+        }
+        q.processAllAvailable()
+        val wallSec = (System.nanoTime() - t0) / 1e9
+        val changeRows = fed.get() - preRows
+        val batches = nonEmpty.get() - preBatches
+        val srcDf = TxLog.read(spark, src.toString)
+        val repDf = TxLog.read(spark, rep.toString)
+        val exact = repDf.exceptAll(srcDf).isEmpty &&
+          srcDf.exceptAll(repDf).isEmpty
+        CdcResult(changeRows, 3L * rounds, batches, wallSec, exact)
+      } finally q.stop()
+    } finally Seq(src, rep, ck).foreach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   // ------------------------------------------------------------ harness
 
   val pipelines: Seq[(String, (SparkSession, IndexedSeq[SEv], Int) => PipeResult)] =
@@ -710,6 +791,18 @@ object StreamBench {
       f"${td10.srcCommits} commits in ${td10.wallSec}%.2f s = " +
       f"${td10.rowsPerSec}%.0f rows/s (${td10.batches} micro-batches, " +
       f"exact=${td10.exact})")
+    // CDC replication loop (round-12): change-rows/s through
+    // readChangeFeed -> foreachBatch applyChanges, exactness enforced
+    benchCdcReplicate(spark, 6000, 2000) // warm the CDC + merge path
+    val cdcN = sys.env.getOrElse("STREAM_BENCH_CDC_EVENTS",
+      (n / 10).toString).toInt
+    val cdc = benchCdcReplicate(spark, cdcN, math.max(1000, chunk / 10))
+    require(cdc.exact, "CDC replica diverged from the source frame — " +
+      "refusing to publish a throughput row for an inexact pipeline")
+    System.err.println(f"[streambench] cdc_replicate  ${cdc.changeRows} " +
+      f"change rows / ${cdc.srcCommits} commits in ${cdc.wallSec}%.2f s = " +
+      f"${cdc.rowsPerSec}%.0f rows/s (${cdc.batches} micro-batches, " +
+      f"exact=${cdc.exact})")
     val body = results.map { case (name, r) =>
       f""""$name":{"rows":${r.rows},"batches":${r.batches},""" +
         f""""wall_sec":${r.wallSec}%.3f,"rows_per_sec":${r.rowsPerSec}%.0f,""" +
@@ -739,7 +832,11 @@ object StreamBench {
       f""""txlog_drain_10x":{"rows":${td10.rows},"fed_rows":${td10.fedRows},""" +
         f""""src_commits":${td10.srcCommits},""" +
         f""""batches":${td10.batches},"wall_sec":${td10.wallSec}%.3f,""" +
-        f""""rows_per_sec":${td10.rowsPerSec}%.0f,"exact":${td10.exact}}"""
+        f""""rows_per_sec":${td10.rowsPerSec}%.0f,"exact":${td10.exact}},""" +
+      f""""cdc_replicate":{"change_rows":${cdc.changeRows},""" +
+        f""""src_commits":${cdc.srcCommits},"batches":${cdc.batches},""" +
+        f""""wall_sec":${cdc.wallSec}%.3f,""" +
+        f""""rows_per_sec":${cdc.rowsPerSec}%.0f,"exact":${cdc.exact}}"""
     val json = s"""{"metric":"stream_events_total_sec","value":""" +
       f"${results.map(_._2.wallSec).sum}%.3f," +
       s""""unit":"sec","events":$n,"chunk":$chunk,"cpus":$cpus,""" +

@@ -19,6 +19,7 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods.{compact => jsonCompact, parse, render}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
@@ -1059,7 +1060,10 @@ object TxLog {
         case other =>
           throw new IllegalStateException(
             s"version $v is a '$other' rewrite — not incrementally " +
-            s"consumable as appends (the streaming-source rule)")
+            s"consumable as appends (the streaming-source rule); to " +
+            s"follow a table THROUGH rewrites, read row-level changes " +
+            s"instead: readChangeFeed / option(\"readChangeFeed\", " +
+            s"\"true\")")
       }
     }
     out.result()
@@ -1185,6 +1189,52 @@ object TxLog {
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         cdfSchema)
     else perVersion.reduce(_.unionByName(_))
+  }
+
+  /** APPLY a change-feed batch to a replica: net out `changes` (rows
+    * shaped like [[readChangeFeed]] output) to the LATEST state per
+    * `key` and [[merge]] it in one commit — the consumer half of
+    * table-follows-table replication:
+    *
+    * {{{
+    * spark.readStream.format("txlog").option("path", src)
+    *   .option("readChangeFeed", "true").option("changeKey", "id")
+    *   .load()
+    *   .writeStream.option("checkpointLocation", ck)
+    *   .foreachBatch((df, _) =>
+    *     TxLog.applyChanges(spark, replica, df, "id"))
+    * }}}
+    *
+    * Netting: highest `_commit_version` wins per key; within one
+    * version an update's postimage beats its preimage. The final
+    * state is `delete` → delete the key, `insert`/`update_postimage`
+    * → upsert the row. Re-applying a batch is content-idempotent
+    * ([[merge]]), so a foreachBatch replay after a restart converges
+    * to the same replica — the standard idempotent-merge CDC apply.
+    */
+  def applyChanges(s: SparkSession, table: String, changes: DataFrame,
+                   key: String): Long = {
+    Seq("_change_type", "_commit_version", key).foreach(c =>
+      require(changes.columns.contains(c),
+        s"applyChanges needs a '$c' column (readChangeFeed output shape)"))
+    // within one version: a surviving value (insert/postimage) beats
+    // delete — an UNKEYED feed encodes an update as delete+insert at
+    // the same version, and the net state is the inserted value;
+    // preimage ranks last (its postimage twin is always present)
+    val w = Window.partitionBy(col(key)).orderBy(
+      col("_commit_version").desc,
+      when(col("_change_type").isin("insert", "update_postimage"), 0)
+        .when(col("_change_type") === "delete", 1).otherwise(2))
+    val latest = changes.withColumn("__graft_rn", row_number().over(w))
+      .where(col("__graft_rn") === 1).drop("__graft_rn").persist()
+    try {
+      val ups = latest
+        .where(col("_change_type").isin("insert", "update_postimage"))
+        .drop("_change_type", "_commit_version")
+      val dels = latest.where(col("_change_type") === "delete")
+        .select(col(key))
+      merge(s, table, ups, dels, key)
+    } finally latest.unpersist()
   }
 
   /** One EXACTLY-ONCE incremental sync micro-batch from `src` to
@@ -1431,6 +1481,49 @@ object TxLog {
       commit(table, "delete", snap.version, adds,
         touchedFiles.map(relative(table, _)))
     } finally k.unpersist()
+  }
+
+  /** ATOMIC mixed MERGE: upsert `upserts` (by `key`) AND delete the
+    * `deleteKeys` rows in ONE commit — the library twin of a full SQL
+    * `MERGE … WHEN MATCHED UPDATE / NOT MATCHED INSERT / MATCHED
+    * DELETE`, and the primitive a CDC APPLY needs (a change batch
+    * mixes updates and deletes; applying them as separate upsert +
+    * delete commits would expose an intermediate state with the
+    * deletes missing). Same locate-then-rewrite scale shape as
+    * [[upsert]]/[[delete]], over the UNION of both key sets: touched
+    * files = files that may contain any affected key, survivors =
+    * their rows minus all affected keys, one staged rewrite, one
+    * optimistic-concurrency commit (op "upsert" — rewrite-class for
+    * conflict and CDC classification). Content-idempotent: re-applying
+    * the same merge yields an identical table.
+    */
+  def merge(s: SparkSession, table: String, upserts: DataFrame,
+            deleteKeys: DataFrame, key: String): Long = {
+    val snap = snapshot(table)
+    val merged = mergedWriteSchema(table, snap.version, upserts.schema,
+      "upsert")
+    val spec = partitionSpec(table, snap.version)
+    if (snap.files.isEmpty) {
+      if (upserts.isEmpty) return snap.version
+      val adds = stage(s, table, upserts, spec)
+      return commit(table, "upsert", snap.version, adds, Nil,
+        Some(merged.json))
+    }
+    val u = upserts.persist()
+    val affected = u.select(col(key))
+      .unionByName(deleteKeys.select(col(key))).persist()
+    try {
+      val (_, touchedFiles) = locateTouched(s, snap, affected, key)
+      if (touchedFiles.isEmpty && u.isEmpty) return snap.version
+      val survivors =
+        if (touchedFiles.isEmpty) u.limit(0)
+        else readSnapshot(s, Snapshot(snap.version, touchedFiles))
+          .join(affected, Seq(key), "left_anti")
+      val rewritten = survivors.unionByName(u, allowMissingColumns = true)
+      val adds = stage(s, table, rewritten, spec)
+      commit(table, "upsert", snap.version, adds,
+        touchedFiles.map(relative(table, _)), Some(merged.json))
+    } finally { u.unpersist(); affected.unpersist() }
   }
 
   /** Bin-pack the live files into `targetFiles` and swap the lists in

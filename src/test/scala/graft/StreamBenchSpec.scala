@@ -126,4 +126,16 @@ class StreamBenchSpec extends SparkSuite {
       "the drained txlog table diverged from the source frame")
     assert(r.rows == 100000L && r.srcCommits == 4L && r.fedRows == 75000L)
   }
+
+  test("cdc replicate: the replica is exactly the source after a " +
+       "mixed append/upsert/delete run") {
+    val r = StreamBench.benchCdcReplicate(bench, 30000, 5000)
+    assert(r.exact,
+      "the CDC replica diverged from the source frame")
+    assert(r.srcCommits == 6L, s"2 rounds x 3 commits: ${r.srcCommits}")
+    // per round: chunk inserts + chunk/2 update pairs + chunk/10
+    // deletes = 5000 + 2*2500 + 500 change rows
+    assert(r.changeRows == 2L * (5000L + 5000L + 500L),
+      s"change-row accounting drifted: ${r.changeRows}")
+  }
 }

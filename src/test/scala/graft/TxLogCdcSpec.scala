@@ -111,6 +111,82 @@ class TxLogCdcSpec extends SparkSuite {
     // covered by the other tests)
   }
 
+  test("merge: mixed upsert + delete lands as ONE commit") {
+    val t = fresh()
+    TxLog.append(spark, t,
+      Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("id", "v"))           // v1
+    val v = TxLog.merge(spark, t,
+      Seq(2L -> "B", 4L -> "d").toDF("id", "v"),
+      Seq(Tuple1(3L)).toDF("id"), "id")
+    assert(v == 2L && TxLog.currentVersion(t) == 2L,
+      "update+insert+delete must be one atomic commit, not two")
+    assert(TxLog.read(spark, t).select("id", "v")
+      .as[(Long, String)].collect().toSet ==
+      Set(1L -> "a", 2L -> "B", 4L -> "d"))
+    // the CDC view of that one commit carries all three change kinds
+    assert(feed(t, 1L, key = Some("id")) == Set(
+      (2L, "b", "update_preimage", 2L), (2L, "B", "update_postimage", 2L),
+      (3L, "c", "delete", 2L), (4L, "d", "insert", 2L)))
+  }
+
+  test("applyChanges nets a multi-version feed to the final state") {
+    val src = fresh(); val replica = fresh()
+    TxLog.append(spark, src, Seq(1L -> "a", 2L -> "b").toDF("id", "v")) // v1
+    TxLog.upsert(spark, src, Seq(2L -> "B").toDF("id", "v"), "id")      // v2
+    TxLog.delete(spark, src, Seq(Tuple1(1L)).toDF("id"), "id")          // v3
+    TxLog.append(spark, src, Seq(3L -> "c").toDF("id", "v"))            // v4
+    def srcRows = TxLog.read(spark, src).select("id", "v")
+      .as[(Long, String)].collect().toSet
+
+    val changes = TxLog.readChangeFeed(spark, src, 0L, key = Some("id"))
+    TxLog.applyChanges(spark, replica, changes, "id")
+    def repRows = TxLog.read(spark, replica).select("id", "v")
+      .as[(Long, String)].collect().toSet
+    assert(repRows == srcRows && repRows == Set(2L -> "B", 3L -> "c"),
+      "the netted feed reproduces the source's final state: the " +
+      "inserted-then-deleted key 1 never survives, key 2 carries its " +
+      "last value")
+
+    // re-applying the same batch (a foreachBatch replay after restart)
+    // is content-idempotent
+    val vBefore = TxLog.currentVersion(replica)
+    TxLog.applyChanges(spark, replica, changes, "id")
+    assert(repRows == srcRows,
+      "replayed apply converges to the same replica")
+    assert(TxLog.currentVersion(replica) > vBefore,
+      "idempotence is in content, not in suppressed commits")
+  }
+
+  test("streaming replication: replica follows the source through rewrites") {
+    val src = fresh(); val replica = fresh()
+    val ckpt = Files.createTempDirectory("graft_cdc_rep_ckpt").toString
+    TxLog.append(spark, src, Seq(1L -> "a", 2L -> "b").toDF("id", "v"))
+
+    val q = spark.readStream.format("txlog").option("path", src)
+      .option("readChangeFeed", "true").option("changeKey", "id").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty) TxLog.applyChanges(spark, replica, df, "id")
+        ()
+      }.start()
+    def srcRows = TxLog.read(spark, src).select("id", "v")
+      .as[(Long, String)].collect().toSet
+    def repRows = TxLog.read(spark, replica).select("id", "v")
+      .as[(Long, String)].collect().toSet
+
+    q.processAllAvailable()
+    assert(repRows == srcRows)
+    TxLog.upsert(spark, src, Seq(2L -> "B", 9L -> "i").toDF("id", "v"), "id")
+    q.processAllAvailable()
+    assert(repRows == srcRows,
+      "an upstream UPSERT flows through as change rows and lands")
+    TxLog.delete(spark, src, Seq(Tuple1(1L)).toDF("id"), "id")
+    q.processAllAvailable()
+    q.stop()
+    assert(repRows == srcRows && repRows == Set(2L -> "B", 9L -> "i"),
+      "an upstream DELETE propagates — the whole point of CDC mode")
+  }
+
   test("CDC columns collide loudly with same-named table columns") {
     val t = fresh()
     TxLog.append(spark, t,
