@@ -869,12 +869,21 @@ object TxLog {
                             partitionJson: Option[String] = None): Long = {
     var base = readVersion
     var attempts = 0
+    // the schema line is re-merged against the table schema AT THE
+    // REBASED VERSION on every lost race: without this, an append
+    // carrying an older schema that rebases over a schema-widening
+    // commit (concurrent evolved append, or ALTER TABLE ADD COLUMNS)
+    // would publish the narrower schema line as the newest and
+    // silently drop the added column from all reads — the re-merge
+    // either widens correctly or throws the same incompatibility the
+    // first attempt would have
+    var sj = schemaJson
     while (true) {
       attempts += 1
       require(attempts <= 100, s"commit livelock at $table")
       val v = base + 1
       val lines = (s"meta $op $readVersion" +:
-        (schemaJson.map("schema " + _).toSeq ++
+        (sj.map("schema " + _).toSeq ++
          partitionJson.map("partition " + _).toSeq)) ++
         removes.map("remove " + _) ++
         adds.map { case (f, st) =>
@@ -914,6 +923,31 @@ object TxLog {
             s"$op at $table read v$readVersion but ${gone.size} of its " +
             s"rewrite set no longer live at v$now (concurrent rewrite)")
       }
+      // overwrite/restore REPLACE schema by design (dropping columns
+      // is legal through them) — only additive ops re-merge
+      if (op == "append" || op == "upsert" || op == "delete" ||
+          op.startsWith("txn"))
+        sj = sj.map { js =>
+          val incoming = DataType.fromJson(js).asInstanceOf[StructType]
+          mergedWriteSchema(table, now, incoming, op).json
+        }
+      else if (op == "altschema")
+        // a schema-only commit unions with whatever the rebased head
+        // carries (a racing evolved append must keep its column); a
+        // same-named column with a different type is a real conflict
+        sj = sj.map { js =>
+          val incoming = DataType.fromJson(js).asInstanceOf[StructType]
+          val existing = tableSchema(table, now).getOrElse(StructType(Nil))
+          val byName = existing.fields.map(f => f.name -> f).toMap
+          incoming.fields.foreach(f => byName.get(f.name).foreach { ef =>
+            require(ef.dataType.catalogString == f.dataType.catalogString,
+              s"altschema at $table: column '${f.name}' raced to type " +
+              s"${ef.dataType.catalogString} != ${f.dataType.catalogString}")
+          })
+          val known = existing.fieldNames.toSet
+          StructType(existing.fields ++
+            incoming.fields.filterNot(f => known.contains(f.name))).json
+        }
       base = now
     }
     -1L // unreachable
@@ -1055,8 +1089,9 @@ object TxLog {
           lines.foreach { l =>
             if (l.startsWith("add ")) out += s"$table/${l.split(" ", 3)(1)}"
           }
-        case "compact" => () // content-neutral: nothing new to emit
-        case "create"  => () // schema-only, no data files by construction
+        case "compact"   => () // content-neutral: nothing new to emit
+        case "create"    => () // schema-only, no data files by construction
+        case "altschema" => () // schema-only (ALTER TABLE ADD COLUMNS)
         case other =>
           throw new IllegalStateException(
             s"version $v is a '$other' rewrite — not incrementally " +
@@ -1152,7 +1187,7 @@ object TxLog {
     val perVersion = ((fromVersion + 1) to to).flatMap { v =>
       val (op, adds, removes) = commitDelta(table, v)
       op match {
-        case "create" | "compact" => Nil
+        case "create" | "compact" | "altschema" => Nil
         case "append" | "txn" =>
           if (adds.isEmpty) Nil else Seq(tag(readAligned(adds), "insert", v))
         case _ => // upsert | delete | overwrite | restore: rewrite class
@@ -1299,6 +1334,42 @@ object TxLog {
     * version; the table schema is REPLACED by the written frame's (the
     * one write that may drop or retype columns).
     */
+  /** ADDITIVE schema evolution as a SCHEMA-ONLY commit (`ALTER TABLE …
+    * ADD COLUMNS`): no data moves, existing files read the new columns
+    * as null (exactly like append-evolution), and the commit rebases
+    * over racing writes with a union re-merge (same-named different
+    * type = loud conflict). Added columns must be nullable — old files
+    * HAVE no value for them.
+    */
+  def addColumns(table: String, cols: Seq[StructField]): Long = {
+    require(cols.nonEmpty, "ALTER ADD COLUMNS with no columns")
+    val cur = currentVersion(table)
+    val existing = tableSchema(table, cur).getOrElse(
+      throw new IllegalStateException(
+        s"$table has no logged schema to evolve (write to it first)"))
+    cols.foreach { f =>
+      require(!existing.fieldNames.contains(f.name),
+        s"column '${f.name}' already exists at $table")
+      require(f.nullable,
+        s"added column '${f.name}' must be nullable: existing files " +
+        s"have no value for it")
+    }
+    commit(table, "altschema", cur, Nil, Nil,
+      Some(StructType(existing.fields ++ cols).json))
+  }
+
+  /** TRUNCATE: remove every live file in one commit (op "overwrite" —
+    * rewrite-class for streams/CDC; the change feed emits the removed
+    * rows as deletes). Schema and partition spec survive.
+    */
+  def truncate(table: String): Long = {
+    val snap = snapshot(table)
+    if (snap.files.isEmpty) return snap.version
+    val schemaJson = tableSchema(table, snap.version).map(_.json)
+    commit(table, "overwrite", snap.version, Nil,
+      snap.files.map(relative(table, _)), schemaJson)
+  }
+
   def overwrite(s: SparkSession, table: String, df: DataFrame): Long = {
     val snap = snapshot(table)
     // the partition spec is immutable and survives an overwrite: the

@@ -17,7 +17,7 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, Logi
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 import org.apache.spark.sql.functions.input_file_name
 import org.apache.spark.sql.sources.{Filter => V1Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** The DSv2 catalog that makes TxLog a first-class SQL citizen
@@ -174,11 +174,34 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog {
     new TxLogV2Table(p, None)
   }
 
+  /** `ALTER TABLE … ADD COLUMNS (c T, …)` — the one mutation the log's
+    * additive-evolution contract admits, as a schema-only commit
+    * ([[TxLog.addColumns]]): existing files read the new columns as
+    * null. Everything else (drop/rename/retype) stays rejected with
+    * the contract's reason — dropping a column requires overwrite.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on txlog is not supported: additive schema " +
-      "evolution happens through writes (append with new columns)")
+      changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (!TxLog.exists(p)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"txlog columns are top-level only: ${a.fieldNames.mkString(".")}")
+        require(a.position == null,
+          "txlog ADD COLUMNS appends at the end (no FIRST/AFTER): " +
+          "reads select by name, order is presentational")
+        require(a.isNullable,
+          s"added column '${a.fieldNames()(0)}' must be nullable: " +
+          s"existing files have no value for it")
+        StructField(a.fieldNames()(0), a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE on txlog supports ADD COLUMNS only (additive " +
+        s"evolution; dropping a column requires overwrite), got $other")
+    }
+    TxLog.addColumns(p, adds)
+    new TxLogV2Table(p, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)
@@ -211,7 +234,18 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog {
   */
 class TxLogV2Table(val path: String, asOf: Option[Long])
     extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with TruncatableTable {
+
+  /** `TRUNCATE TABLE` — one metadata commit removing every live file
+    * ([[TxLog.truncate]]; op "overwrite", so streams fail loudly and
+    * the change feed emits the removed rows as deletes). Schema and
+    * partition spec survive; history stays time-travelable.
+    */
+  override def truncateTable(): Boolean = {
+    require(asOf.isEmpty, "cannot TRUNCATE a time-travel snapshot")
+    TxLog.truncate(path)
+    true
+  }
 
   private def spark = SparkSession.active
 

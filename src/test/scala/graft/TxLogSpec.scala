@@ -987,4 +987,38 @@ class TxLogSpec extends SparkSuite {
         s"TIMESTAMP_MICROS stats must be recorded, got ${us.cols.keySet}")
     } finally spark.conf.set(conf, prev)
   }
+
+  test("rebase re-merges the schema line: a narrower racing commit " +
+       "cannot silently drop an added column") {
+    val t = freshTable()
+    TxLog.append(spark, t, Seq(1L -> "a").toDF("id", "v"))       // v1
+    val narrow = TxLog.tableSchema(t, 1L).get                    // (id, v)
+    TxLog.addColumns(t, Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType)))                   // v2
+    // a commit prepared against v1 with the pre-ALTER schema loses the
+    // publish race and rebases over v2: without the re-merge its
+    // narrower schema line would become the newest and 'extra' would
+    // vanish from every read — it must throw instead
+    val e = intercept[IllegalArgumentException] {
+      TxLog.commit(t, "append", 1L, Nil, Nil, Some(narrow.json))
+    }
+    assert(e.getMessage.contains("extra"), e.getMessage)
+    assert(TxLog.tableSchema(t, TxLog.currentVersion(t)).get
+      .fieldNames.contains("extra"),
+      "the added column survives the failed racing commit")
+    // the altschema side of the race unions instead: an ALTER prepared
+    // against v1 rebases over a racing evolved append and keeps BOTH
+    // new columns
+    TxLog.append(spark, t,
+      Seq((2L, "b", 7L, 8L)).toDF("id", "v", "extra", "raced"))  // v3
+    val alterMerged = org.apache.spark.sql.types.StructType(
+      narrow.fields :+ org.apache.spark.sql.types.StructField("mine",
+        org.apache.spark.sql.types.LongType))
+    TxLog.commit(t, "altschema", 1L, Nil, Nil, Some(alterMerged.json))
+    val head = TxLog.tableSchema(t, TxLog.currentVersion(t)).get.fieldNames
+    assert(head.contains("mine") && head.contains("raced") &&
+      head.contains("extra"),
+      s"altschema rebase must union with the rebased head: ${head.toSeq}")
+  }
 }

@@ -298,4 +298,47 @@ class TxLogSqlSpec extends SparkSuite {
       .as[(Long, String)].collect().toSet == Set(100L -> "x", 110L -> "y"),
       "the id<100 file must be skipped from log stats (it no longer exists)")
   }
+
+  test("ALTER TABLE ADD COLUMNS: schema-only commit, old files read null") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE txsql.$t (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO txsql.$t VALUES (1, 'a')")
+    val vBefore = TxLog.currentVersion(s"$wh/$t")
+    spark.sql(s"ALTER TABLE txsql.$t ADD COLUMNS (extra BIGINT)")
+    assert(TxLog.currentVersion(s"$wh/$t") == vBefore + 1,
+      "ALTER is one schema-only commit")
+    spark.sql(s"REFRESH TABLE txsql.$t")
+    spark.sql(s"INSERT INTO txsql.$t VALUES (2, 'b', 7)")
+    assert(spark.sql(s"SELECT id, v, extra FROM txsql.$t")
+      .as[(Long, String, Option[Long])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", Some(7L))),
+      "pre-ALTER files read the added column as null")
+    // non-additive changes keep the contract's loud refusal
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE txsql.$t DROP COLUMN v")
+    }
+    assert(e.getMessage.contains("ADD COLUMNS only") ||
+      Option(e.getCause).exists(_.getMessage.contains("ADD COLUMNS only")),
+      e.getMessage)
+  }
+
+  test("TRUNCATE TABLE: one commit, schema survives, history travels") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE txsql.$t (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO txsql.$t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"TRUNCATE TABLE txsql.$t")
+    spark.sql(s"REFRESH TABLE txsql.$t")
+    assert(spark.sql(s"SELECT * FROM txsql.$t").count() == 0)
+    // schema survived: an insert with the old shape still works
+    spark.sql(s"INSERT INTO txsql.$t VALUES (9, 'z')")
+    assert(rows(t) == Set(9L -> "z"))
+    // pre-truncate content stays time-travelable
+    assert(spark.sql(s"SELECT id, v FROM txsql.$t VERSION AS OF 2")
+      .as[(Long, String)].collect().toSet == Set(1L -> "a", 2L -> "b"))
+    // and the change feed saw the truncate as deletes
+    val feed = TxLog.readChangeFeed(spark, s"$wh/$t", 2L, Some(3L))
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(feed == Set(1L -> "delete", 2L -> "delete"),
+      s"truncate must feed as row deletes: $feed")
+  }
 }
