@@ -898,11 +898,12 @@ object TxLog {
       }
       // lost the race: everything in (base, now] is someone else's
       val now = currentVersion(table)
-      if (op == "upsert" || op == "delete") {
+      if (op == "upsert" || op == "delete" || op == "truncate") {
         // a racing non-compact commit may have added rows whose keys
-        // this upsert replaces (or this delete should remove) —
-        // committing over it would leave duplicate/undead keys
-        // (ConcurrentAppendException semantics)
+        // this upsert replaces (or this delete/truncate should
+        // remove) — committing over it would leave duplicate/undead
+        // keys or un-truncated rows (ConcurrentAppendException
+        // semantics)
         ((base + 1) to now).foreach { i =>
           val raced = Files.readAllLines(commitPath(table, i)).asScala
           val racedOp = raced.find(_.startsWith("meta "))
@@ -931,10 +932,17 @@ object TxLog {
           val incoming = DataType.fromJson(js).asInstanceOf[StructType]
           mergedWriteSchema(table, now, incoming, op).json
         }
-      else if (op == "altschema")
+      else if (op == "altschema" || op == "truncate")
         // a schema-only commit unions with whatever the rebased head
         // carries (a racing evolved append must keep its column); a
-        // same-named column with a different type is a real conflict
+        // same-named column with a different type is a real conflict.
+        // TRUNCATE takes the same union rebase: it documents "schema
+        // survives", and after the adds-conflict check above the only
+        // rebase-able races left are schema-only/content-neutral —
+        // inheriting overwrite's schema-REPLACE here would let a
+        // truncate racing an ALTER ADD COLUMNS republish the pre-race
+        // schema as the newest line and silently drop the added
+        // column (round-12 ADVICE medium)
         sj = sj.map { js =>
           val incoming = DataType.fromJson(js).asInstanceOf[StructType]
           val existing = tableSchema(table, now).getOrElse(StructType(Nil))
@@ -1190,7 +1198,16 @@ object TxLog {
         case "create" | "compact" | "altschema" => Nil
         case "append" | "txn" =>
           if (adds.isEmpty) Nil else Seq(tag(readAligned(adds), "insert", v))
-        case _ => // upsert | delete | overwrite | restore: rewrite class
+        case _ if adds.isEmpty && removes.isEmpty =>
+          // a rewrite commit that moved nothing (restore to the
+          // current version, upsert of an empty frame into an empty
+          // table): content-neutral, emits nothing. Without this
+          // short-circuit the pre-frame below calls
+          // spark.read.parquet() with ZERO paths and one such version
+          // permanently breaks every feed range spanning it with an
+          // unrelated UNABLE_TO_INFER_SCHEMA (round-12 ADVICE medium)
+          Nil
+        case _ => // upsert | delete | overwrite | restore | truncate
           val pre =
             if (removes.isEmpty) readAligned(adds).limit(0)
             else readAligned(removes)
@@ -1246,6 +1263,14 @@ object TxLog {
     * → upsert the row. Re-applying a batch is content-idempotent
     * ([[merge]]), so a foreachBatch replay after a restart converges
     * to the same replica — the standard idempotent-merge CDC apply.
+    *
+    * PRECONDITION: `key` must be unique per row in the SOURCE table
+    * (the upsert-key contract). A source built from plain appends
+    * enforces no uniqueness, and a feed can then legally carry
+    * multiple distinct surviving rows for one key at the winning
+    * version — netting would have to pick one ARBITRARILY and the
+    * replica would silently diverge from the source. That ambiguity
+    * is detected and fails loudly here instead (round-12 ADVICE low).
     */
   def applyChanges(s: SparkSession, table: String, changes: DataFrame,
                    key: String): Long = {
@@ -1256,10 +1281,29 @@ object TxLog {
     // delete — an UNKEYED feed encodes an update as delete+insert at
     // the same version, and the net state is the inserted value;
     // preimage ranks last (its postimage twin is always present)
-    val w = Window.partitionBy(col(key)).orderBy(
-      col("_commit_version").desc,
+    val rankExpr =
       when(col("_change_type").isin("insert", "update_postimage"), 0)
-        .when(col("_change_type") === "delete", 1).otherwise(2))
+        .when(col("_change_type") === "delete", 1).otherwise(2)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_commit_version").desc, rankExpr)
+    // ambiguity guard: if the WINNING (version, rank-class) group for
+    // some key holds >1 DISTINCT surviving row, any choice is
+    // arbitrary — fail naming the key instead of diverging silently.
+    // rank() (not row_number) ties the whole winning group at 1; the
+    // distinct collapses benign exact-duplicate rows, and delete
+    // winners are key-only so duplicates of them are always benign.
+    val winners = changes.withColumn("__graft_rk", rank().over(w))
+      .where(col("__graft_rk") === 1).drop("__graft_rk")
+    val ambiguous = winners
+      .where(col("_change_type").isin("insert", "update_postimage"))
+      .dropDuplicates()
+      .groupBy(col(key)).count().where(col("count") > 1)
+      .select(col(key)).limit(3).collect()
+    require(ambiguous.isEmpty,
+      s"applyChanges: key(s) ${ambiguous.map(_.get(0)).mkString(", ")} " +
+      s"have multiple DISTINCT surviving rows at their winning version " +
+      s"— '$key' is not unique per row in the source (the upsert-key " +
+      s"precondition); netting would silently keep an arbitrary row")
     val latest = changes.withColumn("__graft_rn", row_number().over(w))
       .where(col("__graft_rn") === 1).drop("__graft_rn").persist()
     try {
@@ -1358,15 +1402,21 @@ object TxLog {
       Some(StructType(existing.fields ++ cols).json))
   }
 
-  /** TRUNCATE: remove every live file in one commit (op "overwrite" —
+  /** TRUNCATE: remove every live file in one commit (op "truncate" —
     * rewrite-class for streams/CDC; the change feed emits the removed
-    * rows as deletes). Schema and partition spec survive.
+    * rows as deletes). Schema and partition spec survive — including
+    * across a commit race: unlike "overwrite" (schema-replace by
+    * design), the truncate op rebases its schema line with a UNION at
+    * the rebased head, so a racing ALTER TABLE ADD COLUMNS keeps its
+    * column; and a racing commit that ADDED data files conflicts
+    * loudly (those rows must not survive a truncate that logically
+    * follows them).
     */
   def truncate(table: String): Long = {
     val snap = snapshot(table)
     if (snap.files.isEmpty) return snap.version
     val schemaJson = tableSchema(table, snap.version).map(_.json)
-    commit(table, "overwrite", snap.version, Nil,
+    commit(table, "truncate", snap.version, Nil,
       snap.files.map(relative(table, _)), schemaJson)
   }
 
@@ -1732,8 +1782,15 @@ object TxLog {
       .map(relative(table, _))
     val adds = target.files.filterNot(f => curSet.contains(abs(f)))
       .map(f => relative(table, f) -> target.stats.get(f))
-    commit(table, "restore", cur.version, adds, removes,
-      tableSchema(table, version).map(_.json))
+    val schemaJson = tableSchema(table, version).map(_.json)
+    // restoring to a state the table is already in (same live set AND
+    // same schema — e.g. restore(t, currentVersion)) is a true no-op:
+    // don't write an empty rewrite commit (it would carry zero
+    // adds/removes and pollute history/CDC with a contentless version)
+    if (adds.isEmpty && removes.isEmpty &&
+        schemaJson == tableSchema(table, cur.version).map(_.json))
+      return cur.version
+    commit(table, "restore", cur.version, adds, removes, schemaJson)
   }
 
   /** Delete data files referenced by NO version in (retainVersions ago,

@@ -237,9 +237,11 @@ class TxLogV2Table(val path: String, asOf: Option[Long])
     with SupportsRowLevelOperations with TruncatableTable {
 
   /** `TRUNCATE TABLE` — one metadata commit removing every live file
-    * ([[TxLog.truncate]]; op "overwrite", so streams fail loudly and
-    * the change feed emits the removed rows as deletes). Schema and
-    * partition spec survive; history stays time-travelable.
+    * ([[TxLog.truncate]]; op "truncate": rewrite-class, so streams
+    * fail loudly and the change feed emits the removed rows as
+    * deletes, but with schema-UNION rebase semantics so a racing
+    * ALTER ADD COLUMNS survives). Schema and partition spec survive;
+    * history stays time-travelable.
     */
   override def truncateTable(): Boolean = {
     require(asOf.isEmpty, "cannot TRUNCATE a time-travel snapshot")

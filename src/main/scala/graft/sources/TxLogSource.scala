@@ -54,14 +54,27 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
     else raw
   }
 
+  /** The `startingVersion` option is INCLUSIVE, matching the Delta
+    * CDF spelling it borrows: `startingVersion = N` includes commit
+    * N's own changes (absent = full history). [[TxLog.readChangeFeed]]
+    * and the library surface stay half-open `(from, to]`, so the
+    * facade translates N → fromVersion N−1 — a half-open option under
+    * the borrowed name silently lost users one commit's changes
+    * (round-12 ADVICE low).
+    */
+  private def inclusiveStarting(parameters: Map[String, String]): Long =
+    parameters.get("startingVersion").map(v => (v.toLong - 1L) max 0L)
+      .getOrElse(0L)
+
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =
     if (parameters.get("readChangeFeed").exists(_.toBoolean))
       // spark.read.format("txlog").option("readChangeFeed", "true")
       //   .option("startingVersion", "2")[.option("endingVersion", "5")]
-      //   [.option("changeKey", "id")] — the Delta CDF read spelling
+      //   [.option("changeKey", "id")] — the Delta CDF read spelling,
+      //   startingVersion inclusive like Delta's
       new TxLogChangeFeedRelation(sqlContext, pathOf(parameters),
-        parameters.getOrElse("startingVersion", "0").toLong,
+        inclusiveStarting(parameters),
         parameters.get("endingVersion").map(_.toLong),
         parameters.get("changeKey"))
     else
@@ -113,8 +126,9 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
       parameters: Map[String, String]): Source = {
     val path = pathOf(parameters)
     val st = sourceSchema(sqlContext, schema, providerName, parameters)._2
-    val starting =
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+    // inclusive, like the batch CDF option (and Delta's streaming
+    // startingVersion): version N itself is emitted
+    val starting = inclusiveStarting(parameters)
     if (parameters.get("readChangeFeed").exists(_.toBoolean))
       new TxLogCdcStreamSource(sqlContext.sparkSession, path, st,
         starting, parameters.get("changeKey"))
@@ -204,9 +218,10 @@ class TxLogSink(spark: SparkSession, table: String, writerId: String,
   * content-neutral and silently skipped; an upsert/overwrite/delete
   * in the range THROWS — the same fail-loudly rule production
   * streaming sources enforce rather than re-emitting or dropping
-  * rows. `startingVersion` (default 0 = full history first) skips
-  * the backlog. Additively-evolved columns read as null from files
-  * that predate them, exactly like the batch path.
+  * rows. `startingVersion` (INCLUSIVE, the Delta spelling: version N
+  * itself is emitted; absent = full history first) skips the backlog.
+  * Additively-evolved columns read as null from files that predate
+  * them, exactly like the batch path.
   *
   * Combined with [[TxLog.appendOnce]] (the exactly-once SINK) this
   * closes the loop: TxLog tables chain into streaming
@@ -214,7 +229,7 @@ class TxLogSink(spark: SparkSession, table: String, writerId: String,
   * Pinned in TxLogStreamSpec.
   */
 class TxLogStreamSource(spark: SparkSession, table: String,
-    override val schema: StructType, startingVersion: Long)
+    override val schema: StructType, afterVersion: Long)
     extends Source {
 
   private def toVersion(o: V1Offset): Long = o match {
@@ -225,11 +240,11 @@ class TxLogStreamSource(spark: SparkSession, table: String,
 
   override def getOffset: Option[V1Offset] = {
     val v = TxLog.currentVersion(table)
-    if (v > startingVersion) Some(LongOffset(v)) else None
+    if (v > afterVersion) Some(LongOffset(v)) else None
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val from = start.map(toVersion).getOrElse(startingVersion)
+    val from = start.map(toVersion).getOrElse(afterVersion)
     val files = TxLog.changedFiles(table, from, toVersion(end))
     // vacuum's keep-set is VERSION-based and knows nothing about
     // streaming reader offsets: a compact (de-references the appended
@@ -291,7 +306,7 @@ class TxLogStreamSource(spark: SparkSession, table: String,
   * the cause, exactly like the batch feed. Pinned in TxLogStreamSpec.
   */
 class TxLogCdcStreamSource(spark: SparkSession, table: String,
-    override val schema: StructType, startingVersion: Long,
+    override val schema: StructType, afterVersion: Long,
     changeKey: Option[String]) extends Source {
 
   private def toVersion(o: V1Offset): Long = o match {
@@ -302,11 +317,11 @@ class TxLogCdcStreamSource(spark: SparkSession, table: String,
 
   override def getOffset: Option[V1Offset] = {
     val v = TxLog.currentVersion(table)
-    if (v > startingVersion) Some(LongOffset(v)) else None
+    if (v > afterVersion) Some(LongOffset(v)) else None
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val from = start.map(toVersion).getOrElse(startingVersion)
+    val from = start.map(toVersion).getOrElse(afterVersion)
     val feed = TxLog.readChangeFeed(spark, table, from,
       Some(toVersion(end)), changeKey)
     // align to the schema pinned at source creation (mid-stream

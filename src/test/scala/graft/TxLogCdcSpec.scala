@@ -74,7 +74,9 @@ class TxLogCdcSpec extends SparkSuite {
     TxLog.upsert(spark, t, Seq(2L -> "B").toDF("id", "v"), "id")
     val got = spark.read.format("txlog")
       .option("path", t).option("readChangeFeed", "true")
-      .option("startingVersion", "1").option("changeKey", "id")
+      // startingVersion is INCLUSIVE (Delta CDF semantics): 2 = from
+      // commit v2's own changes on; the library feed stays half-open
+      .option("startingVersion", "2").option("changeKey", "id")
       .load()
       .select("id", "v", "_change_type", "_commit_version")
       .as[(Long, String, String, Long)].collect().toSet
@@ -155,6 +157,51 @@ class TxLogCdcSpec extends SparkSuite {
       "replayed apply converges to the same replica")
     assert(TxLog.currentVersion(replica) > vBefore,
       "idempotence is in content, not in suppressed commits")
+  }
+
+  test("a contentless rewrite commit never breaks spanning feed ranges") {
+    val t = fresh()
+    TxLog.append(spark, t, Seq(1L -> "a").toDF("id", "v"))            // v1
+    // an upsert-class commit with zero adds AND zero removes (e.g. an
+    // upsert of an empty frame, or a pre-fix restore-to-current):
+    // legal in the log, must be CDC-neutral — before the round-13
+    // short-circuit it crashed every spanning feed read with
+    // UNABLE_TO_INFER_SCHEMA (spark.read.parquet of zero paths)
+    TxLog.commit(t, "upsert", TxLog.currentVersion(t), Nil, Nil)      // v2
+    TxLog.append(spark, t, Seq(2L -> "b").toDF("id", "v"))            // v3
+    assert(feed(t, 0L) == Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 3L)),
+      "the empty rewrite contributes nothing and breaks nothing")
+  }
+
+  test("restore to the current state is a true no-op (no empty commit)") {
+    val t = fresh()
+    TxLog.append(spark, t, Seq(1L -> "a").toDF("id", "v"))            // v1
+    val v = TxLog.restore(spark, t, 1L)
+    assert(v == 1L && TxLog.currentVersion(t) == 1L,
+      "restore(t, currentVersion) must not write a contentless commit")
+  }
+
+  test("applyChanges fails loudly when the key is not unique (instead " +
+       "of keeping an arbitrary row)") {
+    val replica = fresh()
+    // two DISTINCT surviving rows for key 1 at its winning version —
+    // a feed from a source where 'id' is not an upsert key
+    val ambiguous = Seq(
+      (1L, "a", "insert", 1L), (1L, "b", "insert", 1L),
+      (2L, "c", "insert", 1L))
+      .toDF("id", "v", "_change_type", "_commit_version")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.applyChanges(spark, replica, ambiguous, "id")
+    }
+    assert(e.getMessage.contains("not unique") && e.getMessage.contains("1"),
+      e.getMessage)
+    // benign exact duplicates still net fine (same row twice)
+    val dup = Seq((1L, "a", "insert", 1L), (1L, "a", "insert", 1L))
+      .toDF("id", "v", "_change_type", "_commit_version")
+    TxLog.applyChanges(spark, replica, dup, "id")
+    assert(TxLog.read(spark, replica).select("id", "v")
+      .as[(Long, String)].collect().toSet == Set(1L -> "a"))
   }
 
   test("streaming replication: replica follows the source through rewrites") {

@@ -1021,4 +1021,42 @@ class TxLogSpec extends SparkSuite {
       head.contains("extra"),
       s"altschema rebase must union with the rebased head: ${head.toSeq}")
   }
+
+  test("truncate racing ALTER ADD COLUMNS keeps the added column " +
+       "(union rebase, not overwrite's schema-replace)") {
+    val t = freshTable()
+    TxLog.append(spark, t, Seq(1L -> "a").toDF("id", "v"))       // v1
+    val snapV1 = TxLog.snapshot(t)
+    val schemaV1 = TxLog.tableSchema(t, 1L).get                  // (id, v)
+    TxLog.addColumns(t, Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType)))                   // v2
+    // a TRUNCATE prepared against v1 (schema + live set read before
+    // the ALTER landed) loses the publish race and rebases over v2:
+    // its removes are intact (altschema moves no files) so the rebase
+    // succeeds — and its schema line must UNION with the rebased
+    // head, or the raced-in 'extra' column silently vanishes
+    TxLog.commit(t, "truncate", 1L, Nil,
+      snapV1.files.map(f => TxLog.relative(t, f)),
+      Some(schemaV1.json))
+    val head = TxLog.tableSchema(t, TxLog.currentVersion(t)).get.fieldNames
+    assert(head.contains("extra"),
+      s"truncate's rebase dropped the raced ALTER's column: ${head.toSeq}")
+    assert(TxLog.snapshot(t).files.isEmpty, "the truncate still emptied")
+  }
+
+  test("truncate racing an append conflicts loudly (those rows must " +
+       "not survive a truncate that logically follows them)") {
+    val t = freshTable()
+    TxLog.append(spark, t, Seq(1L -> "a").toDF("id", "v"))       // v1
+    val snapV1 = TxLog.snapshot(t)
+    TxLog.append(spark, t, Seq(2L -> "b").toDF("id", "v"))       // v2 races
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.commit(t, "truncate", 1L, Nil,
+        snapV1.files.map(f => TxLog.relative(t, f)),
+        Some(TxLog.tableSchema(t, 1L).get.json))
+    }
+    assert(TxLog.read(spark, t).count() == 2,
+      "the failed truncate must leave both appends live")
+  }
 }

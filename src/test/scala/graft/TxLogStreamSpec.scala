@@ -98,9 +98,11 @@ class TxLogStreamSpec extends SparkSuite {
     val t = freshTable()
     TxLog.append(spark, t, mk(1L -> "backlog"))
     TxLog.append(spark, t, mk(2L -> "backlog"))
+    // startingVersion is INCLUSIVE (the Delta spelling): to skip the
+    // whole backlog, start at the version AFTER the current one
     val cur = TxLog.currentVersion(t)
     val src = spark.readStream.format("txlog").option("path", t)
-      .option("startingVersion", cur.toString).load()
+      .option("startingVersion", (cur + 1).toString).load()
     assert(src.schema.fieldNames.toSeq == Seq("id", "v"),
       "streaming schema must come from the table log")
     val seen = mutable.Set.empty[(Long, String)]
@@ -111,7 +113,7 @@ class TxLogStreamSpec extends SparkSuite {
     }.start()
     q.processAllAvailable()
     assert(seen.synchronized(seen.isEmpty),
-      "nothing at or below startingVersion may be emitted")
+      "nothing before the inclusive startingVersion may be emitted")
     TxLog.append(spark, t, mk(3L -> "live"))
     q.processAllAvailable()
     q.stop()
