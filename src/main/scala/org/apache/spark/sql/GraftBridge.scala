@@ -103,6 +103,23 @@ object GraftBridge {
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
 
+  /** `FieldReference.column` — `private[sql]` in Spark, needed to
+    * declare runtime-filter attributes on a DSv2 scan.
+    */
+  def fieldRef(name: String): connector.expressions.NamedReference =
+    connector.expressions.FieldReference.column(name)
+
+  /** Extract a `connector.expressions.LiteralValue` (`private[sql]`):
+    * the catalyst-typed value + its DataType, as handed to
+    * `SupportsRuntimeV2Filtering.filter` inside IN predicates.
+    */
+  def literalValue(e: connector.expressions.Expression)
+      : Option[(Any, types.DataType)] = e match {
+    case l: connector.expressions.LiteralValue[_] =>
+      Some((l.value, l.dataType))
+    case _ => None
+  }
+
   /** Expose a COMPUTED batch frame as one streaming-tagged leaf — for
     * a DSv1 `Source.getBatch` whose rows are derived by a multi-
     * relation plan (joins/exceptAll over several file sets, e.g. the
