@@ -642,6 +642,68 @@ object StreamBench {
     }
   }
 
+  /** PARTITIONED-SINK drain (round-13 VERDICT #7): the same
+    * txlog→txlog loop, but the sink declares a partition spec via
+    * `.partitionBy("p")` — each micro-batch stages per-partition
+    * files whose membership lands as add-line `part` tuples.
+    * Exactness is checked through PARTITION-PRUNED facade reads of
+    * the replica (each partition's rows compared to the source's
+    * through the stats-skipping path), so the row proves the spec
+    * actually landed and prunes, not just that rows arrived.
+    */
+  def benchTxLogDrainPartitioned(spark: SparkSession, n: Int,
+                                 chunk: Int): DrainResult = {
+    import spark.implicits._
+    import graft.sources.TxLog
+    require(n >= 2 * chunk,
+      s"partitioned drain needs >= 2 chunks in the timed window (n=$n, chunk=$chunk)")
+    def dir(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft_sbench_$tag").toAbsolutePath
+    val src = dir("txpsrc"); val dst = dir("txpdst"); val ck = dir("txpck")
+    try {
+      val parts = 4L
+      def mk(lo: Long, hi: Long) =
+        spark.range(lo, hi).select(col("id"), (col("id") % parts).as("p"))
+      // bootstrap commit outside the timed window (schema inference)
+      TxLog.append(spark, src.toString, mk(0, chunk.toLong))
+      val q = spark.readStream.format("txlog").option("path", src.toString)
+        .load()
+        .writeStream.format("txlog").option("path", dst.toString)
+        .partitionBy("p")
+        .option("checkpointLocation", ck.toString).start()
+      val commits = (n / chunk).toLong
+      try {
+        val t0 = System.nanoTime()
+        (1L until commits).foreach { b =>
+          TxLog.append(spark, src.toString,
+            mk(b * chunk, (b + 1) * chunk))
+        }
+        q.processAllAvailable()
+        val wallSec = (System.nanoTime() - t0) / 1e9
+        val batches = q.recentProgress.count(_.numInputRows > 0)
+        val rows = TxLog.read(spark, dst.toString).count()
+        // per-partition compare THROUGH the pruned facade read — the
+        // replica must serve each partition correctly from its part
+        // tuples, not merely hold the right multiset overall
+        val exact = rows == commits * chunk && (0L until parts).forall { pv =>
+          val s = TxLog.read(spark, src.toString)
+            .where(col("p") === pv)
+          val d = spark.read.format("txlog").option("path", dst.toString)
+            .load().where(col("p") === pv)
+          d.exceptAll(s).isEmpty && s.exceptAll(d).isEmpty
+        }
+        DrainResult(rows, (commits - 1) * chunk, commits, batches,
+          wallSec, exact)
+      } finally q.stop()
+    } finally Seq(src, dst, ck).foreach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   final case class CdcResult(changeRows: Long, srcCommits: Long,
                              batches: Long, wallSec: Double, exact: Boolean) {
     def rowsPerSec: Double = changeRows / wallSec
@@ -791,6 +853,16 @@ object StreamBench {
       f"${td10.srcCommits} commits in ${td10.wallSec}%.2f s = " +
       f"${td10.rowsPerSec}%.0f rows/s (${td10.batches} micro-batches, " +
       f"exact=${td10.exact})")
+    // partitioned-sink drain (round-13): the sink declares a spec via
+    // .partitionBy; exactness is per-partition through PRUNED reads
+    benchTxLogDrainPartitioned(spark, 50000, 25000) // warm
+    val tdp = benchTxLogDrainPartitioned(spark, n, chunk)
+    require(tdp.exact, "partitioned txlog drain diverged on a " +
+      "partition-pruned compare — refusing to publish the row")
+    System.err.println(f"[streambench] txlog_drainPart ${tdp.fedRows} fed rows / " +
+      f"${tdp.srcCommits} commits in ${tdp.wallSec}%.2f s = " +
+      f"${tdp.rowsPerSec}%.0f rows/s (${tdp.batches} micro-batches, " +
+      f"exact=${tdp.exact} via per-partition pruned reads)")
     // CDC replication loop (round-12): change-rows/s through
     // readChangeFeed -> foreachBatch applyChanges, exactness enforced
     benchCdcReplicate(spark, 6000, 2000) // warm the CDC + merge path
@@ -833,6 +905,10 @@ object StreamBench {
         f""""src_commits":${td10.srcCommits},""" +
         f""""batches":${td10.batches},"wall_sec":${td10.wallSec}%.3f,""" +
         f""""rows_per_sec":${td10.rowsPerSec}%.0f,"exact":${td10.exact}},""" +
+      f""""txlog_drain_partitioned":{"rows":${tdp.rows},""" +
+        f""""fed_rows":${tdp.fedRows},"src_commits":${tdp.srcCommits},""" +
+        f""""batches":${tdp.batches},"wall_sec":${tdp.wallSec}%.3f,""" +
+        f""""rows_per_sec":${tdp.rowsPerSec}%.0f,"exact":${tdp.exact}},""" +
       f""""cdc_replicate":{"change_rows":${cdc.changeRows},""" +
         f""""src_commits":${cdc.srcCommits},"batches":${cdc.batches},""" +
         f""""wall_sec":${cdc.wallSec}%.3f,""" +

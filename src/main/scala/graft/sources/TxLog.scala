@@ -147,9 +147,14 @@ object TxLog {
     * each partitioned-write data file holds exactly one value per
     * partition column (Iceberg-manifest style: partition metadata
     * lives in the log, files stay flat and full-schema on disk).
+    * `bytes` (round 13) is the file's on-disk size, recorded at stage
+    * time so CBO statistics serve from the LOG with zero filesystem
+    * calls per scan build; −1 = unknown (pre-r13 log lines), falls
+    * back to one `Files.size` per statless file.
     */
   final case class FileStats(rows: Long, cols: Map[String, ColStats],
-                             part: Map[String, Any] = Map.empty) {
+                             part: Map[String, Any] = Map.empty,
+                             bytes: Long = -1L) {
     /** Pruning range for a column: footer min/max, else the file's
       * single partition value as the degenerate [p, p] range — the
       * cheapest prune, valid even when footer stats are absent.
@@ -345,7 +350,7 @@ object TxLog {
         }
       }
       dropped.foreach(merged.remove)
-      Some(FileStats(rows, merged.toMap))
+      Some(FileStats(rows, merged.toMap, bytes = Files.size(file)))
     } finally reader.close()
   } catch { case NonFatal(_) => None }
 
@@ -424,9 +429,12 @@ object TxLog {
     })
     val base = List(
       "rows" -> (JLong(fs.rows): JValue), "cols" -> (cols: JValue))
+    val withBytes =
+      if (fs.bytes < 0) base
+      else base :+ ("bytes" -> (JLong(fs.bytes): JValue))
     val withPart =
-      if (fs.part.isEmpty) base
-      else base :+ ("part" -> (JObject(
+      if (fs.part.isEmpty) withBytes
+      else withBytes :+ ("part" -> (JObject(
         fs.part.toList.sortBy(_._1).map { case (c, p) => c -> j(p) }): JValue))
     jsonCompact(render(JObject(withPart)))
   }
@@ -457,7 +465,11 @@ object TxLog {
         fields.flatMap { case (c, v) => un(v).map(c -> _) }.toMap
       case _ => Map.empty[String, Any]
     }
-    Some(FileStats(rows, cols, part))
+    val bytes = un(jv \ "bytes") match {
+      case Some(l: Long) => l
+      case _             => -1L
+    }
+    Some(FileStats(rows, cols, part, bytes))
   } catch { case NonFatal(_) => None }
 
   // ------------------------------------------------------------------
@@ -1011,6 +1023,27 @@ object TxLog {
   private[graft] def commitTimeMicros(table: String, v: Long): Long =
     Files.getLastModifiedTime(commitPath(table, v)).toMillis * 1000L
 
+  /** Newest version committed at or before `tsMicros`, by BINARY
+    * SEARCH over the commit mtimes — monotone by construction (the
+    * atomic publish fixes each mtime at commit time, and version
+    * order IS commit order). O(log versions) mtime probes instead of
+    * the pre-r13 full walk; returns the probe count alongside so the
+    * bound is PINNED by test, not asserted. None = every commit is
+    * newer than `tsMicros`.
+    */
+  private[graft] def versionAtTimestamp(table: String,
+      tsMicros: Long): (Option[Long], Int) = {
+    var probes = 0
+    def at(v: Long): Long = { probes += 1; commitTimeMicros(table, v) }
+    var lo = 1L; var hi = currentVersion(table); var ans = -1L
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (at(mid) <= tsMicros) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    (if (ans < 0) None else Some(ans), probes)
+  }
+
   /** Transactional append — conflicts with nothing; races rebase. */
   def append(s: SparkSession, table: String, df: DataFrame): Long =
     append(s, table, df, Nil)
@@ -1185,8 +1218,15 @@ object TxLog {
         s"file(s) that no longer exist (e.g. ${missing.headOption
           .getOrElse("")}): a vacuum outran this CDC reader — keep " +
         s"retention longer than the maximum feed lag")
+      // read with the KNOWN table schema — no per-version footer
+      // schema inference (measured: a 1000-version feed spent 50 s of
+      // driver time in 1000 spark.read.parquet inferences; explicit
+      // schema cuts the per-branch cost to plan construction). Files
+      // predating additively-evolved columns read them as null via
+      // the reader's missing-column rule; alignTo stays as the safety
+      // net for any column the reader cannot supply.
       TxLogRelation.alignTo(
-        s.read.option("mergeSchema", "true").parquet(files: _*), outSchema)
+        s.read.schema(outSchema).parquet(files: _*), outSchema)
         .select(dataCols.map(col): _*)
     }
     def tag(df: DataFrame, tpe: String, v: Long): DataFrame =
@@ -1240,7 +1280,20 @@ object TxLog {
     if (perVersion.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         cdfSchema)
-    else perVersion.reduce(_.unionByName(_))
+    else {
+      // BALANCED pairwise union, not reduceLeft: a left-leaning chain
+      // over a long feed range builds a range-deep plan tree (10 k
+      // versions = a 10 k-deep lineage — analyzer/optimizer recursion
+      // and O(n²) tree walks); pairwise folding keeps the tree
+      // O(log range) deep at identical semantics (union is
+      // associative; row order is unspecified either way).
+      var level: IndexedSeq[DataFrame] = perVersion.toIndexedSeq
+      while (level.length > 1)
+        level = level.grouped(2).map { g =>
+          if (g.length == 2) g(0).unionByName(g(1)) else g(0)
+        }.toIndexedSeq
+      level.head
+    }
   }
 
   /** APPLY a change-feed batch to a replica: net out `changes` (rows

@@ -142,17 +142,16 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog {
   }
 
   /** `TIMESTAMP AS OF ts` — `timestamp` is MICROS since the epoch;
-    * resolves to the newest version committed at or before it
-    * (commit wall-times come from the atomically-published commit
-    * files' mtimes).
+    * resolves to the newest version committed at or before it by
+    * BINARY SEARCH over the monotone commit mtimes
+    * ([[TxLog.versionAtTimestamp]], O(log versions) mtime probes —
+    * the pre-r13 full walk was a 10⁶-commit irritant).
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val p = tablePath(ident)
     if (!TxLog.exists(p)) throw new NoSuchTableException(ident)
-    val cur = TxLog.currentVersion(p)
-    val v = (1L to cur)
-      .filter(v => TxLog.commitTimeMicros(p, v) <= timestamp)
-      .lastOption.getOrElse(throw new IllegalArgumentException(
+    val v = TxLog.versionAtTimestamp(p, timestamp)._1
+      .getOrElse(throw new IllegalArgumentException(
         s"no commit of $p at or before timestamp $timestamp µs " +
         s"(earliest is v1 at ${TxLog.commitTimeMicros(p, 1L)} µs)"))
     new TxLogV2Table(p, Some(v))
@@ -492,9 +491,11 @@ class TxLogScan(inner: Scan, snap: TxLog.Snapshot,
 
   /** Table-level stats FROM THE LOG (VERDICT r11 #6): row count is the
     * sum of the survivors' logged footer rows (exact when every file
-    * has stats), bytes from filesystem metadata — both O(files)
-    * metadata calls, no data read, no ANALYZE. A small dimension
-    * stored as a txlog table broadcasts on its own.
+    * has stats), bytes from the add-lines' logged sizes (round 13 —
+    * zero filesystem calls per scan build; one `Files.size` fallback
+    * per file whose stats predate the bytes field). No data read, no
+    * ANALYZE. A small dimension stored as a txlog table broadcasts on
+    * its own.
     */
   override def estimateStatistics(): Statistics = new Statistics {
     private val rows: java.util.OptionalLong =
@@ -504,7 +505,9 @@ class TxLogScan(inner: Scan, snap: TxLog.Snapshot,
       else java.util.OptionalLong.empty()
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(survivors.map { f =>
-        try Files.size(Paths.get(f)) catch { case NonFatal(_) => 0L }
+        snap.stats.get(f).map(_.bytes).filter(_ >= 0).getOrElse {
+          try Files.size(Paths.get(f)) catch { case NonFatal(_) => 0L }
+        }
       }.sum)
     override def numRows(): java.util.OptionalLong = rows
   }

@@ -127,6 +127,14 @@ class StreamBenchSpec extends SparkSuite {
     assert(r.rows == 100000L && r.srcCommits == 4L && r.fedRows == 75000L)
   }
 
+  test("partitioned txlog drain: the sink's declared spec lands and " +
+       "every partition serves exactly through pruned reads") {
+    val r = StreamBench.benchTxLogDrainPartitioned(bench, 100000, 25000)
+    assert(r.exact,
+      "a partition-pruned replica read diverged from the source")
+    assert(r.rows == 100000L && r.srcCommits == 4L && r.fedRows == 75000L)
+  }
+
   test("cdc replicate: the replica is exactly the source after a " +
        "mixed append/upsert/delete run") {
     val r = StreamBench.benchCdcReplicate(bench, 30000, 5000)

@@ -204,6 +204,23 @@ class TxLogCdcSpec extends SparkSuite {
       .as[(Long, String)].collect().toSet == Set(1L -> "a"))
   }
 
+  test("a 500-commit feed range plans as a balanced union and reads " +
+       "every version (no range-deep plan tree)") {
+    val t = fresh()
+    TxLog.append(spark, t, Seq(1L -> "a").toDF("id", "v"))            // v1
+    // 499 more append commits re-adding the SAME file: content-cheap,
+    // but each version contributes one branch to the feed plan — the
+    // shape that made the pre-r13 left-leaning reduce build a
+    // 500-deep lineage
+    val rel = TxLog.relative(t, TxLog.snapshot(t).files.head)
+    (2 to 500).foreach(_ => TxLog.commit(t, "append",
+      TxLog.currentVersion(t), Seq(rel -> None), Nil))
+    val feed = TxLog.readChangeFeed(spark, t, 0L)
+    assert(feed.count() == 500, "one insert row per version")
+    assert(feed.select("_commit_version").distinct().count() == 500,
+      "every version in the range contributes its branch")
+  }
+
   test("streaming replication: replica follows the source through rewrites") {
     val src = fresh(); val replica = fresh()
     val ckpt = Files.createTempDirectory("graft_cdc_rep_ckpt").toString

@@ -160,8 +160,49 @@ object TxLogProbe {
       f"source offsets = versions, sink exactly-once, " +
       f"complete=${outRows == rows}%b)")
 
+    timeTravelAndCdc(spark)
     metadataScale()
     spark.stop()
+  }
+
+  /** Round-13 probes: `TIMESTAMP AS OF` resolution at 10 000 commits
+    * (mtime BISECT vs the pre-r13 linear walk, probe counts printed)
+    * and a 1 000-version change-feed read (balanced-union planning
+    * cost — the left-leaning reduce built a range-deep plan tree).
+    */
+  private def timeTravelAndCdc(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_txtt")
+      .toAbsolutePath.toString
+    (1 to 10000).foreach(i => TxLog.commit(dir, "append", i - 1L,
+      Seq(f"f$i%05d.parquet" -> None), Nil))
+    val ts = TxLog.commitTimeMicros(dir, 5000L)
+    val l0 = System.nanoTime()
+    val linear = (1L to 10000L)
+      .filter(v => TxLog.commitTimeMicros(dir, v) <= ts).lastOption
+    val linMs = (System.nanoTime() - l0) / 1e6
+    val b0 = System.nanoTime()
+    val (bisect, probes) = TxLog.versionAtTimestamp(dir, ts)
+    val bisMs = (System.nanoTime() - b0) / 1e6
+    println(f"[txprobe] TIMESTAMP AS OF @10k commits: bisect $bisMs%.2f ms" +
+      f" ($probes%d mtime probes) vs linear walk $linMs%.1f ms " +
+      f"(10000 probes); agree=${linear == bisect}%b")
+
+    val t = java.nio.file.Files.createTempDirectory("graft_txcdc")
+      .toAbsolutePath.toString + "/t"
+    TxLog.append(spark, t, Seq((1L, "a")).toDF("id", "v"))
+    val rel = TxLog.relative(t, TxLog.snapshot(t).files.head)
+    (2 to 1000).foreach(_ => TxLog.commit(t, "append",
+      TxLog.currentVersion(t), Seq(rel -> None), Nil))
+    val p0 = System.nanoTime()
+    val feed = TxLog.readChangeFeed(spark, t, 0L)
+    val planMs = (System.nanoTime() - p0) / 1e6
+    val c0 = System.nanoTime()
+    val n = feed.count()
+    val cntSec = (System.nanoTime() - c0) / 1e9
+    println(f"[txprobe] change feed @1000 versions: plan build " +
+      f"$planMs%.0f ms, count=$n%d in $cntSec%.1f s (balanced union, " +
+      f"tree depth ~10 vs 1000 for the left-leaning reduce)")
   }
 
   /** METADATA-SCALE probe (round 12; VERDICT r11 missing #3): 10 000

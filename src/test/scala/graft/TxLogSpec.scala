@@ -1022,6 +1022,49 @@ class TxLogSpec extends SparkSuite {
       s"altschema rebase must union with the rebased head: ${head.toSeq}")
   }
 
+  test("TIMESTAMP AS OF bisects commit mtimes: O(log n) probes, " +
+       "same answer as the linear walk") {
+    val t = freshTable()
+    (1 to 64).foreach(i => TxLog.commit(t, "append", i - 1L,
+      Seq(s"f$i.parquet" -> None), Nil))
+    val ts = TxLog.commitTimeMicros(t, 40L)
+    val (v, probes) = TxLog.versionAtTimestamp(t, ts)
+    val linear = (1L to 64L)
+      .filter(x => TxLog.commitTimeMicros(t, x) <= ts).lastOption
+    assert(v == linear, s"bisect $v != linear walk $linear")
+    assert(probes <= 8,
+      s"bisect over 64 commits must probe ≤ ⌈log2(65)⌉+1 mtimes, got $probes")
+    assert(TxLog.versionAtTimestamp(t,
+      TxLog.commitTimeMicros(t, 1L) - 1L)._1.isEmpty,
+      "a timestamp before the first commit resolves to nothing")
+  }
+
+  test("staged adds log the file's byte size; doctored log bytes prove " +
+       "CBO stats never touch the filesystem") {
+    val t = freshTable()
+    TxLog.append(spark, t, Seq(1L -> "a").toDF("id", "v"))
+    val snap = TxLog.snapshot(t)
+    val file = snap.files.head
+    val real = java.nio.file.Files.size(java.nio.file.Paths.get(file))
+    assert(snap.stats(file).bytes == real,
+      "append must record the staged file's on-disk size in its add line")
+    // re-add the SAME file with a DOCTORED size: if estimateStatistics
+    // echoes it, bytes came from the log, not a Files.size call
+    val fake = 123456789L
+    TxLog.commit(t, "append", snap.version,
+      Seq(TxLog.relative(t, file) ->
+        Some(TxLog.FileStats(1L, Map.empty, bytes = fake))), Nil)
+    val scan = new graft.sources.TxLogV2Table(t, None)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+    val stats = scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.sizeInBytes.getAsLong == fake,
+      s"sizeInBytes must serve the LOGGED bytes ($fake), " +
+      s"got ${stats.sizeInBytes.getAsLong} (fs size is $real)")
+  }
+
   test("truncate racing ALTER ADD COLUMNS keeps the added column " +
        "(union rebase, not overwrite's schema-replace)") {
     val t = freshTable()
