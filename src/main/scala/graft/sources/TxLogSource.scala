@@ -252,8 +252,7 @@ class TxLogStreamSource(spark: SparkSession, table: String,
     // lagging reader still needs. Fail with the cause by name instead
     // of a bare executor FileNotFound (or, under ignoreMissingFiles,
     // a silently dropped batch — an exactly-once violation).
-    val missing = files.filterNot(f =>
-      java.nio.file.Files.exists(java.nio.file.Paths.get(f)))
+    val missing = files.filterNot(TxLog.io.exists)
     if (missing.nonEmpty) throw new IllegalStateException(
       s"streaming read of $table at versions ($from, ${toVersion(end)}] " +
       s"needs ${missing.size} file(s) that no longer exist (e.g. " +
