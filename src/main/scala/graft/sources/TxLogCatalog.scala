@@ -341,6 +341,22 @@ private[sources] object TxLogV2Util {
     */
   def pruningAttributes(path: String, snap: TxLog.Snapshot,
       schema: StructType, candidates: Vector[String]): Seq[String] = {
+    // only columns the scan actually OUTPUTS may be declared:
+    // PartitionPruning resolves EVERY declared attribute against the
+    // (column-pruned) relation and throws on a miss
+    val part = TxLog.partitionSpec(path, snap.version)
+      .filter(schema.fieldNames.contains)
+    val covered = coveredPruningColumns(snap, schema, candidates)
+    (part ++ covered.filterNot(part.contains)).take(1)
+  }
+
+  /** Every column of a [[TxLog.normKey]]-mapped type whose pruning
+    * range ([[TxLog.FileStats.colRange]]: footer stats or partition
+    * tuple) is present in EVERY candidate file — the columns runtime
+    * filtering can actually skip on. Schema order.
+    */
+  def coveredPruningColumns(snap: TxLog.Snapshot, schema: StructType,
+      candidates: Vector[String]): Seq[String] = {
     import org.apache.spark.sql.types._
     def normable(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType | FloatType |
@@ -348,14 +364,12 @@ private[sources] object TxLogV2Util {
            TimestampNTZType => true
       case _ => false
     }
-    val part = TxLog.partitionSpec(path, snap.version)
-    val covered = schema.fields.iterator
+    schema.fields.iterator
       .filter(f => normable(f.dataType))
       .map(_.name)
       .filter(c => candidates.nonEmpty && candidates.forall(f =>
         snap.stats.get(f).exists(_.colRange(c).isDefined)))
       .toSeq
-    (part ++ covered.filterNot(part.contains)).take(1)
   }
 
   /** Above this many runtime IN-values, prune per-SPAN (the values'
@@ -465,23 +479,55 @@ class TxLogScanBuilder(spark: SparkSession, snap: TxLog.Snapshot,
     }
     if (survivors.isEmpty) new TxLogEmptyScan(required, snap.version)
     else {
-      val delegate = GraftBridge.parquetScanBuilder(spark, survivors,
-        tableSchema)
-      GraftBridge.pushCatalystFilters(delegate,
-        TxLogV2Util.resolveFilters(spark, pushed.toSeq, tableSchema))
-      delegate match {
-        case r: SupportsPushDownRequiredColumns => r.pruneColumns(required)
-        case _ => ()
+      def mkDelegate(files: Vector[String]): Scan = {
+        val delegate = GraftBridge.parquetScanBuilder(spark, files,
+          tableSchema)
+        GraftBridge.pushCatalystFilters(delegate,
+          TxLogV2Util.resolveFilters(spark, pushed.toSeq, tableSchema))
+        delegate match {
+          case r: SupportsPushDownRequiredColumns => r.pruneColumns(required)
+          case _ => ()
+        }
+        delegate.build()
       }
-      new TxLogScan(delegate.build(), snap, survivors,
-        snap.files.size - survivors.size)
+      // with stats-covered columns, also declare RUNTIME filter
+      // attributes so ordinary joins get dynamic file skipping (the
+      // star-join DPP shape; see TxLogRuntimeScan)
+      // attrs must come from the PRUNED schema: PartitionPruning
+      // resolves every declared attribute against the relation's
+      // (column-pruned) output and throws on a miss
+      val attrs = TxLogV2Util.coveredPruningColumns(snap, required,
+        survivors)
+      if (attrs.isEmpty)
+        new TxLogScan(spark, snap, survivors, required,
+          snap.files.size - survivors.size, mkDelegate)
+      else
+        new TxLogRuntimeScan(spark, snap, survivors, required,
+          snap.files.size - survivors.size, mkDelegate, attrs)
     }
   }
 }
 
-class TxLogScan(inner: Scan, snap: TxLog.Snapshot,
-    survivors: Vector[String], skipped: Int)
+class TxLogScan(spark: SparkSession, snap: TxLog.Snapshot,
+    initial: Vector[String], required: StructType, skipped: Int,
+    mkDelegate: Vector[String] => Scan)
     extends Scan with SupportsReportStatistics {
+
+  /** Live file set of this scan — narrowed by runtime filtering in
+    * [[TxLogRuntimeScan]]; exposed for tests.
+    */
+  @volatile private[graft] var currentFiles: Vector[String] = initial
+  @volatile private var inner: Scan = mkDelegate(initial)
+
+  /** Rebuild the delegate over a narrowed file set (runtime filter). */
+  protected def narrowTo(files: Vector[String]): Unit = {
+    currentFiles = files
+    inner =
+      if (files.isEmpty) new TxLogEmptyScan(required, snap.version)
+      else mkDelegate(files)
+  }
+
+  private def survivors: Vector[String] = currentFiles
 
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: Batch = inner.toBatch
@@ -510,6 +556,39 @@ class TxLogScan(inner: Scan, snap: TxLog.Snapshot,
         }
       }.sum)
     override def numRows(): java.util.OptionalLong = rows
+  }
+}
+
+/** [[TxLogScan]] + RUNTIME file skipping for ordinary joins (the
+  * star-join dynamic-partition-pruning shape, round 13): Spark's
+  * `PartitionPruning` rule fires for a join whose other side carries
+  * a selective filter WHEN the scan declares the join key among its
+  * [[filterAttributes]] — so every stats-covered column is declared
+  * (unlike the row-level group scan's one-attribute rule: regular DPP
+  * builds its pruning condition on the JOIN KEY alone, a bare
+  * reference, so the multi-attribute `named_struct` trap does not
+  * apply here; undeclared or unused attributes simply never create a
+  * subquery). At execution the collected dim-side key values arrive
+  * as an `IN` predicate and files whose log stats cannot intersect
+  * are dropped before any parquet open — fact tables clustered or
+  * partitioned on the join key read O(matching files) in a star join,
+  * with zero correctness dependence (statless files always survive,
+  * and Spark re-applies the join itself).
+  */
+class TxLogRuntimeScan(spark: SparkSession, snap: TxLog.Snapshot,
+    initial: Vector[String], required: StructType, skipped: Int,
+    mkDelegate: Vector[String] => Scan, runtimeAttrs: Seq[String])
+    extends TxLogScan(spark, snap, initial, required, skipped, mkDelegate)
+    with SupportsRuntimeV2Filtering {
+
+  override def filterAttributes(): Array[NamedReference] =
+    runtimeAttrs.map(GraftBridge.fieldRef).toArray
+
+  override def filter(predicates: Array[V2Predicate]): Unit = {
+    val pruners = predicates.map(TxLogV2Util.compileRuntimePruner)
+    val survivors = currentFiles.filter(f =>
+      pruners.forall(_(snap.stats.get(f))))
+    if (survivors.length < currentFiles.length) narrowTo(survivors)
   }
 }
 
@@ -619,17 +698,22 @@ class TxLogRowLevelOperation(spark: SparkSession, path: String,
         // for conditions it can NOT push as static filters — above
         // all MERGE, whose ON condition references the source table
         val runtimeAttrs =
-          TxLogV2Util.pruningAttributes(path, snap, tableSchema, groups)
-        if (runtimeAttrs.isEmpty) {
-          val delegate = GraftBridge.parquetScanBuilder(spark, groups,
-            tableSchema)
-          delegate match {
-            case r: SupportsPushDownRequiredColumns => r.pruneColumns(required)
-            case _ => ()
-          }
-          new TxLogScan(delegate.build(), snap, groups,
-            snap.files.size - groups.size)
-        } else
+          TxLogV2Util.pruningAttributes(path, snap, required, groups)
+        if (runtimeAttrs.isEmpty)
+          // no stats-covered column anywhere: plain group scan (the
+          // rule would have nothing to collect values of)
+          new TxLogScan(spark, snap, groups, required,
+            snap.files.size - groups.size, fs => {
+              val delegate = GraftBridge.parquetScanBuilder(spark, fs,
+                tableSchema)
+              delegate match {
+                case r: SupportsPushDownRequiredColumns =>
+                  r.pruneColumns(required)
+                case _ => ()
+              }
+              delegate.build()
+            })
+        else
           new TxLogGroupScan(spark, snap, groups, required, tableSchema,
             runtimeAttrs, fs => groupFiles = fs)
       }

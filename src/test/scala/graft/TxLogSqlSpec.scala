@@ -155,6 +155,46 @@ class TxLogSqlSpec extends SparkSuite {
       "group filtering must never change MERGE results")
   }
 
+  test("star-join runtime file skipping: a selective dim filter prunes " +
+       "fact files at execution (DPP over the txlog scan)") {
+    val t = freshName()
+    spark.sql(s"CREATE TABLE txsql.$t (id BIGINT, v STRING)")
+    Seq(Seq(1L -> "a", 10L -> "b"), Seq(11L -> "c", 20L -> "d"),
+        Seq(21L -> "e", 30L -> "f"), Seq(31L -> "g", 40L -> "h"))
+      .foreach(b => TxLog.append(spark, s"$wh/$t",
+        b.toDF("id", "v").coalesce(1)))
+    // the dim must be a TABLE: a local Seq folds to a LocalRelation
+    // at optimization (filter pre-evaluated, no selective predicate
+    // left in the plan) and PartitionPruning correctly skips it
+    val dim = freshName()
+    spark.sql(s"CREATE TABLE txsql.$dim (id BIGINT, tag STRING)")
+    TxLog.append(spark, s"$wh/$dim",
+      Seq((20L, "keep"), (25L, "drop"), (35L, "drop")).toDF("id", "tag"))
+    val joined = spark.sql(
+      s"""SELECT f.id, f.v FROM txsql.$t f
+         |JOIN txsql.$dim d ON f.id = d.id WHERE d.tag = 'keep'""".stripMargin)
+    // collect on THIS Dataset: .as[...] would wrap the plan in a NEW
+    // QueryExecution whose own scan instances execute instead, and
+    // the instance inspected below would never see the runtime filter
+    assert(joined.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet == Set(20L -> "d"))
+    // find the fact-side scan (same instance the physical plan
+    // runtime-filters; collected from the logical side because AQE
+    // wraps the executed plan) and pin that the runtime IN-filter
+    // narrowed its file set to the one matching file
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val scans = joined.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }
+    val fact = scans.collectFirst {
+      case s: graft.sources.TxLogRuntimeScan => s
+    }
+    assert(fact.nonEmpty, s"no runtime-filterable txlog scan in: $scans")
+    assert(fact.get.currentFiles.size == 1,
+      s"dim keys {20} must prune the fact to 1 of 4 files, " +
+      s"scan kept ${fact.get.currentFiles.size}")
+  }
+
   test("MERGE WHEN MATCHED DELETE removes matched rows") {
     val t = freshName()
     spark.sql(s"CREATE TABLE txsql.$t (id BIGINT, v STRING)")
