@@ -129,11 +129,21 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
     // inclusive, like the batch CDF option (and Delta's streaming
     // startingVersion): version N itself is emitted
     val starting = inclusiveStarting(parameters)
+    // maxVersionsPerTrigger: cap how many COMMITS one micro-batch may
+    // span — a reader restarted against a deep backlog catches up in
+    // bounded batches instead of one table-sized batch (the
+    // maxFilesPerTrigger idea, in this log's natural unit)
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map { v =>
+      val m = v.toLong
+      require(m > 0, s"maxVersionsPerTrigger must be positive, got $m")
+      m
+    }
     if (parameters.get("readChangeFeed").exists(_.toBoolean))
       new TxLogCdcStreamSource(sqlContext.sparkSession, path, st,
-        starting, parameters.get("changeKey"))
+        starting, parameters.get("changeKey"), maxVersions)
     else
-      new TxLogStreamSource(sqlContext.sparkSession, path, st, starting)
+      new TxLogStreamSource(sqlContext.sparkSession, path, st, starting,
+        maxVersions)
   }
 
   /** `writeStream.format("txlog")` — the native EXACTLY-ONCE sink:
@@ -229,7 +239,8 @@ class TxLogSink(spark: SparkSession, table: String, writerId: String,
   * Pinned in TxLogStreamSpec.
   */
 class TxLogStreamSource(spark: SparkSession, table: String,
-    override val schema: StructType, afterVersion: Long)
+    override val schema: StructType, afterVersion: Long,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends Source {
 
   private def toVersion(o: V1Offset): Long = o match {
@@ -238,12 +249,24 @@ class TxLogStreamSource(spark: SparkSession, table: String,
     case other                  => other.json.trim.toLong
   }
 
+  // newest offset handed to the engine (or replayed through getBatch
+  // after a restart) — the base the per-trigger version cap advances
+  // from, the FileStreamSource bookkeeping pattern
+  @volatile private var lastOffset: Long = afterVersion
+
   override def getOffset: Option[V1Offset] = {
-    val v = TxLog.currentVersion(table)
-    if (v > afterVersion) Some(LongOffset(v)) else None
+    val cur = TxLog.currentVersion(table)
+    val capped = maxVersionsPerTrigger
+      .map(m => math.min(cur, lastOffset + m)).getOrElse(cur)
+    if (capped > lastOffset) {
+      lastOffset = capped
+      Some(LongOffset(capped))
+    } else if (cur > afterVersion) Some(LongOffset(lastOffset))
+    else None
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    lastOffset = math.max(lastOffset, toVersion(end))
     val from = start.map(toVersion).getOrElse(afterVersion)
     val files = TxLog.changedFiles(table, from, toVersion(end))
     // vacuum's keep-set is VERSION-based and knows nothing about
@@ -306,7 +329,8 @@ class TxLogStreamSource(spark: SparkSession, table: String,
   */
 class TxLogCdcStreamSource(spark: SparkSession, table: String,
     override val schema: StructType, afterVersion: Long,
-    changeKey: Option[String]) extends Source {
+    changeKey: Option[String],
+    maxVersionsPerTrigger: Option[Long] = None) extends Source {
 
   private def toVersion(o: V1Offset): Long = o match {
     case LongOffset(v)          => v
@@ -314,12 +338,21 @@ class TxLogCdcStreamSource(spark: SparkSession, table: String,
     case other                  => other.json.trim.toLong
   }
 
+  @volatile private var lastOffset: Long = afterVersion
+
   override def getOffset: Option[V1Offset] = {
-    val v = TxLog.currentVersion(table)
-    if (v > afterVersion) Some(LongOffset(v)) else None
+    val cur = TxLog.currentVersion(table)
+    val capped = maxVersionsPerTrigger
+      .map(m => math.min(cur, lastOffset + m)).getOrElse(cur)
+    if (capped > lastOffset) {
+      lastOffset = capped
+      Some(LongOffset(capped))
+    } else if (cur > afterVersion) Some(LongOffset(lastOffset))
+    else None
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    lastOffset = math.max(lastOffset, toVersion(end))
     val from = start.map(toVersion).getOrElse(afterVersion)
     val feed = TxLog.readChangeFeed(spark, table, from,
       Some(toVersion(end)), changeKey)

@@ -94,6 +94,46 @@ class TxLogStreamSpec extends SparkSuite {
     assert(!q.isActive)
   }
 
+  test("maxVersionsPerTrigger bounds backlog catch-up batches " +
+       "(plain and CDC sources), content exact") {
+    val t = freshTable()
+    (1 to 5).foreach(i => TxLog.append(spark, t, mk(i.toLong -> s"r$i")))
+    // plain source: 5 one-row commits, cap 2 versions/trigger
+    val plainBatches = mutable.ArrayBuffer.empty[Set[Long]]
+    val q1 = spark.readStream.format("txlog").option("path", t)
+      .option("maxVersionsPerTrigger", "2").load()
+      .writeStream.foreachBatch { (df: DataFrame, _: Long) =>
+        val ids = df.select("id").collect().map(_.getLong(0)).toSet
+        plainBatches.synchronized { plainBatches += ids }; ()
+      }.start()
+    q1.processAllAvailable(); q1.stop()
+    plainBatches.synchronized {
+      assert(plainBatches.flatten.toSet == (1L to 5L).toSet,
+        s"capped catch-up must still deliver everything: $plainBatches")
+      assert(plainBatches.forall(_.size <= 2),
+        s"a batch spanned more than maxVersionsPerTrigger commits: " +
+        s"$plainBatches")
+      assert(plainBatches.count(_.nonEmpty) >= 3,
+        s"5 versions at cap 2 need >= 3 batches: $plainBatches")
+    }
+    // CDC source: same capping on the change feed
+    val cdcBatches = mutable.ArrayBuffer.empty[Set[Long]]
+    val q2 = spark.readStream.format("txlog").option("path", t)
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "2").load()
+      .writeStream.foreachBatch { (df: DataFrame, _: Long) =>
+        val vs = df.select("_commit_version").collect()
+          .map(_.getLong(0)).toSet
+        cdcBatches.synchronized { cdcBatches += vs }; ()
+      }.start()
+    q2.processAllAvailable(); q2.stop()
+    cdcBatches.synchronized {
+      assert(cdcBatches.flatten.toSet == (1L to 5L).toSet)
+      assert(cdcBatches.forall(_.size <= 2),
+        s"a CDC batch spanned more than 2 commit versions: $cdcBatches")
+    }
+  }
+
   test("startingVersion skips the backlog; schema comes from the log") {
     val t = freshTable()
     TxLog.append(spark, t, mk(1L -> "backlog"))
