@@ -229,7 +229,9 @@ class TxLogSink(spark: SparkSession, table: String, writerId: String,
   * in the range THROWS — the same fail-loudly rule production
   * streaming sources enforce rather than re-emitting or dropping
   * rows. `startingVersion` (INCLUSIVE, the Delta spelling: version N
-  * itself is emitted; absent = full history first) skips the backlog.
+  * itself is emitted; absent = full history first) skips the backlog;
+  * `maxVersionsPerTrigger` caps how many commits one micro-batch may
+  * span, so a deep backlog drains in bounded batches.
   * Additively-evolved columns read as null from files that predate
   * them, exactly like the batch path.
   *
@@ -320,7 +322,8 @@ class TxLogStreamSource(spark: SparkSession, table: String,
   * through rewrites (the Delta CDF streaming idea): merge the change
   * rows instead of re-reading the table.
   *
-  * Offsets are versions (same replay contract as the plain source);
+  * Offsets are versions (same replay contract as the plain source,
+  * including `maxVersionsPerTrigger` batch capping);
   * the change frame is a multi-relation diff plan, so it enters the
   * stream as ONE lazy batch-computed leaf ([[GraftBridge.asStream]] —
   * tagging its internal relations would make the diff a stream-stream
