@@ -48,6 +48,16 @@ object Bench {
     // Optional comma-separated key filter for local iteration
     // (SPARK_GRAFT_ONLY=q_a,q_b); the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Host-contention context for the artifact (VERDICT r13 task 8):
+    // the r13 63-vs-54 s reading was pure firecracker steal, and the
+    // artifact couldn't say so by itself. /proc/loadavg at run start
+    // and end makes drift self-adjudicating.
+    def loadavg(): String =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ")
+        .take(3).mkString(" ")
+      catch { case _: Throwable => "unavailable" }
+    val loadStart = loadavg()
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     def timeOne(name: String,
@@ -104,7 +114,9 @@ object Bench {
       "BENCH_keys.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(keysOut),
       s"""{"written":"${java.time.Instant.now()}","sf":"$sfDir",""" +
-      s""""cpus":$cpus,"total":$total,"n_failed":${failed.size},""" +
+      s""""cpus":$cpus,"loadavg_start":"$loadStart",""" +
+      s""""loadavg_end":"${loadavg()}",""" +
+      s""""total":$total,"n_failed":${failed.size},""" +
       s""""failed":$failedJson,"queries":$qs}""" + "\n")
     catch { case e: Throwable =>
       System.err.println(s"BENCH keys artifact write failed: ${e.getMessage}")

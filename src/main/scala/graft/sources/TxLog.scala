@@ -1422,34 +1422,44 @@ object TxLog {
         .when(col("_change_type") === "delete", 1).otherwise(2)
     val w = Window.partitionBy(col(key))
       .orderBy(col("_commit_version").desc, rankExpr)
-    // ambiguity guard: if the WINNING (version, rank-class) group for
-    // some key holds >1 DISTINCT surviving row, any choice is
-    // arbitrary — fail naming the key instead of diverging silently.
-    // rank() (not row_number) ties the whole winning group at 1; the
-    // distinct collapses benign exact-duplicate rows, and delete
-    // winners are key-only so duplicates of them are always benign.
-    val winners = changes.withColumn("__graft_rk", rank().over(w))
-      .where(col("__graft_rk") === 1).drop("__graft_rk")
-    val ambiguous = winners
-      .where(col("_change_type").isin("insert", "update_postimage"))
-      .dropDuplicates()
-      .groupBy(col(key)).count().where(col("count") > 1)
-      .select(col(key)).limit(3).collect()
-    require(ambiguous.isEmpty,
-      s"applyChanges: key(s) ${ambiguous.map(_.get(0)).mkString(", ")} " +
-      s"have multiple DISTINCT surviving rows at their winning version " +
-      s"— '$key' is not unique per row in the source (the upsert-key " +
-      s"precondition); netting would silently keep an arbitrary row")
-    val latest = changes.withColumn("__graft_rn", row_number().over(w))
-      .where(col("__graft_rn") === 1).drop("__graft_rn").persist()
+    // ONE windowed pass computes both the guard's rank() and the
+    // netting pass's row_number() over a persisted frame — the
+    // un-persisted guard re-executed the whole change-feed plan (all
+    // pre/post-image file reads) a second time per batch (round-13
+    // ADVICE low). rank and row_number share one WindowSpec, so this
+    // is a single window exec over a single materialization.
+    val annotated = changes
+      .withColumn("__graft_rk", rank().over(w))
+      .withColumn("__graft_rn", row_number().over(w))
+      .persist()
     try {
+      // ambiguity guard: if the WINNING (version, rank-class) group
+      // for some key holds >1 DISTINCT surviving row, any choice is
+      // arbitrary — fail naming the key instead of diverging silently.
+      // rank() (not row_number) ties the whole winning group at 1; the
+      // distinct (AFTER dropping the helper columns — row_number makes
+      // every row unique) collapses benign exact-duplicate rows, and
+      // delete winners are key-only so duplicates of them are benign.
+      val ambiguous = annotated.where(col("__graft_rk") === 1)
+        .where(col("_change_type").isin("insert", "update_postimage"))
+        .drop("__graft_rk", "__graft_rn")
+        .dropDuplicates()
+        .groupBy(col(key)).count().where(col("count") > 1)
+        .select(col(key)).limit(3).collect()
+      require(ambiguous.isEmpty,
+        s"applyChanges: key(s) ${ambiguous.map(_.get(0)).mkString(", ")} " +
+        s"have multiple DISTINCT surviving rows at their winning version " +
+        s"— '$key' is not unique per row in the source (the upsert-key " +
+        s"precondition); netting would silently keep an arbitrary row")
+      val latest = annotated.where(col("__graft_rn") === 1)
+        .drop("__graft_rk", "__graft_rn")
       val ups = latest
         .where(col("_change_type").isin("insert", "update_postimage"))
         .drop("_change_type", "_commit_version")
       val dels = latest.where(col("_change_type") === "delete")
         .select(col(key))
       merge(s, table, ups, dels, key)
-    } finally latest.unpersist()
+    } finally annotated.unpersist()
   }
 
   /** One EXACTLY-ONCE incremental sync micro-batch from `src` to

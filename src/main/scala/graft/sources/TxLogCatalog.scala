@@ -517,14 +517,28 @@ class TxLogScan(spark: SparkSession, snap: TxLog.Snapshot,
     * [[TxLogRuntimeScan]]; exposed for tests.
     */
   @volatile private[graft] var currentFiles: Vector[String] = initial
-  @volatile private var inner: Scan = mkDelegate(initial)
 
-  /** Rebuild the delegate over a narrowed file set (runtime filter). */
+  /** The delegate parquet scan, built LAZILY over the current file
+    * set: with runtime filtering, `filter()` replaces the file set
+    * before the first `toBatch`/`readSchema` call, so the full-set
+    * delegate is never constructed when it is about to be narrowed
+    * (round-13 ADVICE low).
+    */
+  @volatile private var built: Scan = null
+  private def inner: Scan = {
+    if (built == null) synchronized {
+      if (built == null)
+        built =
+          if (currentFiles.isEmpty) new TxLogEmptyScan(required, snap.version)
+          else mkDelegate(currentFiles)
+    }
+    built
+  }
+
+  /** Defer the rebuild over a narrowed file set (runtime filter). */
   protected def narrowTo(files: Vector[String]): Unit = {
     currentFiles = files
-    inner =
-      if (files.isEmpty) new TxLogEmptyScan(required, snap.version)
-      else mkDelegate(files)
+    built = null
   }
 
   private def survivors: Vector[String] = currentFiles
@@ -760,7 +774,17 @@ class TxLogGroupScan(spark: SparkSession, snap: TxLog.Snapshot,
       b.build()
     }
 
-  @volatile private var current: Scan = buildInner(initial)
+  /** Lazy like [[TxLogScan]]'s: `filter()` narrows the groups before
+    * the first execution touch, so the pre-narrowing delegate is
+    * never constructed (round-13 ADVICE low).
+    */
+  @volatile private var built: Scan = null
+  private def current: Scan = {
+    if (built == null) synchronized {
+      if (built == null) built = buildInner(files)
+    }
+    built
+  }
 
   override def readSchema(): StructType = current.readSchema()
   override def toBatch: Batch = current.toBatch
@@ -776,7 +800,7 @@ class TxLogGroupScan(spark: SparkSession, snap: TxLog.Snapshot,
     val survivors = files.filter(f => pruners.forall(_(snap.stats.get(f))))
     if (survivors.length < files.length) {
       files = survivors
-      current = buildInner(survivors)
+      built = null
     }
     onFilter(files)
   }
