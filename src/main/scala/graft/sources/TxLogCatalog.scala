@@ -287,7 +287,7 @@ class TxLogV2Table(val path: String, asOf: Option[Long])
       info.command)
 }
 
-private[sources] object TxLogV2Util {
+private[graft] object TxLogV2Util {
 
   /** V1 filters → RESOLVED Catalyst predicates against `schema`, for
     * pushing into the delegate parquet scan (row-group/page pruning).
@@ -330,14 +330,22 @@ private[sources] object TxLogV2Util {
     * `filter` is simply never called. One attribute stays a bare
     * column reference and translates.
     *
-    * Choice: the first partition-spec column (degenerate min==max
-    * stats — a perfect pruner), else the first column of a
-    * [[TxLog.normKey]]-mapped type whose stats are present in EVERY
-    * candidate file (a column missing stats anywhere admits
-    * everything). The collected IN-values are those of MATCHING rows,
-    * so ANY well-clustered column prunes — matching rows live in the
-    * matching files, and their values fall inside only those files'
-    * ranges — even when the merge joins on a different column.
+    * Choice (round 14, VERDICT r13 task 4): among the partition-spec
+    * columns and every [[TxLog.normKey]]-mapped column whose stats
+    * are present in EVERY candidate file, pick the one with the
+    * highest measured [[rangeDisjointness]] — the fraction of
+    * min-ordered adjacent file-range pairs that do NOT overlap,
+    * computed from the snapshot stats already in hand (zero extra
+    * I/O). The pre-r14 rule took the first partition column, else the
+    * FIRST covered column in schema order, which happily declared a
+    * near-constant column (score 0 — every file admits everything)
+    * while a perfectly clustered key sat unused. Ties break toward
+    * partition columns (degenerate min==max ranges — the cheapest
+    * exact pruner), then schema order. The collected IN-values are
+    * those of MATCHING rows, so ANY well-clustered column prunes —
+    * matching rows live in the matching files, and their values fall
+    * inside only those files' ranges — even when the merge joins on a
+    * different column.
     */
   def pruningAttributes(path: String, snap: TxLog.Snapshot,
       schema: StructType, candidates: Vector[String]): Seq[String] = {
@@ -347,7 +355,38 @@ private[sources] object TxLogV2Util {
     val part = TxLog.partitionSpec(path, snap.version)
       .filter(schema.fieldNames.contains)
     val covered = coveredPruningColumns(snap, schema, candidates)
-    (part ++ covered.filterNot(part.contains)).take(1)
+    val all = (part ++ covered.filterNot(part.contains)).toIndexedSeq
+    if (all.isEmpty) Nil
+    else {
+      val partSet = part.toSet
+      val scored = all.zipWithIndex.map { case (c, i) =>
+        (c, rangeDisjointness(snap, c, candidates), partSet.contains(c), i)
+      }
+      Seq(scored.maxBy { case (_, score, isPart, i) =>
+        (score, isPart, -i) }._1)
+    }
+  }
+
+  /** How PRUNABLE a column's file layout is, from log stats alone:
+    * sort the candidate files' [min, max] ranges by min (the
+    * [[TxLog.lt]] total order — works for every stats type, no
+    * subtraction needed) and return the fraction of ADJACENT pairs
+    * that do not overlap. 1.0 = perfectly clustered (every range
+    * disjoint — a point lookup prunes to one file); 0.0 = every file
+    * spans the same values (near-constant column, pruning can never
+    * drop a file). Metadata-sized: O(candidates log candidates).
+    */
+  def rangeDisjointness(snap: TxLog.Snapshot, column: String,
+      candidates: Vector[String]): Double = {
+    val ranges = candidates.flatMap(f =>
+      snap.stats.get(f).flatMap(_.colRange(column)))
+    if (ranges.length <= 1) return 0.0
+    val sorted = ranges.sortWith((a, b) => TxLog.lt(a.min, b.min).contains(true))
+    val disjoint = sorted.iterator.sliding(2).count {
+      case Seq(a, b) => TxLog.lt(a.max, b.min).contains(true)
+      case _ => false
+    }
+    disjoint.toDouble / (sorted.length - 1)
   }
 
   /** Every column of a [[TxLog.normKey]]-mapped type whose pruning

@@ -155,6 +155,58 @@ class TxLogSqlSpec extends SparkSuite {
       "group filtering must never change MERGE results")
   }
 
+  test("ranked pruning attribute: a near-constant leading column is " +
+       "passed over for the clustered key (round-13 VERDICT task 4)") {
+    import graft.sources.TxLogV2Util
+    val t = freshName()
+    // grp is FIRST in schema order and near-constant (values 1..3 in
+    // EVERY file — all ranges overlap); id is disjoint-clustered.
+    // The pre-r14 rule (first covered column) declared grp, whose
+    // stats admit every file; the ranked rule must pick id.
+    spark.sql(s"CREATE TABLE txsql.$t (grp BIGINT, id BIGINT, v STRING)")
+    Seq(Seq((1L, 1L, "a"), (3L, 10L, "b")),
+        Seq((1L, 11L, "c"), (3L, 20L, "d")),
+        Seq((1L, 21L, "e"), (3L, 30L, "f")),
+        Seq((1L, 31L, "g"), (3L, 40L, "h")))
+      .foreach(b => TxLog.append(spark, s"$wh/$t",
+        b.toDF("grp", "id", "v").coalesce(1)))
+    val before = TxLog.snapshot(s"$wh/$t")
+    assert(before.files.size == 4)
+    val schema = spark.table(s"txsql.$t").schema
+    // the naive choice would have been grp (schema-first covered
+    // column), and grp's stats admit EVERY file for the matched row's
+    // value — it can never prune here
+    val covered = TxLogV2Util.coveredPruningColumns(before, schema,
+      before.files)
+    assert(covered.head == "grp", s"schema-first covered column: $covered")
+    assert(before.files.forall { f =>
+      val r = before.stats(f).colRange("grp").get
+      r.min.asInstanceOf[Long] <= 3L && 3L <= r.max.asInstanceOf[Long]
+    }, "every file's grp range must admit the matched value (grp=3)")
+    assert(TxLogV2Util.rangeDisjointness(before, "grp",
+      before.files) == 0.0, "near-constant column scores 0")
+    assert(TxLogV2Util.rangeDisjointness(before, "id",
+      before.files) == 1.0, "disjoint-clustered column scores 1")
+    assert(TxLogV2Util.pruningAttributes(s"$wh/$t", before, schema,
+      before.files) == Seq("id"),
+      "the ranked rule must declare the clustered key, not the " +
+      "schema-first near-constant column")
+    // integration: a one-key MERGE (id=20, lives in file 2) rewrites
+    // exactly one file under the ranked attribute; the naive grp
+    // declaration would have rewritten all four
+    Seq((3L, 20L, "D2")).toDF("grp", "id", "v")
+      .createOrReplaceTempView("ranked_src")
+    spark.sql(
+      s"""MERGE INTO txsql.$t x USING ranked_src s ON x.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = TxLog.snapshot(s"$wh/$t")
+    assert((before.files.toSet intersect after.files.toSet).size == 3,
+      "the ranked attribute must confine the rewrite to 1 of 4 files")
+    assert(spark.sql(s"SELECT grp, id, v FROM txsql.$t WHERE id = 20")
+      .as[(Long, Long, String)].collect().toSeq == Seq((3L, 20L, "D2")))
+  }
+
   test("star-join runtime file skipping: a selective dim filter prunes " +
        "fact files at execution (DPP over the txlog scan)") {
     val t = freshName()
