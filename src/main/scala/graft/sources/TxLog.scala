@@ -1194,6 +1194,23 @@ object TxLog {
     require(writerId.nonEmpty && !writerId.exists(_.isWhitespace),
       s"writerId must be non-empty and whitespace-free: '$writerId'")
 
+  /** Sum of the add-lines' logged on-disk sizes in commit `v` — the
+    * per-version byte weight `maxBytesPerTrigger` budgets micro-batches
+    * with (round 13 records `bytes` on every add line at stage time).
+    * A file whose stats predate the field (or carry none) counts 0:
+    * the cap is a batch-size limiter over best-effort metadata, never
+    * a correctness gate — an under-counted fat commit still drains,
+    * just in a bigger batch.
+    */
+  private[graft] def addedBytes(table: String, v: Long): Long =
+    io.readLines(commitPath(table, v).toString).iterator
+      .filter(_.startsWith("add "))
+      .map { l =>
+        val parts = l.split(" ", 3)
+        if (parts.length < 3) 0L
+        else parseStats(parts(2)).map(_.bytes).filter(_ >= 0).getOrElse(0L)
+      }.sum
+
   /** Data files added in versions `(from, to]` by APPEND-class commits
     * — the incremental-consumption (change-data-feed) read. Compaction
     * commits are content-neutral rewrites and are skipped; an

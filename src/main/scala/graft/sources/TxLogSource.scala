@@ -132,18 +132,24 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
     // maxVersionsPerTrigger: cap how many COMMITS one micro-batch may
     // span — a reader restarted against a deep backlog catches up in
     // bounded batches instead of one table-sized batch (the
-    // maxFilesPerTrigger idea, in this log's natural unit)
-    val maxVersions = parameters.get("maxVersionsPerTrigger").map { v =>
-      val m = v.toLong
-      require(m > 0, s"maxVersionsPerTrigger must be positive, got $m")
-      m
-    }
+    // maxFilesPerTrigger idea, in this log's natural unit).
+    // maxBytesPerTrigger (round 14, VERDICT r13 task 5): a VOLUME cap
+    // on the same walk — versions bound commits, not bytes, and one
+    // fat commit otherwise still yields a table-sized micro-batch.
+    def positive(name: String): Option[Long] =
+      parameters.get(name).map { v =>
+        val m = v.toLong
+        require(m > 0, s"$name must be positive, got $m")
+        m
+      }
+    val maxVersions = positive("maxVersionsPerTrigger")
+    val maxBytes = positive("maxBytesPerTrigger")
     if (parameters.get("readChangeFeed").exists(_.toBoolean))
       new TxLogCdcStreamSource(sqlContext.sparkSession, path, st,
-        starting, parameters.get("changeKey"), maxVersions)
+        starting, parameters.get("changeKey"), maxVersions, maxBytes)
     else
       new TxLogStreamSource(sqlContext.sparkSession, path, st, starting,
-        maxVersions)
+        maxVersions, maxBytes)
   }
 
   /** `writeStream.format("txlog")` — the native EXACTLY-ONCE sink:
@@ -231,7 +237,9 @@ class TxLogSink(spark: SparkSession, table: String, writerId: String,
   * rows. `startingVersion` (INCLUSIVE, the Delta spelling: version N
   * itself is emitted; absent = full history first) skips the backlog;
   * `maxVersionsPerTrigger` caps how many commits one micro-batch may
-  * span, so a deep backlog drains in bounded batches.
+  * span and `maxBytesPerTrigger` caps its volume from the log's
+  * add-line sizes ([[TxLogTriggerCap]]), so a deep backlog drains in
+  * bounded batches.
   * Additively-evolved columns read as null from files that predate
   * them, exactly like the batch path.
   *
@@ -242,7 +250,8 @@ class TxLogSink(spark: SparkSession, table: String, writerId: String,
   */
 class TxLogStreamSource(spark: SparkSession, table: String,
     override val schema: StructType, afterVersion: Long,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Source {
 
   private def toVersion(o: V1Offset): Long = o match {
@@ -258,8 +267,8 @@ class TxLogStreamSource(spark: SparkSession, table: String,
 
   override def getOffset: Option[V1Offset] = {
     val cur = TxLog.currentVersion(table)
-    val capped = maxVersionsPerTrigger
-      .map(m => math.min(cur, lastOffset + m)).getOrElse(cur)
+    val capped = TxLogTriggerCap.next(table, lastOffset, cur,
+      maxVersionsPerTrigger, maxBytesPerTrigger)
     if (capped > lastOffset) {
       lastOffset = capped
       Some(LongOffset(capped))
@@ -306,6 +315,40 @@ class TxLogStreamSource(spark: SparkSession, table: String,
   override def toString: String = s"TxLogStreamSource[$table]"
 }
 
+/** Per-trigger offset capping shared by both streaming sources:
+  * `maxVersionsPerTrigger` bounds how many COMMITS a micro-batch may
+  * span, `maxBytesPerTrigger` (round 14) bounds its VOLUME — the
+  * version cap alone lets one fat commit yield a table-sized batch.
+  * The byte walk advances version by version, summing each commit's
+  * logged add-line sizes ([[TxLog.addedBytes]] — zero filesystem
+  * stat calls), and stops BEFORE the version that would push the
+  * running total over the budget; the first pending version is always
+  * taken (a commit bigger than the whole budget must still drain,
+  * whole — commits are the atomic replay unit). Both caps compose:
+  * the byte walk never exceeds the version cap's ceiling.
+  */
+private[sources] object TxLogTriggerCap {
+  def next(table: String, lastOffset: Long, cur: Long,
+           maxVersions: Option[Long], maxBytes: Option[Long]): Long = {
+    val vCap = maxVersions
+      .map(m => math.min(cur, lastOffset + m)).getOrElse(cur)
+    maxBytes match {
+      case None => vCap
+      case Some(budget) =>
+        var end = lastOffset
+        var acc = 0L
+        var v = lastOffset + 1
+        var stop = false
+        while (!stop && v <= vCap) {
+          val b = TxLog.addedBytes(table, v)
+          if (end > lastOffset && acc + b > budget) stop = true
+          else { acc += b; end = v; v += 1 }
+        }
+        end
+    }
+  }
+}
+
 /** The CDC-MODE streaming source —
   *
   * {{{
@@ -333,7 +376,8 @@ class TxLogStreamSource(spark: SparkSession, table: String,
 class TxLogCdcStreamSource(spark: SparkSession, table: String,
     override val schema: StructType, afterVersion: Long,
     changeKey: Option[String],
-    maxVersionsPerTrigger: Option[Long] = None) extends Source {
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Source {
 
   private def toVersion(o: V1Offset): Long = o match {
     case LongOffset(v)          => v
@@ -345,8 +389,8 @@ class TxLogCdcStreamSource(spark: SparkSession, table: String,
 
   override def getOffset: Option[V1Offset] = {
     val cur = TxLog.currentVersion(table)
-    val capped = maxVersionsPerTrigger
-      .map(m => math.min(cur, lastOffset + m)).getOrElse(cur)
+    val capped = TxLogTriggerCap.next(table, lastOffset, cur,
+      maxVersionsPerTrigger, maxBytesPerTrigger)
     if (capped > lastOffset) {
       lastOffset = capped
       Some(LongOffset(capped))

@@ -134,6 +134,88 @@ class TxLogStreamSpec extends SparkSuite {
     }
   }
 
+  test("maxBytesPerTrigger splits a fat backlog on the byte budget; " +
+       "a single over-budget commit still drains whole") {
+    val t = freshTable()
+    // 5 commits of ~equal size; measure one commit's logged bytes and
+    // budget ~2 commits per trigger
+    (1 to 5).foreach(i => TxLog.append(spark, t,
+      mk((1 to 50).map(j => (i * 100L + j) -> s"row$i-$j"): _*)
+        .coalesce(1)))
+    val perCommit = TxLog.snapshot(t).stats.values.map(_.bytes).min
+    assert(perCommit > 0, "add lines must carry logged byte sizes")
+    val batches = mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream.format("txlog").option("path", t)
+      .option("maxBytesPerTrigger", (perCommit * 2).toString).load()
+      .writeStream.foreachBatch { (df: DataFrame, _: Long) =>
+        val ids = df.select("id").collect().map(_.getLong(0)).toSet
+        batches.synchronized { batches += ids }; ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    batches.synchronized {
+      val nonEmpty = batches.filter(_.nonEmpty)
+      assert(nonEmpty.flatten.toSet.size == 250,
+        s"byte-capped catch-up must still deliver everything: " +
+        s"${nonEmpty.map(_.size)}")
+      assert(nonEmpty.forall(_.size <= 100),
+        s"a batch exceeded the ~2-commit byte budget: " +
+        s"${nonEmpty.map(_.size)}")
+      assert(nonEmpty.size >= 3,
+        s"5 commits at a 2-commit byte budget need >= 3 batches: " +
+        s"${nonEmpty.map(_.size)}")
+    }
+    // a commit bigger than the whole budget is still taken, whole —
+    // commits are the atomic replay unit (never a stuck stream)
+    val t2 = freshTable()
+    TxLog.append(spark, t2,
+      mk((1 to 100).map(j => j.toLong -> s"fat$j"): _*).coalesce(1))
+    val fatSeen = mutable.Set.empty[Long]
+    val q2 = spark.readStream.format("txlog").option("path", t2)
+      .option("maxBytesPerTrigger", "1").load()
+      .writeStream.foreachBatch { (df: DataFrame, _: Long) =>
+        val ids = df.select("id").collect().map(_.getLong(0))
+        fatSeen.synchronized { fatSeen ++= ids }; ()
+      }.start()
+    q2.processAllAvailable(); q2.stop()
+    assert(fatSeen.synchronized(fatSeen.toSet) == (1L to 100L).toSet,
+      "an over-budget commit must drain whole, not wedge the stream")
+  }
+
+  test("restart from checkpoint mid-backlog under maxVersionsPerTrigger " +
+       "re-emits no version (round-13 ADVICE)") {
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("graft_txstream_cap_ckpt").toString
+    (1 to 6).foreach(i => TxLog.append(spark, t, mk(i.toLong -> s"r$i")))
+    val seen = mutable.ArrayBuffer.empty[Long]
+    def start() = spark.readStream.format("txlog").option("path", t)
+      .option("maxVersionsPerTrigger", "2").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val ids = df.select("id").collect().map(_.getLong(0))
+        seen.synchronized { seen ++= ids }; ()
+      }.start()
+    // drain only PART of the backlog: stop after the first batch (the
+    // cap guarantees a remainder), leaving committed offsets mid-walk
+    val q1 = start()
+    val deadline = System.currentTimeMillis() + 30000
+    while (seen.synchronized(seen.isEmpty) &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(seen.synchronized(seen.nonEmpty), "first capped batch timed out")
+    q1.stop()
+    val afterStop = seen.synchronized(seen.toVector)
+    assert(afterStop.size < 6,
+      s"the cap must leave a remainder at stop: $afterStop")
+    // restart against the remaining backlog: the committed offset
+    // re-seeds the walk (getBatch replay), so no version re-emits
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val all = seen.synchronized(seen.toVector)
+    assert(all.toSet == (1L to 6L).map(identity).toSet,
+      s"the full backlog must eventually drain: $all")
+    assert(all.size == all.toSet.size,
+      s"no version may be re-emitted across the restart: $all")
+  }
+
   test("startingVersion skips the backlog; schema comes from the log") {
     val t = freshTable()
     TxLog.append(spark, t, mk(1L -> "backlog"))
