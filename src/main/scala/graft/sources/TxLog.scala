@@ -1194,6 +1194,51 @@ object TxLog {
     require(writerId.nonEmpty && !writerId.exists(_.isWhitespace),
       s"writerId must be non-empty and whitespace-free: '$writerId'")
 
+  /** The reserved prefix separating READER offsets from writer epochs
+    * in the txn-HWM namespace (both are monotone per-id high-water
+    * marks folded into checkpoints — one mechanism, two populations).
+    */
+  private[graft] val readerHwmPrefix = "rdr-"
+
+  /** Record that reader `readerId` has durably CONSUMED `table`
+    * through `version` — the retention handshake between streaming
+    * readers and [[vacuum]] (round-13 VERDICT missing #4 / task 6):
+    * vacuum's keep-window must start at or below a registered
+    * reader's next version, or it refuses (the files a lagging reader
+    * still needs would go). A content-neutral `txn` commit reusing
+    * the writer-HWM machinery (monotone, checkpoint-folded, O(1)
+    * probes); registering at or below the current mark is a no-op, so
+    * replays never spam the log. Streaming sources register
+    * automatically when created with `.option("readerId", …)`.
+    */
+  def registerReader(table: String, readerId: String, version: Long): Long = {
+    requireWriterId(readerId)
+    val id = readerHwmPrefix + readerId
+    val cur = currentVersion(table)
+    if (lastEpoch(table, cur, id).exists(_ >= version)) return cur
+    commit(table, s"txn $id $version", cur, Nil, Nil)
+  }
+
+  /** Every registered reader's consumed-through version at `v`. */
+  private[graft] def readerHwms(table: String, v: Long): Map[String, Long] =
+    if (v == 0L) Map.empty
+    else replay(table, v).txns.iterator.collect {
+      case (id, hwm) if id.startsWith(readerHwmPrefix) =>
+        id.substring(readerHwmPrefix.length) -> hwm
+    }.toMap
+
+  /** Does any commit in `(from, to]` carry data-file changes? Used by
+    * the sources' reader-HWM registration to skip content-neutral
+    * ranges (above all their OWN registration commits — registering
+    * after a registration-only batch would self-feed forever).
+    */
+  private[graft] def rangeHasData(table: String, from: Long,
+                                  to: Long): Boolean =
+    ((from + 1) to to).exists { v =>
+      io.readLines(commitPath(table, v).toString).exists(l =>
+        l.startsWith("add ") || l.startsWith("remove "))
+    }
+
   /** Sum of the add-lines' logged on-disk sizes in commit `v` — the
     * per-version byte weight `maxBytesPerTrigger` budgets micro-batches
     * with (round 13 records `bytes` on every add line at stage time).
@@ -1967,9 +2012,26 @@ object TxLog {
     * version): run vacuum with a retention window longer than any
     * write's staging time, or not concurrently with writers.
     */
-  def vacuum(table: String, retainVersions: Int = 0): Seq[String] = {
+  def vacuum(table: String, retainVersions: Int = 0,
+             respectReaders: Boolean = true): Seq[String] = {
     val cur = currentVersion(table)
-    val keep = ((cur - retainVersions) max 1L to cur)
+    val keepStart = (cur - retainVersions) max 1L
+    if (respectReaders) {
+      // the retention handshake (round 14): a reader registered at
+      // HWM f still needs the files of versions (f, cur] — refuse
+      // while the keep-window would start past any reader's next
+      // version, naming the laggard. `respectReaders = false`
+      // (`respect_readers => false` on the CALL) is the explicit
+      // override for decommissioned readers.
+      val lagging = readerHwms(table, cur).filter(_._2 < keepStart - 1)
+      require(lagging.isEmpty,
+        s"vacuum of $table (retain $retainVersions, keep-window from " +
+        s"v$keepStart) would delete files still needed by lagging " +
+        s"reader(s): ${lagging.toSeq.sortBy(_._1).map { case (r, h) =>
+          s"$r@v$h" }.mkString(", ")} — advance or decommission them, " +
+        s"raise retention, or pass respectReaders = false to override")
+    }
+    val keep = (keepStart to cur)
       .flatMap(v => snapshot(table, Some(v)).files).map(abs).toSet
     val dead = io.listNames(table).iterator
       .filter(_.endsWith(".parquet"))

@@ -129,8 +129,12 @@ private[sources] object TxLogProcedures {
     }
   }
 
-  /** `vacuum(table, retain_versions=0)`: delete data files no version
-    * in the retention window references; one row per deleted file.
+  /** `vacuum(table, retain_versions=0, respect_readers=true)`: delete
+    * data files no version in the retention window references; one
+    * row per deleted file. With `respect_readers` (the default) the
+    * call REFUSES while any registered reader's consumed-through
+    * version lags the keep-window (the retention handshake —
+    * `respect_readers => false` overrides for decommissioned readers).
     */
   private final class VacuumProc(resolve: Seq[String] => String)
       extends TxLogProcedure(resolve) {
@@ -141,13 +145,18 @@ private[sources] object TxLogProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("retain_versions", IntegerType)
-        .defaultValue("0").build())
+        .defaultValue("0").build(),
+      ProcedureParameter.in("respect_readers", BooleanType)
+        .defaultValue("true")
+        .comment("refuse while a registered reader's HWM lags the " +
+          "keep-window").build())
 
     override val outputSchema: StructType = StructType(Seq(
       StructField("deleted_file", StringType, nullable = false)))
 
     override def run(args: InternalRow): Seq[InternalRow] =
-      TxLog.vacuum(pathOf(str(args, 0)), args.getInt(1))
+      TxLog.vacuum(pathOf(str(args, 0)), args.getInt(1),
+          respectReaders = args.getBoolean(2))
         .map(f => InternalRow(utf8(f)))
   }
 

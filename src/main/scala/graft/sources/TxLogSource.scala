@@ -144,12 +144,17 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
       }
     val maxVersions = positive("maxVersionsPerTrigger")
     val maxBytes = positive("maxBytesPerTrigger")
+    // readerId (round 14): register this stream's consumed-through
+    // version in the SOURCE table's log after each committed batch —
+    // the retention handshake vacuum's respect_readers guard reads
+    val readerId = parameters.get("readerId")
     if (parameters.get("readChangeFeed").exists(_.toBoolean))
       new TxLogCdcStreamSource(sqlContext.sparkSession, path, st,
-        starting, parameters.get("changeKey"), maxVersions, maxBytes)
+        starting, parameters.get("changeKey"), maxVersions, maxBytes,
+        readerId)
     else
       new TxLogStreamSource(sqlContext.sparkSession, path, st, starting,
-        maxVersions, maxBytes)
+        maxVersions, maxBytes, readerId)
   }
 
   /** `writeStream.format("txlog")` — the native EXACTLY-ONCE sink:
@@ -251,7 +256,8 @@ class TxLogSink(spark: SparkSession, table: String, writerId: String,
 class TxLogStreamSource(spark: SparkSession, table: String,
     override val schema: StructType, afterVersion: Long,
     maxVersionsPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    readerId: Option[String] = None)
     extends Source {
 
   private def toVersion(o: V1Offset): Long = o match {
@@ -279,6 +285,7 @@ class TxLogStreamSource(spark: SparkSession, table: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     lastOffset = math.max(lastOffset, toVersion(end))
     val from = start.map(toVersion).getOrElse(afterVersion)
+    registerThrough(from)
     val files = TxLog.changedFiles(table, from, toVersion(end))
     // vacuum's keep-set is VERSION-based and knows nothing about
     // streaming reader offsets: a compact (de-references the appended
@@ -310,7 +317,30 @@ class TxLogStreamSource(spark: SparkSession, table: String,
     }
   }
 
-  override def commit(end: V1Offset): Unit = ()
+  // floor of the next registration's data check — consumed-through
+  // version as of the last registration probe (registration commits
+  // themselves are content-neutral, so skipping no-data ranges both
+  // avoids self-feeding the trigger loop and stays conservative: an
+  // unregistered advance only keeps the vacuum floor LOWER). Fed from
+  // two engine callbacks, both SAFE floors: `commit(end)` is the
+  // engine's promise that nothing ≤ end is ever requested again, and
+  // a batch's `start` in getBatch is the previous offset-WAL entry —
+  // a restart replays at most from it, never below (commit alone
+  // would lag a batch: the engine commits a batch's sources only
+  // while constructing the next one).
+  @volatile private var registeredThrough: Long = afterVersion
+
+  private def registerThrough(v: Long): Unit = readerId.foreach { rid =>
+    if (v > registeredThrough) {
+      if (TxLog.rangeHasData(table, registeredThrough, v))
+        TxLog.registerReader(table, rid, v)
+      registeredThrough = v
+    }
+  }
+
+  override def commit(end: V1Offset): Unit =
+    registerThrough(toVersion(end))
+
   override def stop(): Unit = ()
   override def toString: String = s"TxLogStreamSource[$table]"
 }
@@ -377,7 +407,8 @@ class TxLogCdcStreamSource(spark: SparkSession, table: String,
     override val schema: StructType, afterVersion: Long,
     changeKey: Option[String],
     maxVersionsPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None) extends Source {
+    maxBytesPerTrigger: Option[Long] = None,
+    readerId: Option[String] = None) extends Source {
 
   private def toVersion(o: V1Offset): Long = o match {
     case LongOffset(v)          => v
@@ -401,6 +432,7 @@ class TxLogCdcStreamSource(spark: SparkSession, table: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     lastOffset = math.max(lastOffset, toVersion(end))
     val from = start.map(toVersion).getOrElse(afterVersion)
+    registerThrough(from)
     val feed = TxLog.readChangeFeed(spark, table, from,
       Some(toVersion(end)), changeKey)
     // align to the schema pinned at source creation (mid-stream
@@ -411,7 +443,21 @@ class TxLogCdcStreamSource(spark: SparkSession, table: String,
     GraftBridge.asStream(aligned)
   }
 
-  override def commit(end: V1Offset): Unit = ()
+  // same retention-handshake registration as the plain source (see
+  // the safety notes there)
+  @volatile private var registeredThrough: Long = afterVersion
+
+  private def registerThrough(v: Long): Unit = readerId.foreach { rid =>
+    if (v > registeredThrough) {
+      if (TxLog.rangeHasData(table, registeredThrough, v))
+        TxLog.registerReader(table, rid, v)
+      registeredThrough = v
+    }
+  }
+
+  override def commit(end: V1Offset): Unit =
+    registerThrough(toVersion(end))
+
   override def stop(): Unit = ()
   override def toString: String = s"TxLogCdcStreamSource[$table]"
 }

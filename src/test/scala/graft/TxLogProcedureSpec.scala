@@ -80,6 +80,44 @@ class TxLogProcedureSpec extends SparkSuite {
       "vacuum never touches live files")
   }
 
+  test("CALL vacuum refuses while a registered reader lags; proceeds " +
+       "after it advances (retention handshake, round-13 VERDICT #4)") {
+    val t = fresh(Seq(1L -> "a"), Seq(2L -> "b"), Seq(3L -> "c"))
+    val path = s"$wh/$t"
+    // a reader registered at v1 still needs the files of (1, cur] —
+    // compact de-references them, so a retain-0 vacuum would delete
+    // them out from under it
+    TxLog.registerReader(path, "sink1", 1L)
+    spark.sql(s"CALL txp.system.compact(table => '$t')")
+    val refused = intercept[Exception] {
+      spark.sql(s"CALL txp.system.vacuum(table => '$t')").collect()
+    }
+    def rootMsg(e: Throwable): String = {
+      var c: Throwable = e
+      while (c.getCause != null) c = c.getCause
+      c.getMessage
+    }
+    assert(rootMsg(refused).contains("sink1@v1"),
+      s"the refusal must name the lagging reader: ${rootMsg(refused)}")
+    // the reader catches up: vacuum proceeds and reclaims the
+    // pre-compact files
+    TxLog.registerReader(path, "sink1", TxLog.currentVersion(path))
+    val dead = spark.sql(s"CALL txp.system.vacuum(table => '$t')")
+      .as[String].collect()
+    assert(dead.length == 3,
+      s"the three pre-compact files reclaim once the reader is caught " +
+      s"up: ${dead.toSeq}")
+    assert(spark.sql(s"SELECT count(*) FROM txp.$t").as[Long].head() == 3L)
+    // explicit override for a decommissioned reader
+    val t2 = fresh(Seq(1L -> "a"), Seq(2L -> "b"))
+    TxLog.registerReader(s"$wh/$t2", "dead-sink", 1L)
+    spark.sql(s"CALL txp.system.compact(table => '$t2')")
+    val forced = spark.sql(s"CALL txp.system.vacuum(table => '$t2', " +
+      s"respect_readers => false)").as[String].collect()
+    assert(forced.length == 2,
+      "respect_readers => false must override the handshake")
+  }
+
   test("CALL restore rolls back as a new commit; history tells the tale") {
     val t = fresh(Seq(1L -> "a"))
     TxLog.append(spark, s"$wh/$t", Seq(2L -> "b").toDF("id", "v"))

@@ -187,33 +187,79 @@ class TxLogStreamSpec extends SparkSuite {
     val ckpt = Files.createTempDirectory("graft_txstream_cap_ckpt").toString
     (1 to 6).foreach(i => TxLog.append(spark, t, mk(i.toLong -> s"r$i")))
     val seen = mutable.ArrayBuffer.empty[Long]
-    def start() = spark.readStream.format("txlog").option("path", t)
-      .option("maxVersionsPerTrigger", "2").load()
-      .writeStream.option("checkpointLocation", ckpt)
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        val ids = df.select("id").collect().map(_.getLong(0))
-        seen.synchronized { seen ++= ids }; ()
-      }.start()
-    // drain only PART of the backlog: stop after the first batch (the
-    // cap guarantees a remainder), leaving committed offsets mid-walk
-    val q1 = start()
-    val deadline = System.currentTimeMillis() + 30000
-    while (seen.synchronized(seen.isEmpty) &&
-           System.currentTimeMillis() < deadline) Thread.sleep(50)
-    assert(seen.synchronized(seen.nonEmpty), "first capped batch timed out")
-    q1.stop()
+    def start(one: Boolean) = {
+      val w = spark.readStream.format("txlog").option("path", t)
+        .option("maxVersionsPerTrigger", "2").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val ids = df.select("id").collect().map(_.getLong(0))
+          seen.synchronized { seen ++= ids }; ()
+        }
+      // Trigger.Once = exactly one micro-batch: with the cap that is
+      // versions 1-2, DETERMINISTICALLY leaving a mid-walk remainder
+      (if (one) w.trigger(
+        org.apache.spark.sql.streaming.Trigger.Once()) else w).start()
+    }
+    val q1 = start(one = true)
+    q1.awaitTermination(60000)
     val afterStop = seen.synchronized(seen.toVector)
-    assert(afterStop.size < 6,
-      s"the cap must leave a remainder at stop: $afterStop")
+    assert(afterStop.toSet == Set(1L, 2L),
+      s"one capped batch is exactly versions 1-2: $afterStop")
     // restart against the remaining backlog: the committed offset
     // re-seeds the walk (getBatch replay), so no version re-emits
-    val q2 = start()
+    val q2 = start(one = false)
     q2.processAllAvailable(); q2.stop()
     val all = seen.synchronized(seen.toVector)
     assert(all.toSet == (1L to 6L).map(identity).toSet,
       s"the full backlog must eventually drain: $all")
     assert(all.size == all.toSet.size,
       s"no version may be re-emitted across the restart: $all")
+  }
+
+  test("readerId auto-registers the stream's consumed offset without " +
+       "self-feeding the trigger loop") {
+    val t = freshTable()
+    TxLog.append(spark, t, mk(1L -> "a"))
+    TxLog.append(spark, t, mk(2L -> "b"))
+    val q = spark.readStream.format("txlog").option("path", t)
+      .option("readerId", "hwm-stream").load()
+      .writeStream.foreachBatch { (_: DataFrame, _: Long) => () }.start()
+    q.processAllAvailable()
+    // a second data batch forces the engine through the commit/
+    // getBatch callbacks for the first one (source commit lags one
+    // batch by engine design)
+    TxLog.append(spark, t, mk(3L -> "c"))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    val v1 = TxLog.currentVersion(t)
+    val hwm1 = TxLog.readerHwms(t, v1).getOrElse("hwm-stream", 0L)
+    assert(hwm1 >= 2L,
+      s"the drained backlog must be registered (hwm $hwm1 at v$v1)")
+    // LIVELOCK pin: registration commits are content-neutral, so with
+    // no new data the version must stop advancing
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.processAllAvailable()
+    val v2 = TxLog.currentVersion(t)
+    assert(v2 == v1,
+      s"registration must not self-feed the trigger loop (v$v1 -> v$v2)")
+    // SAFETY pin: the registered floor never claims unconsumed data —
+    // every version > hwm is either unconsumed-yet or content-neutral,
+    // so (hwm, cur] never contains data the query hasn't processed;
+    // here the query is fully drained, so hwm may lag (conservative)
+    // but never exceed the newest version
+    assert(TxLog.readerHwms(t, v2)("hwm-stream") <= v2)
+    q.stop()
+    // and the floor actually guards: vacuum at retain 0 refuses while
+    // the mark lags a post-stop rewrite, proceeds once re-registered
+    TxLog.append(spark, t, mk(4L -> "d"))
+    TxLog.compact(spark, t)
+    val ex = intercept[IllegalArgumentException] { TxLog.vacuum(t) }
+    assert(ex.getMessage.contains("hwm-stream"),
+      s"vacuum must name the lagging stream reader: ${ex.getMessage}")
+    TxLog.registerReader(t, "hwm-stream", TxLog.currentVersion(t))
+    assert(TxLog.vacuum(t).nonEmpty,
+      "vacuum proceeds once the reader is caught up")
   }
 
   test("startingVersion skips the backlog; schema comes from the log") {
