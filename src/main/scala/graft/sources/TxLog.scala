@@ -261,14 +261,57 @@ object TxLog {
       cols.get(c).orElse(part.get(c).map(p => ColStats(p, p)))
   }
 
+  /** COLUMN MAPPING (round 14, VERDICT r13 task 3 — the Iceberg/Delta
+    * column-mapping idea): `toPhysical` maps a LOGICAL column name
+    * (what the schema line and every API surface show) to the
+    * PHYSICAL name stored inside parquet files; names absent from the
+    * map are identity. `dropped` is the tombstone list of
+    * (logical, physical) pairs retired by DROP COLUMN — their
+    * physical names stay reserved forever (a re-added same-name
+    * column gets a FRESH physical name, so the buried data can never
+    * resurrect), and a write carrying a dropped logical name is
+    * rejected until an explicit ALTER ADD COLUMNS re-creates it.
+    * Physical names in files NEVER change: RENAME COLUMN is one
+    * metadata commit and every pre-rename file keeps serving under
+    * the new logical name.
+    */
+  final case class ColMap(toPhysical: Map[String, String],
+                          dropped: Seq[(String, String)]) {
+    def isIdentity: Boolean = toPhysical.isEmpty && dropped.isEmpty
+    def physical(logical: String): String =
+      toPhysical.getOrElse(logical, logical)
+    /** physical → logical for the renamed columns. */
+    def toLogical: Map[String, String] = toPhysical.map(_.swap)
+    def droppedPhysical: Set[String] = dropped.map(_._2).toSet
+    def droppedLogical: Set[String] = dropped.map(_._1).toSet
+    /** Every physical name reserved at `schema` (the live columns'
+      * physical names + every tombstone) — the set a NEW column's
+      * physical name must avoid.
+      */
+    def usedPhysical(schema: StructType): Set[String] =
+      schema.fieldNames.map(physical).toSet ++ droppedPhysical ++
+        toPhysical.values
+    /** The schema as stored on disk: fields renamed to physical. */
+    def physicalSchema(logical: StructType): StructType =
+      if (isIdentity) logical
+      else StructType(logical.fields.map(f =>
+        f.copy(name = physical(f.name))))
+  }
+
+  object ColMap { val identity: ColMap = ColMap(Map.empty, Nil) }
+
   /** An immutable view of the table at `version`: `files` are the live
     * data files (absolute paths) and `stats` their footer statistics
-    * (keyed by the same path strings; a file may be absent). Reading a
-    * snapshot is unaffected by later commits — files are immutable and
-    * vacuum-protected while referenced by any retained version.
+    * (keyed by the same path strings; a file may be absent — and with
+    * a non-identity [[mapping]], stats column keys are REKEYED to
+    * logical names at snapshot build, so every downstream stats
+    * consumer speaks logical). Reading a snapshot is unaffected by
+    * later commits — files are immutable and vacuum-protected while
+    * referenced by any retained version.
     */
   final case class Snapshot(version: Long, files: Vector[String],
-                            stats: Map[String, FileStats] = Map.empty)
+                            stats: Map[String, FileStats] = Map.empty,
+                            mapping: ColMap = ColMap.identity)
 
   /** Commits between checkpoints; replay reads at most this many
     * commit files past the newest checkpoint. Overridable for the
@@ -569,6 +612,7 @@ object TxLog {
     val txns = mutable.Map.empty[String, Long]
     var schemaJson: Option[String] = None
     var partitionJson: Option[String] = None
+    var colmapJson: Option[String] = None
   }
 
   private def applyCommitLine(st: LogState, line: String): Unit =
@@ -582,6 +626,8 @@ object TxLog {
       st.schemaJson = Some(line.substring("schema ".length))
     } else if (line.startsWith("partition ")) {
       st.partitionJson = Some(line.substring("partition ".length))
+    } else if (line.startsWith("colmap ")) {
+      st.colmapJson = Some(line.substring("colmap ".length))
     } else if (line.startsWith("meta txn ")) {
       val parts = line.split(" ") // meta txn <writer> <epoch> <readV>
       if (parts.length >= 4) {
@@ -612,6 +658,8 @@ object TxLog {
       st.schemaJson = Some(line.substring("schema ".length))
     } else if (line.startsWith("partition ")) {
       st.partitionJson = Some(line.substring("partition ".length))
+    } else if (line.startsWith("colmap ")) {
+      st.colmapJson = Some(line.substring("colmap ".length))
     } else throw new IllegalStateException(
       s"unrecognized checkpoint line (old or foreign checkpoint format " +
       s"— refusing to silently lose files): '${line.take(80)}'")
@@ -648,10 +696,25 @@ object TxLog {
       s"version $v was never committed at $table")
     val st = replay(table, v)
     val files = st.files.keysIterator.map(r => s"$table/$r").toVector
+    val mapping = st.colmapJson.map(decodeColMap).getOrElse(ColMap.identity)
+    // with a non-identity mapping, REKEY stats columns to logical
+    // names here, once — every downstream stats consumer (pruning,
+    // admits, runtime filters, locate) then speaks logical and needs
+    // zero mapping awareness. Dropped physical columns lose their
+    // stats entry (their logical name no longer exists).
+    def rekey(fs: FileStats): FileStats =
+      if (mapping.isIdentity) fs
+      else {
+        val rev = mapping.toLogical
+        val gone = mapping.droppedPhysical
+        fs.copy(cols = fs.cols.iterator.collect {
+          case (p, cs) if !gone.contains(p) => rev.getOrElse(p, p) -> cs
+        }.toMap)
+      }
     val stats = st.files.iterator.collect {
-      case (r, Some(fs)) => s"$table/$r" -> fs
+      case (r, Some(fs)) => s"$table/$r" -> rekey(fs)
     }.toMap
-    Snapshot(v, files, stats)
+    Snapshot(v, files, stats, mapping)
   }
 
   /** Snapshot-isolated read; `asOfVersion` time-travels. An empty
@@ -670,8 +733,27 @@ object TxLog {
     */
   def readSnapshot(s: SparkSession, snap: Snapshot): DataFrame = {
     require(snap.files.nonEmpty, s"version ${snap.version} has no files")
-    s.read.option("mergeSchema", "true").parquet(snap.files: _*)
+    renameToLogical(
+      s.read.option("mergeSchema", "true").parquet(snap.files: _*),
+      snap.mapping)
   }
+
+  /** Physical (on-disk) column names → logical, per the mapping:
+    * renamed columns come back under their current logical name,
+    * dropped physical columns disappear. Identity mapping returns the
+    * frame untouched (the pre-r14 byte-identical path). Catalyst
+    * pushes filters and pruning through the aliases, so pushdown
+    * reaches the parquet scan under the PHYSICAL names.
+    */
+  private[graft] def renameToLogical(df: DataFrame,
+                                     mapping: ColMap): DataFrame =
+    if (mapping.isIdentity) df
+    else {
+      val rev = mapping.toLogical
+      val gone = mapping.droppedPhysical
+      df.select(df.columns.toIndexedSeq.filterNot(gone.contains)
+        .map(c => col(c).as(rev.getOrElse(c, c))): _*)
+    }
 
   /** Stage `df` as new parquet files in the table dir; returns
     * `(name, footer-stats)` pairs (names relative to the table root).
@@ -688,10 +770,17 @@ object TxLog {
                     spec: Seq[String] = Nil)
       : Seq[(String, Option[FileStats])] = {
     Files.createDirectories(logDir(table))
+    // files store PHYSICAL column names (column mapping, round 14):
+    // rename the logical frame before writing, so new files line up
+    // with every pre-rename file on disk. Partition columns are
+    // rename-protected, so the spec names are untouched. Identity
+    // mapping = the frame itself, zero overhead.
+    val df0 = renameToPhysical(df,
+      columnMapping(table, currentVersion(table)))
     val stageDir = Paths.get(table,
       s".stage-${java.util.UUID.randomUUID().toString}")
     if (spec.isEmpty) {
-      df.write.parquet(stageDir.toString)
+      df0.write.parquet(stageDir.toString)
       val parts = Files.list(stageDir).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
       val names = parts.map { p =>
@@ -702,8 +791,14 @@ object TxLog {
       }
       scrubStage(stageDir)
       names
-    } else stagePartitioned(table, df, spec, stageDir)
+    } else stagePartitioned(table, df0, spec, stageDir)
   }
+
+  /** Inverse of [[renameToLogical]] for the write path. */
+  private def renameToPhysical(df: DataFrame, mapping: ColMap): DataFrame =
+    if (mapping.isIdentity) df
+    else df.select(df.columns.toIndexedSeq
+      .map(c => col(c).as(mapping.physical(c))): _*)
 
   /** Partitioned staging: DUPLICATE the partition columns and
     * hive-partition the staging layout by the duplicates — every
@@ -830,6 +925,61 @@ object TxLog {
     }.getOrElse(Nil)
   }
 
+  // ------------------------------------------------------------------
+  // Column mapping (round 14)
+  // ------------------------------------------------------------------
+
+  private def encodeColMap(m: ColMap): String =
+    jsonCompact(render(JObject(
+      "map" -> JObject(m.toPhysical.toList.sortBy(_._1).map {
+        case (l, p) => l -> (JString(p): JValue) }),
+      "dropped" -> JArray(m.dropped.toList.map { case (l, p) =>
+        (JArray(List(JString(l), JString(p))): JValue) }))))
+
+  private[graft] def decodeColMap(json: String): ColMap = parse(json) match {
+    case JObject(fields) =>
+      val fm = fields.toMap
+      val map = fm.get("map") match {
+        case Some(JObject(fs)) =>
+          fs.collect { case (l, JString(p)) => l -> p }.toMap
+        case _ => Map.empty[String, String]
+      }
+      val dropped = fm.get("dropped") match {
+        case Some(JArray(vs)) => vs.collect {
+          case JArray(List(JString(l), JString(p))) => (l, p) }
+        case _ => Nil
+      }
+      ColMap(map, dropped)
+    case _ => throw new IllegalStateException(
+      s"unreadable colmap line: '$json'")
+  }
+
+  /** The column mapping at `v` — the newest `colmap` line at or below
+    * it (same walk discipline as [[tableSchema]]/[[partitionSpec]]:
+    * bounded by the newest checkpoint, which carries the line
+    * forward). Identity for tables that never renamed or dropped.
+    */
+  private[graft] def columnMapping(table: String, v: Long): ColMap = {
+    val dir = logDir(table)
+    val cp = if (io.isDirectory(dir.toString)) latestCheckpointAt(dir).filter(_ <= v)
+             else None
+    var i = v
+    val floor = cp.getOrElse(0L)
+    while (i > floor) {
+      io.readLines(commitPath(table, i).toString)
+        .find(_.startsWith("colmap ")) match {
+        case Some(l) => return decodeColMap(l.substring("colmap ".length))
+        case None    => ()
+      }
+      i -= 1
+    }
+    cp.flatMap { c =>
+      io.readLines(checkpointPath(table, c).toString)
+        .find(_.startsWith("colmap "))
+        .map(l => decodeColMap(l.substring("colmap ".length)))
+    }.getOrElse(ColMap.identity)
+  }
+
   private def encodeSpec(cols: Seq[String]): String =
     jsonCompact(render(org.json4s.JArray(
       cols.toList.map(c => JString(c): JValue))))
@@ -940,8 +1090,21 @@ object TxLog {
           }
         }
         val known = existing.fieldNames.toSet
-        StructType(existing.fields ++
-          incoming.fields.filterNot(f => known.contains(f.name)))
+        val fresh = incoming.fields.filterNot(f => known.contains(f.name))
+        // a DROPPED logical name may not sneak back in as additive
+        // evolution: its buried physical data must never resurrect
+        // under an identity mapping. Re-creating it is an explicit
+        // ALTER TABLE ADD COLUMNS, which assigns a fresh physical name.
+        if (fresh.nonEmpty) {
+          val tomb = columnMapping(table, v).droppedLogical
+          val resurrect = fresh.map(_.name).filter(tomb.contains)
+          require(resurrect.isEmpty,
+            s"incompatible $op at $table: column(s) " +
+            s"${resurrect.mkString(", ")} were DROPPED — re-create " +
+            s"with ALTER TABLE ADD COLUMNS (fresh physical identity) " +
+            s"before writing them")
+        }
+        StructType(existing.fields ++ fresh)
     }
 
   private def schemaLine(schema: StructType): String = s"schema ${schema.json}"
@@ -1069,6 +1232,7 @@ object TxLog {
       val lines =
         st.schemaJson.map("schema " + _).toSeq ++
         st.partitionJson.map("partition " + _).toSeq ++
+        st.colmapJson.map("colmap " + _).toSeq ++
         st.txns.toSeq.sortBy(_._1).map { case (w, e) => s"txn $w $e" } ++
         st.files.iterator.map { case (r, fs) =>
           fs match {
@@ -1278,6 +1442,7 @@ object TxLog {
         case "compact"   => () // content-neutral: nothing new to emit
         case "create"    => () // schema-only, no data files by construction
         case "altschema" => () // schema-only (ALTER TABLE ADD COLUMNS)
+        case "remap"     => () // schema-only (RENAME/DROP COLUMN)
         case other =>
           throw new IllegalStateException(
             s"version $v is a '$other' rewrite — not incrementally " +
@@ -1356,6 +1521,10 @@ object TxLog {
         s"table $table already has a '$c' column — CDC cannot annotate it")
     }
     val dataCols = outSchema.fieldNames.toIndexedSeq
+    // the mapping at `to` serves EVERY branch: physical names never
+    // change, so pre-rename files and post-rename files read alike —
+    // request the physical twin of the known schema, rename back
+    val feedMapping = columnMapping(table, to)
     def readAligned(files: Vector[String]): DataFrame = {
       val missing = files.filterNot(io.exists)
       require(missing.isEmpty,
@@ -1370,8 +1539,13 @@ object TxLog {
       // predating additively-evolved columns read them as null via
       // the reader's missing-column rule; alignTo stays as the safety
       // net for any column the reader cannot supply.
-      TxLogRelation.alignTo(
-        s.read.schema(outSchema).parquet(files: _*), outSchema)
+      val physSchema = feedMapping.physicalSchema(outSchema)
+      val base = s.read.schema(physSchema).parquet(files: _*)
+      val logical =
+        if (feedMapping.isIdentity) base
+        else base.select(outSchema.fieldNames.toIndexedSeq.map(n =>
+          col(feedMapping.physical(n)).as(n)): _*)
+      TxLogRelation.alignTo(logical, outSchema)
         .select(dataCols.map(col): _*)
     }
     def tag(df: DataFrame, tpe: String, v: Long): DataFrame =
@@ -1380,7 +1554,7 @@ object TxLog {
     val perVersion = ((fromVersion + 1) to to).flatMap { v =>
       val (op, adds, removes) = commitDelta(table, v)
       op match {
-        case "create" | "compact" | "altschema" => Nil
+        case "create" | "compact" | "altschema" | "remap" => Nil
         case "append" | "txn" =>
           if (adds.isEmpty) Nil else Seq(tag(readAligned(adds), "insert", v))
         case _ if adds.isEmpty && removes.isEmpty =>
@@ -1595,19 +1769,136 @@ object TxLog {
     */
   def addColumns(table: String, cols: Seq[StructField]): Long = {
     require(cols.nonEmpty, "ALTER ADD COLUMNS with no columns")
-    val cur = currentVersion(table)
-    val existing = tableSchema(table, cur).getOrElse(
-      throw new IllegalStateException(
-        s"$table has no logged schema to evolve (write to it first)"))
-    cols.foreach { f =>
+    val cur0 = currentVersion(table)
+    def validate(existing: StructType): Unit = cols.foreach { f =>
       require(!existing.fieldNames.contains(f.name),
         s"column '${f.name}' already exists at $table")
       require(f.nullable,
         s"added column '${f.name}' must be nullable: existing files " +
         s"have no value for it")
     }
-    commit(table, "altschema", cur, Nil, Nil,
-      Some(StructType(existing.fields ++ cols).json))
+    val schemaOf = (cur: Long) => tableSchema(table, cur).getOrElse(
+      throw new IllegalStateException(
+        s"$table has no logged schema to evolve (write to it first)"))
+    if (columnMapping(table, cur0).isIdentity) {
+      // no mapping: no reserved physical names to collide with — the
+      // pre-r14 path, byte-identical (union rebase in commit())
+      val existing = schemaOf(cur0)
+      validate(existing)
+      commit(table, "altschema", cur0, Nil, Nil,
+        Some(StructType(existing.fields ++ cols).json))
+    } else remapCommit(table, "altschema") { cur =>
+      // under a mapping, a new column's physical name must avoid
+      // every reserved one (live physicals + tombstones) — above all
+      // a re-added DROPPED name, whose buried data must stay buried
+      val existing = schemaOf(cur)
+      validate(existing)
+      val m = columnMapping(table, cur)
+      var used = m.usedPhysical(existing)
+      var map = m.toPhysical
+      cols.foreach { f =>
+        val phys =
+          if (!used.contains(f.name)) f.name
+          else freshPhysical(f.name, used)
+        if (phys != f.name) map += f.name -> phys
+        used += phys
+      }
+      (StructType(existing.fields ++ cols), ColMap(map, m.dropped))
+    }
+  }
+
+  private def freshPhysical(logical: String, used: Set[String]): String = {
+    var cand = s"$logical-${java.util.UUID.randomUUID().toString.take(8)}"
+    while (used.contains(cand))
+      cand = s"$logical-${java.util.UUID.randomUUID().toString.take(8)}"
+    cand
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN` as ONE METADATA COMMIT (round 14,
+    * VERDICT r13 task 3 — the Iceberg/Delta column-mapping idea): the
+    * logical name changes in the schema line, the [[ColMap]] records
+    * logical → physical, and every file ever written — which stores
+    * PHYSICAL names, immutable — keeps serving under the new name with
+    * zero data movement. Partition columns are rename-protected (the
+    * spec is immutable and its names key the per-file partition
+    * tuples). Racing remaps serialize through [[remapCommit]]'s
+    * recompute-from-head retry: the loser re-validates against the
+    * winner's schema and fails loudly when the column is gone.
+    */
+  def renameColumn(table: String, from: String, to: String): Long = {
+    require(from != to, s"RENAME COLUMN $from TO $from is a no-op")
+    remapCommit(table, "remap") { cur =>
+      val existing = tableSchema(table, cur).getOrElse(
+        throw new IllegalStateException(
+          s"$table has no logged schema (write to it first)"))
+      require(existing.fieldNames.contains(from),
+        s"RENAME COLUMN at $table: no column '$from' " +
+        s"(a racing rename/drop took it?)")
+      require(!existing.fieldNames.contains(to),
+        s"RENAME COLUMN at $table: '$to' already exists")
+      require(!partitionSpec(table, cur).contains(from),
+        s"cannot rename partition column '$from': the partition spec " +
+        s"is immutable and keys the per-file partition tuples")
+      val m = columnMapping(table, cur)
+      val phys = m.physical(from)
+      val map = (m.toPhysical - from) ++
+        (if (phys == to) Map.empty[String, String] else Map(to -> phys))
+      val renamed = StructType(existing.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      (renamed, ColMap(map, m.dropped))
+    }
+  }
+
+  /** `ALTER TABLE … DROP COLUMN` as one metadata commit: the logical
+    * name leaves the schema, the physical name is TOMBSTONED (a
+    * re-added same-name column gets a fresh physical identity via
+    * [[addColumns]]; a write still carrying the dropped name is
+    * rejected by [[mergedWriteSchema]]), and the buried data stays in
+    * place until files are naturally rewritten — the no-data-movement
+    * drop every production format implements this way.
+    */
+  def dropColumn(table: String, name: String): Long =
+    remapCommit(table, "remap") { cur =>
+      val existing = tableSchema(table, cur).getOrElse(
+        throw new IllegalStateException(
+          s"$table has no logged schema (write to it first)"))
+      require(existing.fieldNames.contains(name),
+        s"DROP COLUMN at $table: no column '$name'")
+      require(existing.fields.length > 1,
+        s"cannot drop the last column of $table")
+      require(!partitionSpec(table, cur).contains(name),
+        s"cannot drop partition column '$name': the partition spec " +
+        s"is immutable")
+      val m = columnMapping(table, cur)
+      (StructType(existing.fields.filterNot(_.name == name)),
+        ColMap(m.toPhysical - name, m.dropped :+ (name -> m.physical(name))))
+    }
+
+  /** Schema/mapping commits (`remap`, mapped `altschema`) serialize by
+    * RECOMPUTE-FROM-HEAD: each attempt re-reads the current schema +
+    * mapping, re-validates, and publishes; a lost race just loops —
+    * so a racing rename-vs-rename conflict surfaces as the loser's
+    * own validation failure (loud, named), and a racing append's
+    * evolved column is always incorporated. Content-neutral by
+    * construction (no add/remove lines), so streams and the change
+    * feed skip these commits like `altschema`.
+    */
+  private def remapCommit(table: String, op: String)
+      (compute: Long => (StructType, ColMap)): Long = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 100, s"$op livelock at $table")
+      val cur = currentVersion(table)
+      val (schema, map) = compute(cur)
+      val lines = Seq(s"meta $op $cur", schemaLine(schema),
+        s"colmap ${encodeColMap(map)}")
+      if (publish(lines, commitPath(table, cur + 1))) {
+        maybeCheckpoint(table, cur + 1)
+        return cur + 1
+      }
+    }
+    -1L // unreachable
   }
 
   /** TRUNCATE: remove every live file in one commit (op "truncate" —
@@ -1712,7 +2003,7 @@ object TxLog {
         }
       }
     if (candidates.isEmpty) return (candidates, Vector.empty)
-    val touched = readSnapshot(s, Snapshot(snap.version, candidates))
+    val touched = readSnapshot(s, Snapshot(snap.version, candidates, snap.stats, snap.mapping))
       .withColumn("_graft_file", input_file_name())
       .join(updates.select(col(key)), Seq(key), "left_semi")
       .select(col("_graft_file")).distinct()
@@ -1778,7 +2069,7 @@ object TxLog {
       // survivors from touched files + all update rows, one rewrite
       val survivors =
         if (touchedFiles.isEmpty) u.limit(0)
-        else readSnapshot(s, Snapshot(snap.version, touchedFiles))
+        else readSnapshot(s, Snapshot(snap.version, touchedFiles, snap.stats, snap.mapping))
           .join(u.select(col(key)), Seq(key), "left_anti")
       val rewritten = survivors.unionByName(u, allowMissingColumns = true)
       val adds = stage(s, table, rewritten, spec)
@@ -1803,7 +2094,7 @@ object TxLog {
     try {
       val (_, touchedFiles) = locateTouched(s, snap, k, key)
       if (touchedFiles.isEmpty) return snap.version
-      val survivors = readSnapshot(s, Snapshot(snap.version, touchedFiles))
+      val survivors = readSnapshot(s, Snapshot(snap.version, touchedFiles, snap.stats, snap.mapping))
         .join(k, Seq(key), "left_anti")
       val adds = stage(s, table, survivors,
         partitionSpec(table, snap.version))
@@ -1846,7 +2137,7 @@ object TxLog {
       if (touchedFiles.isEmpty && u.isEmpty) return snap.version
       val survivors =
         if (touchedFiles.isEmpty) u.limit(0)
-        else readSnapshot(s, Snapshot(snap.version, touchedFiles))
+        else readSnapshot(s, Snapshot(snap.version, touchedFiles, snap.stats, snap.mapping))
           .join(affected, Seq(key), "left_anti")
       val rewritten = survivors.unionByName(u, allowMissingColumns = true)
       val adds = stage(s, table, rewritten, spec)

@@ -174,32 +174,46 @@ class TxLogCatalog extends TableCatalog with ProcedureCatalog {
     new TxLogV2Table(p, None)
   }
 
-  /** `ALTER TABLE … ADD COLUMNS (c T, …)` — the one mutation the log's
-    * additive-evolution contract admits, as a schema-only commit
-    * ([[TxLog.addColumns]]): existing files read the new columns as
-    * null. Everything else (drop/rename/retype) stays rejected with
-    * the contract's reason — dropping a column requires overwrite.
+  /** `ALTER TABLE … ADD COLUMNS / RENAME COLUMN / DROP COLUMN` —
+    * each a METADATA-ONLY commit. ADD is additive evolution
+    * ([[TxLog.addColumns]]: existing files read the new column as
+    * null); RENAME/DROP ride the round-14 column mapping
+    * ([[TxLog.renameColumn]]/[[TxLog.dropColumn]]: physical names in
+    * files never change, so every pre-rename file keeps serving under
+    * the new name, and dropped data stays buried behind a tombstoned
+    * physical identity). Retype remains rejected — that genuinely
+    * requires a rewrite (overwrite).
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val p = tablePath(ident)
     if (!TxLog.exists(p)) throw new NoSuchTableException(ident)
-    val adds = changes.map {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          s"txlog columns are top-level only: ${a.fieldNames.mkString(".")}")
-        require(a.position == null,
-          "txlog ADD COLUMNS appends at the end (no FIRST/AFTER): " +
-          "reads select by name, order is presentational")
-        require(a.isNullable,
-          s"added column '${a.fieldNames()(0)}' must be nullable: " +
-          s"existing files have no value for it")
-        StructField(a.fieldNames()(0), a.dataType, nullable = true)
-      case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE on txlog supports ADD COLUMNS only (additive " +
-        s"evolution; dropping a column requires overwrite), got $other")
+    def single(names: Array[String]): String = {
+      require(names.length == 1,
+        s"txlog columns are top-level only: ${names.mkString(".")}")
+      names(0)
     }
-    TxLog.addColumns(p, adds)
+    val adds = changes.collect { case a: TableChange.AddColumn =>
+      require(a.position == null,
+        "txlog ADD COLUMNS appends at the end (no FIRST/AFTER): " +
+        "reads select by name, order is presentational")
+      require(a.isNullable,
+        s"added column '${single(a.fieldNames)}' must be nullable: " +
+        s"existing files have no value for it")
+      StructField(single(a.fieldNames), a.dataType, nullable = true)
+    }
+    if (adds.nonEmpty) TxLog.addColumns(p, adds)
+    changes.foreach {
+      case _: TableChange.AddColumn => () // batched above
+      case r: TableChange.RenameColumn =>
+        TxLog.renameColumn(p, single(r.fieldNames), r.newName)
+      case d: TableChange.DeleteColumn =>
+        TxLog.dropColumn(p, single(d.fieldNames))
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE on txlog supports ADD COLUMNS, RENAME COLUMN, " +
+        s"and DROP COLUMN (metadata-only evolution; retyping a column " +
+        s"requires overwrite), got $other")
+    }
     new TxLogV2Table(p, None)
   }
 
@@ -411,6 +425,37 @@ private[graft] object TxLogV2Util {
       .toSeq
   }
 
+  /** Rewrite a V1 filter's attribute references through `rename`
+    * (logical → physical for the mapped delegate scan); None = an
+    * unsupported shape, simply not pushed (Spark re-applies every
+    * filter above the scan regardless).
+    */
+  def renameFilter(f: V1Filter, rename: String => String)
+      : Option[V1Filter] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v)            => Some(EqualTo(rename(a), v))
+      case EqualNullSafe(a, v)      => Some(EqualNullSafe(rename(a), v))
+      case GreaterThan(a, v)        => Some(GreaterThan(rename(a), v))
+      case GreaterThanOrEqual(a, v) =>
+        Some(GreaterThanOrEqual(rename(a), v))
+      case LessThan(a, v)           => Some(LessThan(rename(a), v))
+      case LessThanOrEqual(a, v)    => Some(LessThanOrEqual(rename(a), v))
+      case In(a, vs)                => Some(In(rename(a), vs))
+      case IsNull(a)                => Some(IsNull(rename(a)))
+      case IsNotNull(a)             => Some(IsNotNull(rename(a)))
+      case StringStartsWith(a, v)   => Some(StringStartsWith(rename(a), v))
+      case StringEndsWith(a, v)     => Some(StringEndsWith(rename(a), v))
+      case StringContains(a, v)     => Some(StringContains(rename(a), v))
+      case And(l, r) => for { lc <- renameFilter(l, rename)
+                              rc <- renameFilter(r, rename) } yield And(lc, rc)
+      case Or(l, r)  => for { lc <- renameFilter(l, rename)
+                              rc <- renameFilter(r, rename) } yield Or(lc, rc)
+      case Not(c)    => renameFilter(c, rename).map(Not)
+      case _         => None
+    }
+  }
+
   /** Above this many runtime IN-values, prune per-SPAN (the values'
     * overall [min, max]) instead of per-value — the same truncation
     * rule as [[TxLog.upsert]]'s locate.
@@ -518,13 +563,23 @@ class TxLogScanBuilder(spark: SparkSession, snap: TxLog.Snapshot,
     }
     if (survivors.isEmpty) new TxLogEmptyScan(required, snap.version)
     else {
+      // with a column mapping, the DELEGATE speaks PHYSICAL names
+      // (that's what the files store — same field order and types, so
+      // the InternalRows line up positionally) and the TxLogScan
+      // reports the logical readSchema; filters are renamed before
+      // pushing (an untranslatable one is simply not pushed)
+      val mapping = snap.mapping
       def mkDelegate(files: Vector[String]): Scan = {
+        val physTable = mapping.physicalSchema(tableSchema)
         val delegate = GraftBridge.parquetScanBuilder(spark, files,
-          tableSchema)
+          physTable)
         GraftBridge.pushCatalystFilters(delegate,
-          TxLogV2Util.resolveFilters(spark, pushed.toSeq, tableSchema))
+          TxLogV2Util.resolveFilters(spark,
+            pushed.toSeq.flatMap(TxLogV2Util.renameFilter(_,
+              mapping.physical)), physTable))
         delegate match {
-          case r: SupportsPushDownRequiredColumns => r.pruneColumns(required)
+          case r: SupportsPushDownRequiredColumns =>
+            r.pruneColumns(mapping.physicalSchema(required))
           case _ => ()
         }
         delegate.build()
@@ -582,7 +637,16 @@ class TxLogScan(spark: SparkSession, snap: TxLog.Snapshot,
 
   private def survivors: Vector[String] = currentFiles
 
-  override def readSchema(): StructType = inner.readSchema()
+  /** The delegate reads PHYSICAL names under a column mapping; report
+    * the logical twin (same order and types — rows are positional).
+    */
+  override def readSchema(): StructType =
+    if (snap.mapping.isIdentity) inner.readSchema()
+    else {
+      val rev = snap.mapping.toLogical
+      StructType(inner.readSchema().fields.map(f =>
+        f.copy(name = rev.getOrElse(f.name, f.name))))
+    }
   override def toBatch: Batch = inner.toBatch
   override def description(): String =
     s"txlog v${snap.version} (${survivors.size} files, $skipped " +
@@ -732,10 +796,13 @@ class TxLogRowLevelOperation(spark: SparkSession, path: String,
           else {
             // rows matching the command condition ⊆ rows matching the
             // pushed filters, so files with no filter-passing row hold
-            // no matches — dropping them from the groups is sound
+            // no matches — dropping them from the groups is sound.
+            // renameToLogical first: the files store physical names,
+            // the condition references logical ones
             val base = TxLogRelation.alignTo(
-              spark.read.option("mergeSchema", "true")
-                .parquet(candidates: _*), tableSchema)
+              TxLog.renameToLogical(
+                spark.read.option("mergeSchema", "true")
+                  .parquet(candidates: _*), snap.mapping), tableSchema)
             val touched = base.where(cols.reduce(_ && _))
               .select(input_file_name()).distinct()
               .collect().map(r => TxLogV2Util.normFileName(r.getString(0)))
@@ -758,10 +825,10 @@ class TxLogRowLevelOperation(spark: SparkSession, path: String,
           new TxLogScan(spark, snap, groups, required,
             snap.files.size - groups.size, fs => {
               val delegate = GraftBridge.parquetScanBuilder(spark, fs,
-                tableSchema)
+                snap.mapping.physicalSchema(tableSchema))
               delegate match {
                 case r: SupportsPushDownRequiredColumns =>
-                  r.pruneColumns(required)
+                  r.pruneColumns(snap.mapping.physicalSchema(required))
                 case _ => ()
               }
               delegate.build()
@@ -805,9 +872,11 @@ class TxLogGroupScan(spark: SparkSession, snap: TxLog.Snapshot,
   private def buildInner(fs: Vector[String]): Scan =
     if (fs.isEmpty) new TxLogEmptyScan(required, snap.version)
     else {
-      val b = GraftBridge.parquetScanBuilder(spark, fs, tableSchema)
+      val b = GraftBridge.parquetScanBuilder(spark, fs,
+        snap.mapping.physicalSchema(tableSchema))
       b match {
-        case r: SupportsPushDownRequiredColumns => r.pruneColumns(required)
+        case r: SupportsPushDownRequiredColumns =>
+          r.pruneColumns(snap.mapping.physicalSchema(required))
         case _ => ()
       }
       b.build()
@@ -825,7 +894,16 @@ class TxLogGroupScan(spark: SparkSession, snap: TxLog.Snapshot,
     built
   }
 
-  override def readSchema(): StructType = current.readSchema()
+  /** Logical names out (the delegate speaks physical; rows are
+    * positional — see [[TxLogScan.readSchema]]).
+    */
+  override def readSchema(): StructType =
+    if (snap.mapping.isIdentity) current.readSchema()
+    else {
+      val rev = snap.mapping.toLogical
+      StructType(current.readSchema().fields.map(f =>
+        f.copy(name = rev.getOrElse(f.name, f.name))))
+    }
   override def toBatch: Batch = current.toBatch
   override def description(): String =
     s"txlog v${snap.version} group scan (${files.size}/${initial.size} " +
@@ -905,10 +983,15 @@ class TxLogStagedWrite(spark: SparkSession, path: String,
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         inner.commit(messages)
-        val spec = TxLog.partitionSpec(path, TxLog.currentVersion(path))
+        val cur = TxLog.currentVersion(path)
+        val spec = TxLog.partitionSpec(path, cur)
+        // under a column mapping the staged files carry LOGICAL names
+        // (the engine wrote info.schema); re-stage through the
+        // mapping-aware path so table files store physical names
+        val mapped = !TxLog.columnMapping(path, cur).isIdentity
         val adds =
           try {
-            if (spec.isEmpty) {
+            if (spec.isEmpty && !mapped) {
               val s = Files.list(stagingDir)
               try s.iterator().asScala
                 .filter(_.getFileName.toString.endsWith(".parquet"))

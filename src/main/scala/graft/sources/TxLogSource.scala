@@ -435,6 +435,18 @@ class TxLogCdcStreamSource(spark: SparkSession, table: String,
     registerThrough(from)
     val feed = TxLog.readChangeFeed(spark, table, from,
       Some(toVersion(end)), changeKey)
+    // mid-stream RENAME/DROP guard (round 14): the feed speaks the
+    // NEWEST logical names, this source's schema is pinned at start —
+    // aligning a renamed-away column would silently null every value
+    // (an exactly-once violation in spirit). Fail loudly instead; the
+    // restart adopts the new schema. Additive evolution stays silent
+    // (a pinned column can't vanish by ADD).
+    val gone = schema.fieldNames.toSet --
+      Set("_change_type", "_commit_version") -- feed.columns.toSet
+    require(gone.isEmpty,
+      s"column(s) ${gone.mkString(", ")} were renamed or dropped " +
+      s"mid-stream at $table — restart the CDC stream to adopt the " +
+      s"new schema")
     // align to the schema pinned at source creation (mid-stream
     // additive evolution: new columns read as null until restart,
     // like the plain source)
@@ -484,7 +496,7 @@ class TxLogRelation(override val sqlContext: SQLContext, path: String,
 
   private def readFiles(files: Vector[String]): DataFrame =
     TxLog.readSnapshot(sqlContext.sparkSession,
-      TxLog.Snapshot(snap.version, files, snap.stats))
+      TxLog.Snapshot(snap.version, files, snap.stats, snap.mapping))
 
   // the log's recorded schema (includes additive evolution across
   // versions) when present; else inferred from the snapshot's files

@@ -1102,4 +1102,163 @@ class TxLogSpec extends SparkSuite {
     assert(TxLog.read(spark, t).count() == 2,
       "the failed truncate must leave both appends live")
   }
+
+  // ------------------------------------------------------------------
+  // Column mapping (round 14): RENAME / DROP COLUMN
+  // ------------------------------------------------------------------
+
+  test("RENAME COLUMN is one metadata commit: pre-rename files keep " +
+       "serving under the new name; stale-name writes fail loudly") {
+    val t = freshTable()
+    TxLog.append(spark, t, mk(1L -> "a", 2L -> "b").coalesce(1)) // v1
+    val filesBefore = TxLog.snapshot(t).files.toSet
+    assert(TxLog.renameColumn(t, "v", "label") == 2L)
+    assert(TxLog.snapshot(t).files.toSet == filesBefore,
+      "RENAME COLUMN must move zero data")
+    val got = TxLog.read(spark, t)
+    assert(got.columns.toSeq == Seq("id", "label"))
+    assert(got.as[(Long, String)].collect().toSet ==
+      Set(1L -> "a", 2L -> "b"),
+      "pre-rename files must serve their values under the new name")
+    // new-era writes interleave with old-era files transparently
+    TxLog.append(spark, t, Seq(3L -> "c").toDF("id", "label").coalesce(1))
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    // a write still carrying the OLD name is incompatible, loudly
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(spark, t, mk(4L -> "d"))
+    }
+    assert(e.getMessage.contains("label"), e.getMessage)
+    // time travel to before the rename shows the old schema
+    assert(TxLog.read(spark, t, Some(1L)).columns.toSeq == Seq("id", "v"))
+    // upsert keyed on the RENAMED column: stats were rekeyed to
+    // logical, so locate pruning and the rewrite still work
+    TxLog.upsert(spark, t,
+      Seq(2L -> "B2").toDF("id", "label"), "id")
+    assert(TxLog.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set(1L -> "a", 2L -> "B2", 3L -> "c"))
+  }
+
+  test("DROP COLUMN tombstones the physical identity: buried data " +
+       "never resurrects; re-add reads null") {
+    val t = freshTable()
+    TxLog.append(spark, t,
+      Seq((1L, "a", "x1"), (2L, "b", "x2")).toDF("id", "v", "extra")
+        .coalesce(1))
+    TxLog.dropColumn(t, "extra")
+    assert(TxLog.read(spark, t).columns.toSeq == Seq("id", "v"))
+    // a write still carrying the dropped name: rejected, naming the
+    // re-creation path
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(spark, t,
+        Seq((3L, "c", "boo")).toDF("id", "v", "extra"))
+    }
+    assert(e.getMessage.contains("ALTER TABLE ADD COLUMNS"), e.getMessage)
+    // explicit re-add: fresh physical identity, so the buried x1/x2
+    // stay buried. Until a file carries the fresh physical column the
+    // raw library read omits it (the existing ADD COLUMNS semantics —
+    // the relation/facade path aligns it to null); the resurrection
+    // check is the mixed-era read below.
+    TxLog.addColumns(t, Seq(org.apache.spark.sql.types.StructField(
+      "extra", org.apache.spark.sql.types.StringType, nullable = true)))
+    assert(!TxLog.read(spark, t).columns.contains("extra") ||
+      TxLog.read(spark, t)
+        .where(org.apache.spark.sql.functions.col("extra").isNotNull)
+        .count() == 0,
+      "no buried value may surface right after the re-add")
+    TxLog.append(spark, t,
+      Seq((3L, "c", Some("fresh"))).toDF("id", "v", "extra").coalesce(1))
+    val mixed = TxLog.read(spark, t)
+      .select("id", "extra").as[(Long, Option[String])].collect().toMap
+    assert(mixed == Map(1L -> None, 2L -> None, 3L -> Some("fresh")),
+      s"re-added column must NOT resurrect dropped data: $mixed")
+  }
+
+  test("CDC across a rename: the whole feed speaks the newest names, " +
+       "pre-rename branch values intact") {
+    val t = freshTable()
+    TxLog.append(spark, t, mk(1L -> "a").coalesce(1))   // v1
+    TxLog.renameColumn(t, "v", "label")                 // v2 (neutral)
+    TxLog.upsert(spark, t,
+      Seq(1L -> "A2").toDF("id", "label"), "id")        // v3
+    val feed = TxLog.readChangeFeed(spark, t, 0L, key = Some("id"))
+    assert(feed.columns.contains("label") && !feed.columns.contains("v"))
+    val byType = feed.select("_change_type", "id", "label")
+      .as[(String, Long, String)].collect().toSet
+    assert(byType == Set(
+      ("insert", 1L, "a"),
+      ("update_preimage", 1L, "a"),
+      ("update_postimage", 1L, "A2")),
+      s"feed across the rename: $byType")
+  }
+
+  test("rename-vs-rename race: the loser recomputes at the new head " +
+       "and fails loudly naming the vanished column") {
+    val t = freshTable()
+    TxLog.append(spark, t, mk(1L -> "a").coalesce(1)) // v1
+    // inject a COMPETING rename v->y winning the loser's first
+    // publish (the TxLogIoSpec race pattern, at the remap path)
+    val injected = new java.util.concurrent.atomic.AtomicInteger(1)
+    val schemaY = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("y",
+        org.apache.spark.sql.types.StringType)))
+    TxLog.io = new graft.sources.TxLogIo {
+      private val base = graft.sources.LocalTxLogIo
+      override def exists(p: String) = base.exists(p)
+      override def isDirectory(p: String) = base.isDirectory(p)
+      override def listNames(d: String) = base.listNames(d)
+      override def readLines(p: String) = base.readLines(p)
+      override def readString(p: String) = base.readString(p)
+      override def mtimeMillis(p: String) = base.mtimeMillis(p)
+      override def deleteIfExists(p: String) = base.deleteIfExists(p)
+      override def replace(tg: String, b: Array[Byte]) = base.replace(tg, b)
+      override def putIfAbsent(tg: String, b: Array[Byte]) = {
+        if (tg.endsWith(".commit") && injected.getAndDecrement() > 0) {
+          val competing = ("meta remap 1\nschema " + schemaY.json +
+            "\ncolmap {\"map\":{\"y\":\"v\"},\"dropped\":[]}")
+          base.putIfAbsent(tg, competing.getBytes("UTF-8"))
+        }
+        base.putIfAbsent(tg, b)
+      }
+    }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        TxLog.renameColumn(t, "v", "z")
+      }
+      assert(e.getMessage.contains("no column 'v'"), e.getMessage)
+    } finally TxLog.io = graft.sources.LocalTxLogIo
+    // the winner's rename stands; values intact under y
+    assert(TxLog.read(spark, t).columns.toSeq == Seq("id", "y"))
+    assert(TxLog.read(spark, t).select("id", "y").as[(Long, String)]
+      .collect().toSet == Set(1L -> "a"))
+  }
+
+  test("partition columns are rename/drop-protected; the mapping " +
+       "survives a checkpoint") {
+    val t = freshTable()
+    TxLog.append(spark, t,
+      Seq((1L, "en", "a"), (2L, "de", "b")).toDF("id", "lang", "v"),
+      partitionBy = Seq("lang"))
+    intercept[IllegalArgumentException] {
+      TxLog.renameColumn(t, "lang", "language")
+    }
+    intercept[IllegalArgumentException] { TxLog.dropColumn(t, "lang") }
+    // rename a data column, then push past a checkpoint boundary
+    TxLog.renameColumn(t, "v", "label")
+    (1 to TxLog.checkpointEvery).foreach { i =>
+      TxLog.append(spark, t,
+        Seq((100L + i, "en", s"r$i")).toDF("id", "lang", "label"))
+    }
+    val cur = TxLog.currentVersion(t)
+    assert(TxLog.columnMapping(t, cur).toPhysical == Map("label" -> "v"),
+      "the colmap line must fold into (and serve from) checkpoints")
+    val got = TxLog.read(spark, t).select("id", "label")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "a" && got(101L) == "r1")
+    // partition pruning still works next to the mapping
+    val snap = TxLog.snapshot(t)
+    assert(snap.stats.values.forall(_.part.nonEmpty))
+  }
 }

@@ -262,6 +262,27 @@ class TxLogStreamSpec extends SparkSuite {
       "vacuum proceeds once the reader is caught up")
   }
 
+  test("a mid-stream RENAME fails a CDC stream loudly instead of " +
+       "silently nulling the pinned column") {
+    val t = freshTable()
+    TxLog.append(spark, t, mk(1L -> "a"))
+    val q = spark.readStream.format("txlog").option("path", t)
+      .option("readChangeFeed", "true").load()
+      .writeStream.foreachBatch { (_: DataFrame, _: Long) => () }.start()
+    q.processAllAvailable()
+    TxLog.renameColumn(t, "v", "label")
+    TxLog.append(spark, t, Seq(2L -> "b").toDF("id", "label"))
+    val e = intercept[StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(30000)
+    }
+    def root(x: Throwable): Throwable =
+      if (x.getCause == null) x else root(x.getCause)
+    assert(root(e).getMessage.contains("restart the CDC stream"),
+      root(e).getMessage)
+    assert(!q.isActive)
+  }
+
   test("startingVersion skips the backlog; schema comes from the log") {
     val t = freshTable()
     TxLog.append(spark, t, mk(1L -> "backlog"))
