@@ -13,15 +13,24 @@ import core._
 object Clustering {
 
   /** Squared L2 distance as the ORDER-IDENTICAL left-to-right fold
-    * both engines run over identical doubles (`functions.aggregate`
-    * ↔ DuckDB `list_reduce(list_prepend(0.0, …))`) — the similarity-
-    * family rule (LlmOps scaladoc): raw doubles may drive ranking
-    * when the fold order is pinned, so argmin needs no pre-rounding.
+    * both engines run over identical doubles (codegen'd
+    * [[graft.functions.Dist2]] ↔ DuckDB
+    * `list_reduce(list_prepend(0.0, …))`) — the similarity-family
+    * rule (LlmOps scaladoc): raw doubles may drive ranking when the
+    * fold order is pinned, so argmin needs no pre-rounding.
+    *
+    * r14 (optimization): was the HOF form `aggregate(zip_with(a, b,
+    * (x,y) -> (x-y)*(x-y)), 0D, (acc,v) -> acc+v)` — a
+    * CodegenFallback chain interpreting two lambdas and allocating an
+    * intermediate array per candidate row, the dominant per-row cost
+    * of every kmeans/PQ/semantic-blocking assignment loop. The fused
+    * codegen loop runs the identical IEEE arithmetic in the identical
+    * order (Dist2Spec pins bit-equality against the HOF form on both
+    * eval paths), so ranking and the oracle hash are unchanged.
     */
   private def dist2(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.Dist2.dist2(a, b)
 
   /** Deterministic Lloyd k-means: md5-seeded initial centroids (the
     * q_sim_ann_ivf seeding), `iters` unrolled iterations over any
