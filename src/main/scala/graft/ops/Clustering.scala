@@ -58,7 +58,7 @@ object Clustering {
     * unroll into one declarative plan, no driver-side data.
     */
   def kmeans(e: DataFrame, k: Int, iters: Int,
-      cacheFinal: Boolean = true): (DataFrame, DataFrame) = {
+      cacheFinal: Boolean = true, loopParts: Int = 0): (DataFrame, DataFrame) = {
     val s = e.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -89,7 +89,7 @@ object Clustering {
       // discards the centroids) pass cacheFinal = false and pay
       // nothing.
       if (i == iters && cacheFinal)
-        assigned = core.noAqeMaterialized(s)(assigned)
+        assigned = core.noAqeMaterialized(s, loopParts)(assigned)
       cents = assigned
         .select($"cent_id", posexplode(
           expr("transform(emb, x -> CAST(round(x, 8) AS DECIMAL(20, 8)))"))
@@ -113,7 +113,10 @@ object Clustering {
     val e = t(s, dir, "embeddings")
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-    val (cents, assigned) = kmeans(e, 8, 3)
+    // loop shuffles are vector-count-sized — derive the reduce width
+    // from n (r15, guide §2), not the session's cpu default
+    val (cents, assigned) = kmeans(e, 8, 3,
+      loopParts = core.loopPartitions(core.statCount(dir + "#embeddings", e)))
     val sizes = assigned.groupBy($"cent_id").agg(count(lit(1)).as("n_members"))
     cents
       .select($"cent_id", posexplode($"c_emb").as(Seq("pos", "c")))
@@ -385,7 +388,8 @@ object Clustering {
     val s = e.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val (cents, a1) = kmeans(e, kSem, 1)
+    val (cents, a1) = kmeans(e, kSem, 1,
+      loopParts = core.loopPartitions(n))
     val target = (n + kSem - 1) / kSem
     val promoted = a1.groupBy($"cent_id")
       .agg(count(lit(1)).as("sz"),
@@ -429,7 +433,8 @@ object Clustering {
     // the Lloyd pass + probe assignment upstream is the multi-stage
     // node-sized chain the AQE-off scope exists for (the pagerank
     // rationale); the pair join itself stays outside, under AQE
-    val m = core.noAqeMaterialized(s) {
+    val m = core.noAqeMaterialized(s,
+        core.loopPartitions(core.statCount(dir + "#embeddings", e))) {
       e.crossJoin(broadcast(cents2))
         .withColumn("d2", dist2($"emb", $"c_emb"))
         .withColumn("rn", row_number().over(probeW))

@@ -51,7 +51,8 @@ object Graph {
     * caller's final materialization owns the cache lifecycle
     * (Verify/Bench clearCache between keys, §SCALING).
     */
-  def pagerank(edges: DataFrame, iters: Int = 5): DataFrame = {
+  def pagerank(edges: DataFrame, iters: Int = 5,
+      loopParts: Int = 0): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     // The whole build — edge pipeline, degree window, 5 unrolled
@@ -66,8 +67,18 @@ object Graph {
     // the edge pipeline (the only corpus-sized input) is derived
     // exactly once, then cached; `nodes` is node-sized and derived
     // FROM the cache rather than re-running the upstream scan.
+    // loopParts > 0 (r15, guide §2): every shuffle in the unrolled
+    // chain is node-sized, so the reduce width comes from the DATA
+    // (core.loopPartitions at the call site), not the session's
+    // cpu-count default — at sf0.1 that is 32 tasks per stage over a
+    // ≤16 k-row frame, ~15 stages of almost pure scheduling constant
+    // (the PERF_r14 anti-scaling family).
+    val confs = ("spark.sql.adaptive.enabled" -> "false") +:
+      (if (loopParts > 0)
+        Seq("spark.sql.shuffle.partitions" -> loopParts.toString)
+      else Nil)
     val (nodes, finalRanks) =
-      core.withConf(s, "spark.sql.adaptive.enabled" -> "false") {
+      core.withConf(s, confs: _*) {
         // degree via a COMBINABLE groupBy over the cached edge list —
         // node-sized output, map-side partials — instead of a
         // src-partitioned window, which sort-shuffles the full
@@ -135,9 +146,17 @@ object Graph {
     pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
   }
 
+  /** Loop-shuffle width for this family, from the persisted pair
+    * list's row count (stats-class metadata, memoized per JVM) — the
+    * doubled edge list is 2× that.
+    */
+  private def graphLoopParts(s: SparkSession, dir: String): Int =
+    core.loopPartitions(2L * core.statCount(dir + "#cspairs",
+      custSuppPairs(s, dir)))
+
   def qGraphPagerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    pagerank(custSuppEdges(s, dir))
+    pagerank(custSuppEdges(s, dir), loopParts = graphLoopParts(s, dir))
       .select(
         when($"node" % 2 === 0, "customer").otherwise("supplier")
           .as("node_type"),
@@ -207,7 +226,7 @@ object Graph {
     // the SET matters: combinations are taken positionally and
     // canonicalized with least/greatest, so the emitted pairs — and
     // their counts — are order-invariant.
-    val common = core.noAqeMaterialized(s) {
+    val common = core.noAqeMaterialized(s, graphLoopParts(s, dir)) {
       eg.groupBy($"c").agg(collect_list($"s").as("ss"))
         .filter(size($"ss") <= 32)
         .select(explode(expr(
@@ -254,7 +273,7 @@ object Graph {
     // whole build INCLUDING the edge-pipeline cache materializes
     // AQE-off inside the scope (the pagerank rationale: caches plan
     // eagerly at cache() time, so they must be created in-scope).
-    val d = core.noAqeMaterialized(s) {
+    val d = core.noAqeMaterialized(s, graphLoopParts(s, dir)) {
       val edges = custSuppEdges(s, dir).transform(core.cached)
       val seeds = edges.select($"src".as("node")).distinct()
         .filter($"node" % 2 === 1 && expr("node DIV 2") < 3)

@@ -225,7 +225,19 @@ object LlmOps {
   private[ops] def cosineTopk(s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
     val e = normed(s, dir)
-    val a = e.select($"vec_id".as("a_id"), $"emb".as("a_emb"), $"nrm".as("a_nrm"))
+    // r15 (guide §2): the broadcast nested-loop join's parallelism IS
+    // the streamed side's partition count, and the embeddings fixture
+    // is one small parquet split — without an explicit repartition the
+    // whole O(n²·d) scoring loop (plus the partial top-k sort) ran in
+    // ONE task (measured: the key barely moved from 8 to 32 cores,
+    // PERF_r14 scaling 1.12). Split the streamed side so each task
+    // scores ~250 k candidate pairs; derived from n (stats-class
+    // metadata, memoized), never from the core count, so the same
+    // formula right-sizes at any scale.
+    val n = core.statCount(dir + "#embeddings", e)
+    val parts = core.pairScanPartitions(n * math.max(0L, n - 1))
+    val a0 = e.select($"vec_id".as("a_id"), $"emb".as("a_emb"), $"nrm".as("a_nrm"))
+    val a = if (parts > 1) a0.repartition(parts, $"a_id") else a0
     val b = e.select($"vec_id".as("b_id"), $"label".as("b_label"),
       $"emb".as("b_emb"), $"nrm".as("b_nrm"))
     val w = Window.partitionBy($"a_id").orderBy($"rawcos".desc, $"b_id".asc)

@@ -297,8 +297,11 @@ object TrainingOps {
     */
   def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val labels =
-      connectedComponents(s.read.parquet(ngramPairsDir(s, dir)))
+    val pairs = s.read.parquet(ngramPairsDir(s, dir))
+    // label-propagation shuffles are node-sized — reduce width from
+    // the edge count (r15, guide §2), not the cpu default
+    val labels = connectedComponents(pairs,
+      core.loopPartitions(2L * core.statCount(dir + "#ngrampairs", pairs)))
     val sizeW = Window.partitionBy($"component")
     labels.select($"node".as("doc_id"), $"comp".as("component"))
       .withColumn("n_members", count(lit(1)).over(sizeW))
@@ -309,7 +312,8 @@ object TrainingOps {
     * (node, comp) with comp = min reachable node id. Split out so the
     * spec can pin the semantics on synthetic graphs.
     */
-  private[graft] def connectedComponents(edges: DataFrame): DataFrame =
+  private[graft] def connectedComponents(edges: DataFrame,
+      loopParts: Int = 0): DataFrame = {
     // the whole loop EXECUTES inside this builder (localCheckpoint +
     // isEmpty per round), so the AQE-off scope covers every round:
     // per-stage materialize-and-re-plan is pure overhead on the
@@ -317,10 +321,16 @@ object TrainingOps {
     // The caller's lazy edge pipeline also materializes here (first
     // checkpoint); a 100 TB caller that wants AQE's skew handling on
     // the pair JOIN should checkpoint its edges before calling.
-    core.withConf(edges.sparkSession,
-      "spark.sql.adaptive.enabled" -> "false") {
+    // loopParts > 0 pins the loop's shuffle width (core.loopPartitions
+    // — r15, guide §2); 0 keeps the session default.
+    val confs = ("spark.sql.adaptive.enabled" -> "false") +:
+      (if (loopParts > 0)
+        Seq("spark.sql.shuffle.partitions" -> loopParts.toString)
+      else Nil)
+    core.withConf(edges.sparkSession, confs: _*) {
       connectedComponentsLoop(edges)
     }
+  }
 
   private def connectedComponentsLoop(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
@@ -382,7 +392,14 @@ object TrainingOps {
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = LlmOps.normed(s, dir)
-    val a = e.select($"vec_id".as("a_id"), $"emb".as("a_emb"), $"nrm".as("a_nrm"))
+    // r15: spread the O(n²) broadcast nested-loop scoring across
+    // tasks — the streamed side is one parquet split, so without this
+    // the whole pair loop ran single-task (the cosineTopk fix;
+    // guide §2). n(n−1)/2 ordered pairs survive the a < b condition.
+    val n = core.statCount(dir + "#embeddings", e)
+    val parts = core.pairScanPartitions(n * math.max(0L, n - 1) / 2)
+    val a0 = e.select($"vec_id".as("a_id"), $"emb".as("a_emb"), $"nrm".as("a_nrm"))
+    val a = if (parts > 1) a0.repartition(parts, $"a_id") else a0
     val b = e.select($"vec_id".as("b_id"), $"emb".as("b_emb"), $"nrm".as("b_nrm"))
     a.join(broadcast(b), $"a_id" < $"b_id")
       .withColumn("rawcos",

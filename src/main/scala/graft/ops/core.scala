@@ -293,17 +293,60 @@ object core {
         o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
     }
 
+  /** Shuffle-partition count for the iterative loop cores, derived
+    * from the loop's DATA size instead of the session's cpu-count
+    * default (guide §2 / VERDICT r14 task 1): the unrolled graph and
+    * Lloyd loops shuffle node-sized frames through many small stable
+    * stages, and at `shuffle.partitions = cpus` the per-task
+    * scheduling constant dominates — PERF_r14's scaling block measured
+    * the family 1.7–4.3× FASTER at 8 cores than 32. One reduce
+    * partition per ~256 k loop-frame rows keeps tasks meaningfully
+    * sized at any scale (a 100 TB edge list still derives thousands of
+    * partitions); capped at 4096 like every derived width here.
+    */
+  def loopPartitions(rows: Long, targetRows: Long = 262144L): Int =
+    math.max(1L, math.min((rows + targetRows - 1) / targetRows, 4096L)).toInt
+
   /** [[withConf]] specialized to the iterative-core pattern: build a
     * frame, cache it, and MATERIALIZE it with AQE disabled, returning
     * the cached frame for lazy downstream consumption (which runs
-    * under the session's normal confs).
+    * under the session's normal confs). `partitions > 0` additionally
+    * pins `spark.sql.shuffle.partitions` for the scope — the
+    * [[loopPartitions]] right-sizing; 0 keeps the session default.
     */
-  def noAqeMaterialized(spark: SparkSession)(build: => DataFrame): DataFrame =
-    withConf(spark, "spark.sql.adaptive.enabled" -> "false") {
+  def noAqeMaterialized(spark: SparkSession, partitions: Int = 0)(
+      build: => DataFrame): DataFrame = {
+    val confs = ("spark.sql.adaptive.enabled" -> "false") +:
+      (if (partitions > 0)
+        Seq("spark.sql.shuffle.partitions" -> partitions.toString)
+      else Nil)
+    withConf(spark, confs: _*) {
       val f = cached(build)
       f.count()
       f
     }
+  }
+
+  /** Partition count for an explicit repartition in front of a
+    * brute-force pair-scoring join (guide §2: derive partitioning from
+    * the DATA, not the core count): one task per ~250 k candidate
+    * pairs, so the work spreads at bench scale and the task count
+    * keeps growing with n² at probe scales instead of collapsing to
+    * the streamed side's single parquet split. Capped at 16384 tasks
+    * per stage — past that a production deployment blocks the
+    * candidate side instead (the embedLshBanded batch pattern).
+    *
+    * Below ~3M pairs the repartition returns 1 and callers skip the
+    * exchange entirely: the single-task scoring there (≲0.5 s) is
+    * cheaper than the extra shuffle stage + AQE materialization it
+    * would take to spread it (measured on q_dedup_embed at sf0.1:
+    * 0.55 s unsplit vs 1.07 s split 8 ways) — while above it the
+    * single task is the whole query's critical path (q_sim_cosine_topk
+    * at 4M pairs: 3.34 s unsplit → 1.52 s at 16 tasks).
+    */
+  def pairScanPartitions(pairs: Long, perTask: Long = 250000L): Int =
+    if (pairs < 3000000L) 1
+    else math.min((pairs + perTask - 1) / perTask, 16384L).toInt
 
   /** Exact money/quantity in integer cents: fixture doubles are
     * 2-dp-generated (verified — max |x*100 - round(x*100)| < 1e-8),
