@@ -78,11 +78,18 @@ object LlmOps {
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
 
-  /** Bigram counts per language (per-row array transform + explode). */
+  /** Bigram counts per language (per-row array transform + explode).
+    * The token array is materialized in its own Project BEFORE the
+    * Generate (r15, guide: eliminate repeated subexpressions):
+    * inlining `bigramsOf(split(...))` into the explode re-ran the
+    * regex `split(text)` FIVE times per document inside one Generate
+    * expression — the plan now tokenizes each document once.
+    */
   def qTextNgram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
-      .select($"lang", explode(bigramsOf(split($"text", " "))).as("bigram"))
+      .select($"lang", split($"text", " ").as("toks"))
+      .select($"lang", explode(bigramsOf($"toks")).as("bigram"))
       .groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
       .orderBy($"lang", $"bigram")
   }

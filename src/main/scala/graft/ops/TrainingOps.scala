@@ -232,25 +232,46 @@ object TrainingOps {
   def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    val big = docs.select($"doc_id", $"lang", $"source",
-      explode(array_distinct(LlmOps.bigramsOf(split($"text", " "))))
-        .as("bigram"))
+    // tokenize ONCE per document (r15): the inline form re-ran the
+    // regex split 5× per row inside the Generate (the qTextNgram fix)
+    val big = docs
+      .select($"doc_id", $"lang", $"source", split($"text", " ").as("toks"))
+      .select($"doc_id", $"lang", $"source",
+        explode(array_distinct(LlmOps.bigramsOf($"toks"))).as("bigram"))
     val blockN = docs.groupBy($"lang", $"source")
       .agg(count(lit(1)).as("n_block"))
-    val hot = big.groupBy($"lang", $"source", $"bigram")
-      .agg(count(lit(1)).as("df"))
+    // r15 restructure (guide §2.4 — remove shuffles outright): the
+    // pre-r15 form shuffled the exploded bigram table THREE times
+    // (df group-by for `hot`, the `kept` cache fill after the
+    // anti-join, then the candidate self-join's two cached-side
+    // exchanges + SMJ sorts). ONE (lang, source, bigram) group-by now
+    // carries everything: df IS size(ds) (identical integer — (doc,
+    // bigram) rows are unique after array_distinct), the df-cap
+    // filter is the exact negation of the old hot-exclusion
+    // predicate, per-doc kept sizes re-derive by exploding the doc
+    // lists, and candidate pairs explode CONTAINER-SIDE (the
+    // qGraphCooccur r7 pattern: the cap bounds every list at ≤ 64
+    // docs ⇒ ≤ 2016 map-side combinations; least/greatest
+    // canonicalization makes the pair multiset independent of
+    // collect_list's partition-dependent order). The cached frame is
+    // bigram-grained (one row per distinct bigram) instead of
+    // occurrence-grained — about half the rows and bytes.
+    val grouped = big.groupBy($"lang", $"source", $"bigram")
+      .agg(collect_list($"doc_id").as("ds"))
       .join(broadcast(blockN), Seq("lang", "source"))
-      .filter($"df" > least(greatest(lit(5L), floor($"n_block" / 4)), lit(64L)))
-      .select($"lang", $"source", $"bigram")
-    // cached: kept feeds sizes + both sides of the candidate
-    // self-join — three recomputes of scan→explode→anti otherwise
-    val kept = big.join(broadcast(hot), Seq("lang", "source", "bigram"),
-      "left_anti").transform(core.cached)
-    val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val inter = kept.as("a").join(kept.as("b"),
-        $"a.bigram" === $"b.bigram" && $"a.lang" === $"b.lang" &&
-        $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .filter(!(size($"ds").cast("long") >
+        least(greatest(lit(5L), floor($"n_block" / 4)), lit(64L))))
+      .select($"bigram", $"ds")
+      .transform(core.cached)
+    val sizes = grouped.select(explode($"ds").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val inter = grouped.filter(size($"ds") >= 2)
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), " +
+          "y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"))
+        .as("p"))
+      .groupBy($"p.a".as("a_id"), $"p.b".as("b_id"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select($"doc_id".as("a_id"), $"sz".as("a_sz")), "a_id")
@@ -481,11 +502,13 @@ object TrainingOps {
     val b = e.select($"vec_id".as("b_id"), $"emb".as("b_emb"), $"nrm".as("b_nrm"))
     val batches = (0 until 8).grouped(math.max(1, 8 / groups)).toSeq
     val parts = batches.map { bands =>
+      // codegen'd band key (r15): the HOF `aggregate(slice(...))` form
+      // interpreted two lambdas + allocated a slice per band per row —
+      // graft.functions.SignBits runs the identical integer fold in
+      // one fused loop (SignBitsSpec pins equality)
       val bandCols = bands.map { bnd =>
         struct(lit(bnd).as("band"),
-          expr(s"""aggregate(slice(emb, ${bnd * 8 + 1}, 8), CAST(0 AS BIGINT),
-                   (acc, x) -> acc * 2 + CASE WHEN x >= 0 THEN 1 ELSE 0 END)""")
-            .as("bv"))
+          graft.functions.SignBits.signBits($"emb", bnd * 8 + 1, 8).as("bv"))
       }
       val sig = e.select($"vec_id", explode(array(bandCols: _*)).as("bk"))
         .select($"vec_id", $"bk.band".as("band"), $"bk.bv".as("bv"))
@@ -595,12 +618,10 @@ object TrainingOps {
     // a production deployment buys it back with MORE BANDS (linear
     // cost), never with wider probing (multiplicative cost).
     val bits = math.max(8, math.min(16, lshWidth(n, 4L)))
+    // codegen'd band key (r15 — the embedLshBanded note)
     val bandCols = (0 until 4).map { bnd =>
       struct(lit(bnd).as("band"),
-        expr(s"""aggregate(slice(emb, ${bnd * 16 + 1}, $bits),
-                 CAST(0 AS BIGINT),
-                 (acc, x) -> acc * 2 + CASE WHEN x >= 0 THEN 1 ELSE 0 END)""")
-          .as("bv"))
+        graft.functions.SignBits.signBits($"emb", bnd * 16 + 1, bits).as("bv"))
     }
     val sig = e.select($"vec_id", explode(array(bandCols: _*)).as("bk"))
       .select($"vec_id", $"bk.band".as("band"), $"bk.bv".as("bv"))
@@ -652,10 +673,10 @@ object TrainingOps {
     // n memoized per JVM (core.statCount) — re-executions skip the
     // count scan; production reads n from table stats, not a job
     val width = lshWidth(core.statCount(dir + "#embeddings", e0))
+    // codegen'd bucket key (r15 — the embedLshBanded note)
     val e = e0
       .withColumn("bucket",
-        expr(s"""aggregate(slice(emb, 1, $width), 0L,
-                (acc, x) -> acc * 2 + CASE WHEN x >= 0 THEN 1 ELSE 0 END)"""))
+        graft.functions.SignBits.signBits($"emb", 1, width))
     val a = e.select($"bucket", $"vec_id".as("a_id"), $"emb".as("a_emb"),
       $"nrm".as("a_nrm"))
     val b = e.select($"bucket".as("bk2"), $"vec_id".as("b_id"),
