@@ -141,11 +141,22 @@ object Corpus {
     val evalGrams = grams.filter($"source".isin(evalSrc: _*))
       .select($"gram").distinct()
     val train = grams.filter(!$"source".isin(evalSrc: _*))
-    val perDoc = train.groupBy($"doc_id", $"lang")
-      .agg(count(lit(1)).as("n_grams"))
-    val hit = train.join(broadcast(evalGrams), "gram")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
-    perDoc.join(hit, "doc_id")
+    // r15 (guide §2.4): per-doc totals and contaminated counts in ONE
+    // pass — the pre-r15 form ran the train-side scan + 5-shingle
+    // explode TWICE (once for each count) and shuffled the doc key
+    // twice. A left-outer broadcast against the DISTINCT eval set
+    // marks hits without fanout (each train gram matches at most one
+    // distinct eval gram), so count(*) per doc is unchanged and the
+    // conditional count equals the old inner-join count; docs with
+    // zero hits drop exactly like the old inner perDoc ⋈ hit.
+    val both = train
+      .join(broadcast(evalGrams.withColumn("is_hit", lit(1L))),
+        Seq("gram"), "left_outer")
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"is_hit", lit(0L))).as("n_contaminated"))
+      .filter($"n_contaminated" > 0L)
+    both
       .select($"doc_id", $"lang", $"n_grams", $"n_contaminated",
         r6($"n_contaminated" / $"n_grams".cast("double")).as("contamination"))
       .orderBy($"doc_id")

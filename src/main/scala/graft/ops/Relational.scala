@@ -245,9 +245,21 @@ object Relational {
     */
   def qJoinTheta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val a = t(s, dir, "part")
+    // r15 (guide §2): the dim side broadcasts, so the probe side's
+    // partition count IS the join's parallelism — and part is one
+    // small parquet split, so the whole ~n²/|brands| pair evaluation
+    // ran in a single task. Spread it by the estimated pair count
+    // (row and brand cardinalities are stats-class metadata, memoized
+    // per JVM); below the pairScanPartitions cutoff the plan is
+    // unchanged.
+    val n = core.statCount(dir + "#part", t(s, dir, "part"))
+    val nBrands = core.statCount(dir + "#part_brands",
+      t(s, dir, "part").select($"p_brand").distinct())
+    val parts = core.pairScanPartitions(n * n / math.max(1L, nBrands))
+    val a0 = t(s, dir, "part")
       .select($"p_brand", $"p_partkey".as("a_key"),
         cents($"p_retailprice").as("a_price_c"))
+    val a = if (parts > 1) a0.repartition(parts, $"a_key") else a0
     val b = t(s, dir, "part")
       .select($"p_brand".as("b_brand"), $"p_partkey".as("b_key"),
         cents($"p_retailprice").as("b_price_c"))
@@ -572,11 +584,15 @@ object Relational {
       "_" + sqlrSeq.incrementAndGet()
     // two cost traps, both found by measurement (17 s at sf0.1):
     //  - the recursion re-evaluates every referenced view ONCE PER
-    //    STEP (no mid-loop materialization point), so the edge list
-    //    is cached (Verify/Bench clear caches between keys —
-    //    core.scala contract); since r7 the pair base itself comes
-    //    from the persisted Graph.custSuppPairs index, so the
-    //    orders⋈lineitem derivation isn't re-paid either;
+    //    STEP — and (r15, found by plan dump) a `cache()` here never
+    //    fires inside the loop: UnionLoop copies the view subtree
+    //    with fresh expr ids, so the plan-keyed CacheManager lookup
+    //    MISSES and every step re-derived pairs ∪ reversed from
+    //    parquet. `localCheckpoint` materializes the doubled edge
+    //    list as an RDD-backed leaf the recursion cannot re-derive —
+    //    each step (and the seed DISTINCT) now scans the in-memory
+    //    blocks once. The checkpoint blocks are released by the
+    //    enclosing withCaches scope (core.scala contract).
     //  - a join condition whose CASE touches BOTH sides is not
     //    separable into equi-keys and degrades to a nested loop —
     //    doubling the edge list (src, dst) up front keeps every
@@ -589,7 +605,7 @@ object Relational {
     // spot (coalescing the per-step shuffles) — A/B at sf0.1 measured
     // the AQE-off scope neutral-to-worse here (r6).
     pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
-      .transform(core.cached)
+      .localCheckpoint()
       .createOrReplaceTempView(s"sqlr_edges_$tag")
     val out = s.sql(s"""
       WITH RECURSIVE walk(node, dist) AS (
