@@ -604,6 +604,9 @@ object Relational {
     // each step materializes anyway, which is exactly AQE's sweet
     // spot (coalescing the per-step shuffles) — A/B at sf0.1 measured
     // the AQE-off scope neutral-to-worse here (r6).
+    // (measured r15: pre-partitioning the checkpoint by src costs an
+    // extra 1.2M-row exchange at build and buys nothing per step —
+    // the steps broadcast the frontier side instead)
     pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
       .localCheckpoint()
       .createOrReplaceTempView(s"sqlr_edges_$tag")
